@@ -1,0 +1,62 @@
+"""porepy_tpu: TPU-native framework for multiphysics in fractured and
+deformable porous media.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of the reference
+PorePy framework (https://github.com/pmgbergen/porepy): mixed-dimensional
+grids, finite-volume discretizations (TPFA/MPFA/MPSA/Biot/upwind), an
+operator-based equation layer that compiles to jitted residual/Jacobian
+evaluation with static sparsity, Newton solvers with device Krylov linear
+algebra, and a mixin-composed model framework.
+
+The flat namespace mirrors the reference's ``pp.`` API contract
+(``/root/reference/src/porepy/__init__.py:46-249``); import as::
+
+    import porepy_tpu as pp
+
+Architecture: grid construction and meshing run host-side (numpy/scipy) at
+setup; everything per Newton iteration is device-resident jax with static
+shapes. Double precision is enabled globally (parity target is 1e-8 L2
+against the reference); performance-critical paths may opt into f32/bf16.
+"""
+
+from __future__ import annotations
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+# -- constants & keys -----------------------------------------------------
+from porepy_tpu.utils.common_constants import (  # noqa: E402,F401
+    PARAMETERS,
+    DISCRETIZATION_MATRICES,
+    TIME_STEP_SOLUTIONS,
+    ITERATE_SOLUTIONS,
+    NANO,
+    MICRO,
+    MILLI,
+    CENTI,
+    DECI,
+    KILO,
+    MEGA,
+    GIGA,
+    DAY,
+    HOUR,
+    MINUTE,
+    DARCY,
+    MILLIDARCY,
+    PASCAL,
+    BAR,
+    ATMOSPHERIC_PRESSURE,
+    GRAVITY_ACCELERATION,
+    CELSIUS,
+    CELSIUS_to_KELVIN,
+)
+
+# -- geometry ---------------------------------------------------------------
+from porepy_tpu.geometry import map_geometry  # noqa: E402,F401
+
+# -- grids -------------------------------------------------------------------
+from porepy_tpu.grids.grid import Grid  # noqa: E402,F401
+from porepy_tpu.grids.structured import CartGrid, TensorGrid  # noqa: E402,F401

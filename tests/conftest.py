@@ -1,0 +1,61 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so that multi-chip sharding
+(jax.sharding.Mesh) is exercised without TPU hardware. Environment must be
+set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Needed by the reference shim (tools.refshim) for pure-Python numba paths.
+os.environ.setdefault("NUMBA_DISABLE_JIT", "1")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def _reference_available() -> bool:
+    try:
+        from tools.refshim import pp  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+requires_reference = pytest.mark.skipif(
+    not _reference_available(),
+    reason="reference PorePy checkout not importable on this machine",
+)
+
+
+@pytest.fixture(scope="session")
+def ref_pp():
+    """The reference porepy package, imported through the dependency shim."""
+    from tools.refshim import pp
+
+    return pp
+
+
+def assert_sparse_equal(a, b, atol=1e-12, rtol=1e-10):
+    """Assert two scipy sparse matrices are numerically identical."""
+    import scipy.sparse as sps
+
+    a = sps.csr_matrix(a)
+    b = sps.csr_matrix(b)
+    assert a.shape == b.shape
+    d = abs(a - b)
+    if d.nnz:
+        scale = max(abs(a).max(), abs(b).max(), 1.0)
+        assert d.max() <= atol + rtol * scale, f"max diff {d.max()}"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
