@@ -60,3 +60,13 @@ from porepy_tpu.geometry import map_geometry  # noqa: E402,F401
 # -- grids -------------------------------------------------------------------
 from porepy_tpu.grids.grid import Grid  # noqa: E402,F401
 from porepy_tpu.grids.structured import CartGrid, TensorGrid  # noqa: E402,F401
+
+# -- parameters & materials --------------------------------------------------
+from porepy_tpu.params.bc import (  # noqa: E402,F401
+    BoundaryCondition,
+    BoundaryConditionVectorial,
+)
+from porepy_tpu.params.tensor import (  # noqa: E402,F401
+    SecondOrderTensor,
+    FourthOrderTensor,
+)
