@@ -70,3 +70,8 @@ from porepy_tpu.params.tensor import (  # noqa: E402,F401
     SecondOrderTensor,
     FourthOrderTensor,
 )
+from porepy_tpu.params.data import initialize_data  # noqa: E402,F401
+
+# -- discretizations ---------------------------------------------------------
+from porepy_tpu.numerics.fv.tpfa import Tpfa  # noqa: E402,F401
+from porepy_tpu.numerics.fv.fv_mesh import FvMesh, BoundaryMasks  # noqa: E402,F401
