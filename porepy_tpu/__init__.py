@@ -60,6 +60,9 @@ from porepy_tpu.geometry import map_geometry  # noqa: E402,F401
 # -- grids -------------------------------------------------------------------
 from porepy_tpu.grids.grid import Grid  # noqa: E402,F401
 from porepy_tpu.grids.structured import CartGrid, TensorGrid  # noqa: E402,F401
+from porepy_tpu.grids.point_grid import PointGrid  # noqa: E402,F401
+from porepy_tpu.grids.boundary_grid import BoundaryGrid  # noqa: E402,F401
+from porepy_tpu.grids.md_grid import MixedDimensionalGrid  # noqa: E402,F401
 
 # -- parameters & materials --------------------------------------------------
 from porepy_tpu.params.bc import (  # noqa: E402,F401
@@ -75,3 +78,10 @@ from porepy_tpu.params.data import initialize_data  # noqa: E402,F401
 # -- discretizations ---------------------------------------------------------
 from porepy_tpu.numerics.fv.tpfa import Tpfa  # noqa: E402,F401
 from porepy_tpu.numerics.fv.fv_mesh import FvMesh, BoundaryMasks  # noqa: E402,F401
+
+# -- AD / equation layer -----------------------------------------------------
+from porepy_tpu.numerics import ad  # noqa: E402,F401
+from porepy_tpu.utils.solution_storage import (  # noqa: E402,F401
+    set_solution_values,
+    get_solution_values,
+)

@@ -1,0 +1,392 @@
+"""Operator-graph compiler: DAG -> pure jax function + sparse Jacobian.
+
+This module replaces the reference's interpretation machinery (the
+post-order evaluator ``numerics/ad/_ad_parser.py:20`` carrying scipy
+forward-mode Jacobians through every node) with a compile-once strategy:
+
+1. :func:`build_function` traces the operator DAG into a pure function
+   ``f(x, *env) -> jnp.ndarray`` of the global dof vector ``x``. Historic
+   states (previous time steps / iterates) and time-dependent arrays enter
+   through ``env`` so the jitted function is reused across time steps
+   without recompilation.
+2. :func:`sparsity_pattern` propagates *structural* sparsity through the
+   DAG as boolean scipy matrices — cheap, done once per equation system.
+3. :func:`sparse_jacobian` computes the Jacobian by coloring-compressed
+   forward-mode jvps: columns of the pattern are greedily colored so no two
+   same-colored columns share a row; one vmapped jvp per color recovers all
+   nonzeros. For FV stencils this is O(stencil size) forward passes instead
+   of O(num dofs) — the TPU-idiomatic sparse AD.
+
+Determinism note: all reductions are segment-sums over static indices, so
+assembly is bit-reproducible run to run (required for the 1e-8 parity
+targets).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+from jax.experimental import sparse as jsparse
+
+from porepy_tpu.numerics.ad.operators import (
+    AdArray,
+    DenseArray,
+    MixedDimensionalVariable,
+    Operations,
+    Operator,
+    Scalar,
+    SparseArray,
+    TimeDependentDenseArray,
+    Variable,
+)
+
+__all__ = [
+    "build_function",
+    "evaluate",
+    "evaluate_with_jacobian",
+    "sparsity_pattern",
+    "greedy_color",
+    "sparse_jacobian",
+]
+
+
+# -- environment (historic/time-dependent constants) --------------------------
+
+
+class _EnvSpec:
+    """Ordered list of fetchers producing the non-differentiated inputs of a
+    compiled function. Re-fetched every evaluation (cheap host gathers)."""
+
+    def __init__(self) -> None:
+        self.fetchers: list[Callable[[Any], np.ndarray]] = []
+        self._keys: dict = {}
+
+    def slot(self, key, fetcher) -> int:
+        if key in self._keys:
+            return self._keys[key]
+        idx = len(self.fetchers)
+        self.fetchers.append(fetcher)
+        self._keys[key] = idx
+        return idx
+
+    def fetch(self, eq_sys) -> list[jnp.ndarray]:
+        return [jnp.asarray(f(eq_sys)) for f in self.fetchers]
+
+
+def _var_key(v: Variable):
+    return (v.name, id(v.domain), v.time_step_index, v.iterate_index)
+
+
+def _fetch_variable(v: Variable):
+    def fetch(eq_sys):
+        return eq_sys._stored_values(v)
+
+    return fetch
+
+
+def _fetch_tda(op: TimeDependentDenseArray):
+    def fetch(eq_sys):
+        return eq_sys._stored_time_dependent(op)
+
+    return fetch
+
+
+# -- tracing ------------------------------------------------------------------
+
+
+def build_function(
+    op: Operator, eq_sys
+) -> tuple[Callable, _EnvSpec]:
+    """Compile an operator into ``f(x, *env) -> jnp array``.
+
+    ``x`` is the full global dof vector of ``eq_sys`` (current iterate);
+    ``env`` are constant arrays described by the returned spec.
+    """
+    env_spec = _EnvSpec()
+
+    def fn(x, *env):
+        cache: dict[int, Any] = {}
+
+        def rec(node: Operator):
+            key = id(node)
+            if key in cache:
+                return cache[key]
+            val = _trace_node(node, rec, x, env, env_spec, eq_sys)
+            cache[key] = val
+            return val
+
+        return rec(op)
+
+    # Pre-populate env slots with one non-traced pass so fn's signature is
+    # stable before the first call.
+    _collect_env(op, env_spec, eq_sys, set())
+    return fn, env_spec
+
+
+def _collect_env(op: Operator, env_spec: _EnvSpec, eq_sys, seen: set) -> None:
+    if id(op) in seen:
+        return
+    seen.add(id(op))
+    if isinstance(op, MixedDimensionalVariable):
+        for v in op.sub_vars:
+            _collect_env(v, env_spec, eq_sys, seen)
+        return
+    if isinstance(op, Variable):
+        if not op.is_current_iterate:
+            env_spec.slot(_var_key(op), _fetch_variable(op))
+        return
+    if isinstance(op, TimeDependentDenseArray):
+        env_spec.slot(("tda", op.name, op.domains, op.prev_time), _fetch_tda(op))
+        return
+    for c in op.children:
+        _collect_env(c, env_spec, eq_sys, seen)
+
+
+def _bcoo(mat: sps.spmatrix) -> jsparse.BCOO:
+    # Cache the device conversion on the scipy object.
+    cached = getattr(mat, "_ppt_bcoo", None)
+    if cached is None:
+        cached = jsparse.BCOO.from_scipy_sparse(mat.tocsr())
+        try:
+            mat._ppt_bcoo = cached
+        except AttributeError:
+            pass
+    return cached
+
+
+def _trace_node(node, rec, x, env, env_spec, eq_sys):
+    if isinstance(node, Scalar):
+        return node.value
+    if isinstance(node, DenseArray):
+        return jnp.asarray(node.values)
+    if isinstance(node, SparseArray):
+        return _bcoo(node.mat)
+    if isinstance(node, MixedDimensionalVariable):
+        if not node.sub_vars:
+            return jnp.zeros(0)
+        return jnp.concatenate([rec(v) for v in node.sub_vars])
+    if isinstance(node, Variable):
+        if node.is_current_iterate:
+            idx = eq_sys.dofs_of([node])
+            return x[jnp.asarray(idx)]
+        slot = env_spec.slot(_var_key(node), _fetch_variable(node))
+        return env[slot]
+    if isinstance(node, TimeDependentDenseArray):
+        slot = env_spec.slot(
+            ("tda", node.name, node.domains, node.prev_time), _fetch_tda(node)
+        )
+        return env[slot]
+
+    c = [rec(ch) for ch in node.children]
+    op = node.operation
+    if op is Operations.add:
+        return c[0] + c[1]
+    if op is Operations.sub:
+        return c[0] - c[1]
+    if op is Operations.mul:
+        return c[0] * c[1]
+    if op is Operations.div:
+        return c[0] / c[1]
+    if op is Operations.pow:
+        return c[0] ** c[1]
+    if op is Operations.neg:
+        return -c[0]
+    if op is Operations.matmul:
+        left, right = c
+        if isinstance(left, jsparse.BCOO):
+            return left @ right
+        return jnp.matmul(left, right)
+    if op is Operations.evaluate:
+        assert node.func is not None, "evaluate node without function"
+        return node.func(*c)
+    raise NotImplementedError(f"Operation {op} not supported by compiler")
+
+
+# -- user-facing evaluation ---------------------------------------------------
+
+
+def evaluate(op: Operator, eq_sys) -> np.ndarray:
+    fn, env_spec = build_function(op, eq_sys)
+    x = jnp.asarray(eq_sys._global_vector())
+    out = fn(x, *env_spec.fetch(eq_sys))
+    return np.asarray(out)
+
+
+def evaluate_with_jacobian(op: Operator, eq_sys) -> AdArray:
+    fn, env_spec = build_function(op, eq_sys)
+    x = jnp.asarray(eq_sys._global_vector())
+    env = env_spec.fetch(eq_sys)
+    pattern = sparsity_pattern(op, eq_sys)
+    val, jac = sparse_jacobian(fn, x, env, pattern)
+    return AdArray(val, jac)
+
+
+# -- structural sparsity ------------------------------------------------------
+
+
+def sparsity_pattern(op: Operator, eq_sys) -> sps.csr_matrix:
+    """Boolean ``(num_rows(op), num_dofs)`` structural Jacobian pattern.
+
+    Guaranteed to be a superset of the true pattern; exact for FV stencils.
+    """
+    ndof = eq_sys.num_dofs()
+    cache: dict[int, sps.csr_matrix] = {}
+
+    def rec(node: Operator) -> sps.csr_matrix:
+        key = id(node)
+        if key in cache:
+            return cache[key]
+        pat = _pattern_node(node, rec, ndof, eq_sys)
+        cache[key] = pat
+        return pat
+
+    return rec(op).tocsr()
+
+
+def _zero_pattern(nrows: int, ndof: int) -> sps.csr_matrix:
+    return sps.csr_matrix((nrows, ndof), dtype=bool)
+
+
+def _union(a: sps.csr_matrix, b: sps.csr_matrix) -> sps.csr_matrix:
+    # Broadcasting: a 1-row pattern (scalar operand) expands to the other
+    # operand's rows. Scalar operands are constants, hence zero patterns.
+    if a.shape[0] == b.shape[0]:
+        return (a + b).astype(bool)
+    if a.shape[0] == 1 and a.nnz == 0:
+        return b
+    if b.shape[0] == 1 and b.nnz == 0:
+        return a
+    if a.shape[0] == 1:
+        a = sps.vstack([a] * b.shape[0])
+        return (a + b).astype(bool)
+    if b.shape[0] == 1:
+        b = sps.vstack([b] * a.shape[0])
+        return (a + b).astype(bool)
+    raise ValueError(f"Incompatible pattern shapes {a.shape} vs {b.shape}")
+
+
+def _pattern_node(node, rec, ndof, eq_sys) -> sps.csr_matrix:
+    if isinstance(node, Scalar):
+        return _zero_pattern(1, ndof)
+    if isinstance(node, DenseArray):
+        return _zero_pattern(node.values.shape[-1] if node.values.ndim else 1, ndof)
+    if isinstance(node, SparseArray):
+        return _zero_pattern(node.mat.shape[0], ndof)
+    if isinstance(node, MixedDimensionalVariable):
+        if not node.sub_vars:
+            return _zero_pattern(0, ndof)
+        return sps.vstack([rec(v) for v in node.sub_vars]).tocsr()
+    if isinstance(node, Variable):
+        n = node.size()
+        if not node.is_current_iterate:
+            return _zero_pattern(n, ndof)
+        idx = eq_sys.dofs_of([node])
+        return sps.csr_matrix(
+            (np.ones(n, dtype=bool), (np.arange(n), idx)), shape=(n, ndof)
+        )
+    if isinstance(node, TimeDependentDenseArray):
+        n = eq_sys._stored_time_dependent(node).shape[0]
+        return _zero_pattern(n, ndof)
+
+    c = [rec(ch) for ch in node.children]
+    op = node.operation
+    if op in (Operations.add, Operations.sub, Operations.mul, Operations.div, Operations.pow):
+        return _union(c[0], c[1])
+    if op is Operations.neg:
+        return c[0]
+    if op is Operations.matmul:
+        left = node.children[0]
+        if isinstance(left, SparseArray):
+            return (abs(left.mat).astype(bool) @ c[1]).astype(bool).tocsr()
+        if isinstance(left, DenseArray) and left.values.ndim == 2:
+            return (
+                sps.csr_matrix(left.values.astype(bool)) @ c[1]
+            ).astype(bool).tocsr()
+        if c[0].nnz == 0 and isinstance(left, Operator) and not isinstance(
+            left, (Variable, MixedDimensionalVariable)
+        ):
+            # Left operand is a constant expression (e.g. transposed
+            # projection); evaluate it structurally via its value.
+            val = evaluate(left, eq_sys)
+            if val.ndim == 2:
+                return (
+                    sps.csr_matrix(np.asarray(val).astype(bool)) @ c[1]
+                ).astype(bool).tocsr()
+        raise NotImplementedError(
+            "matmul with non-constant left operand has no structural pattern"
+        )
+    if op is Operations.evaluate:
+        pattern_fn = getattr(node, "func_pattern", None)
+        if pattern_fn is not None:
+            return pattern_fn(c, ndof)
+        # Elementwise function: union of argument patterns.
+        out = c[0]
+        for other in c[1:]:
+            out = _union(out, other)
+        return out
+    raise NotImplementedError(f"No pattern rule for {op}")
+
+
+# -- coloring + compressed Jacobian -------------------------------------------
+
+
+def greedy_color(pattern: sps.csr_matrix) -> tuple[np.ndarray, int]:
+    """Distance-2 column coloring: no two columns sharing a row get the same
+    color. Greedy over columns ordered by decreasing degree."""
+    ndof = pattern.shape[1]
+    csc = pattern.tocsc()
+    csr = pattern.tocsr()
+    colors = -np.ones(ndof, dtype=np.int64)
+    degree = np.diff(csc.indptr)
+    order = np.argsort(-degree, kind="stable")
+    for j in order:
+        if degree[j] == 0:
+            colors[j] = 0
+            continue
+        rows = csc.indices[csc.indptr[j] : csc.indptr[j + 1]]
+        forbidden: set[int] = set()
+        for r in rows:
+            cols = csr.indices[csr.indptr[r] : csr.indptr[r + 1]]
+            forbidden.update(colors[c] for c in cols if colors[c] >= 0)
+        color = 0
+        while color in forbidden:
+            color += 1
+        colors[j] = color
+    return colors, int(colors.max()) + 1 if ndof else 0
+
+
+def sparse_jacobian(
+    fn: Callable,
+    x: jnp.ndarray,
+    env: Sequence[jnp.ndarray],
+    pattern: sps.csr_matrix,
+    colors: Optional[np.ndarray] = None,
+    n_colors: Optional[int] = None,
+) -> tuple[np.ndarray, sps.csr_matrix]:
+    """Value + sparse Jacobian of ``fn`` at ``x`` via coloring-compressed
+    forward jvps. Returns host ``(value, csr_jacobian)``."""
+    if colors is None or n_colors is None:
+        colors, n_colors = greedy_color(pattern)
+    ndof = x.shape[0]
+    if n_colors == 0:
+        val = np.asarray(fn(x, *env))
+        return val, sps.csr_matrix((val.shape[0], ndof))
+
+    seeds = np.zeros((n_colors, ndof))
+    seeds[colors, np.arange(ndof)] = 1.0
+    seeds_j = jnp.asarray(seeds)
+
+    f_of_x = lambda xx: fn(xx, *env)  # noqa: E731
+    val, jvp_fn = jax.linearize(f_of_x, x)
+    compressed = jax.vmap(jvp_fn)(seeds_j)  # (n_colors, n_rows)
+
+    rows, cols = pattern.nonzero()  # row-major (csr) order
+    data = np.asarray(compressed)[colors[cols], rows]
+    jac = sps.csr_matrix(
+        (data, (rows, cols)), shape=(pattern.shape[0], ndof)
+    )
+    return np.asarray(val), jac

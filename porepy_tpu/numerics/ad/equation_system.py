@@ -1,0 +1,506 @@
+"""Dof management and equation assembly.
+
+Parity counterpart of reference ``numerics/ad/equation_system.py:94``:
+manages named variables on md-grid entities (dof ordering clustered
+grid-wise: grids in md iteration order, variables in creation order within a
+grid — matching ``equation_system.py:838``), named equations, state rings
+(time-step/iterate solution buffers in grid data dicts), and assembly of the
+(Jacobian, -residual) pair.
+
+TPU-first: each named equation's operator DAG is compiled once into a pure
+jax function of the global dof vector (``compiler.build_function``); its
+structural sparsity and column coloring are computed once; per-assembly work
+is one jitted forward pass for the residual and one vmapped-jvp pass per
+color batch for the Jacobian. Historic states flow through the ``env``
+arguments, so no recompilation across time steps/iterations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+
+from porepy_tpu.numerics.ad import compiler
+from porepy_tpu.numerics.ad.operators import (
+    MixedDimensionalVariable,
+    Operator,
+    TimeDependentDenseArray,
+    Variable,
+)
+from porepy_tpu.utils import common_constants as cc
+from porepy_tpu.utils.solution_storage import get_solution_values, set_solution_values
+
+__all__ = ["EquationSystem"]
+
+VariableList = Union[str, Variable, MixedDimensionalVariable, Sequence]
+
+
+class _CompiledEquation:
+    def __init__(self, eq_sys: "EquationSystem", op: Operator) -> None:
+        self.op = op
+        fn, env_spec = compiler.build_function(op, eq_sys)
+        self.fn = fn
+        self.env_spec = env_spec
+        self.pattern = compiler.sparsity_pattern(op, eq_sys)
+        self.colors, self.n_colors = compiler.greedy_color(self.pattern)
+        ndof = eq_sys.num_dofs()
+        seeds = np.zeros((max(self.n_colors, 1), ndof))
+        if ndof:
+            seeds[self.colors, np.arange(ndof)] = 1.0
+        self.seeds = jnp.asarray(seeds)
+        self.rows, self.cols = self.pattern.nonzero()
+        # Gather indices into the (n_colors, n_rows) compressed block.
+        self.gather_color = self.colors[self.cols]
+
+        self._value = jax.jit(fn)
+
+        def value_and_compressed(x, seeds, *env):
+            val, jvp_fn = jax.linearize(lambda xx: fn(xx, *env), x)
+            compressed = jax.vmap(jvp_fn)(seeds)
+            return val, compressed
+
+        self._value_and_compressed = jax.jit(value_and_compressed)
+
+    def residual(self, x, env) -> np.ndarray:
+        return np.asarray(self._value(x, *env))
+
+    def residual_and_jacobian(
+        self, x, env, ndof: int
+    ) -> tuple[np.ndarray, sps.csr_matrix]:
+        val, compressed = self._value_and_compressed(x, self.seeds, *env)
+        data = np.asarray(compressed)[self.gather_color, self.rows]
+        jac = sps.csr_matrix(
+            (data, (self.rows, self.cols)), shape=(self.pattern.shape[0], ndof)
+        )
+        return np.asarray(val), jac
+
+
+class EquationSystem:
+    def __init__(self, mdg) -> None:
+        self.mdg = mdg
+        # Registry: (name, grid) -> Variable, insertion-ordered per grid.
+        self._variables: list[Variable] = []
+        self._variable_names: list[str] = []
+        self._equations: dict[str, Operator] = {}
+        self._compiled: dict[str, _CompiledEquation] = {}
+        # Global dof bookkeeping, rebuilt on variable creation.
+        self._dof_offsets: dict[tuple[str, int], tuple[int, int]] = {}
+        self._num_dofs: int = 0
+
+    # -- variables -----------------------------------------------------------
+
+    @property
+    def variables(self) -> list[Variable]:
+        return list(self._variables)
+
+    @property
+    def variable_domains(self) -> list:
+        seen = []
+        for v in self._variables:
+            if v.domain not in seen:
+                seen.append(v.domain)
+        return seen
+
+    @property
+    def equations(self) -> dict[str, Operator]:
+        return dict(self._equations)
+
+    def create_variables(
+        self,
+        name: str,
+        dof_info: Optional[dict] = None,
+        subdomains: Optional[Sequence] = None,
+        interfaces: Optional[Sequence] = None,
+        tags: Optional[dict] = None,
+    ) -> MixedDimensionalVariable:
+        if dof_info is None:
+            dof_info = {"cells": 1}
+        if subdomains is None and interfaces is None:
+            raise ValueError("Provide subdomains and/or interfaces")
+        grids = list(subdomains or []) + list(interfaces or [])
+        if name in self._variable_names:
+            raise ValueError(f"Variable {name!r} already exists")
+        new_vars = []
+        for g in grids:
+            v = Variable(name, dof_info, g)
+            self._variables.append(v)
+            new_vars.append(v)
+            # Initialize both rings at index 0 with zeros.
+            data = self._grid_data(g)
+            zeros = np.zeros(v.size())
+            set_solution_values(name, zeros, data, time_step_index=0, iterate_index=0)
+        self._variable_names.append(name)
+        self._rebuild_dofs()
+        self._compiled.clear()
+        return MixedDimensionalVariable(new_vars)
+
+    def md_variable(
+        self, name: str, grids: Optional[Sequence] = None
+    ) -> MixedDimensionalVariable:
+        sub = [
+            v
+            for v in self._variables
+            if v.name == name and (grids is None or v.domain in grids)
+        ]
+        if not sub:
+            raise ValueError(f"No variable named {name!r}")
+        return MixedDimensionalVariable(sub)
+
+    def get_variables(
+        self,
+        variables: Optional[VariableList] = None,
+        grids: Optional[Sequence] = None,
+    ) -> list[Variable]:
+        out = []
+        names = None
+        if variables is not None:
+            names = {
+                v if isinstance(v, str) else v.name
+                for v in (
+                    variables if isinstance(variables, (list, tuple)) else [variables]
+                )
+            }
+        for v in self._variables:
+            if names is not None and v.name not in names:
+                continue
+            if grids is not None and v.domain not in grids:
+                continue
+            out.append(v)
+        return out
+
+    # -- dofs ----------------------------------------------------------------
+
+    def _canonical_grids(self) -> list:
+        return list(self.mdg.subdomains()) + list(self.mdg.interfaces())
+
+    def _rebuild_dofs(self) -> None:
+        """Cluster dofs grid-wise: grids in md order, variables in creation
+        order within each grid."""
+        offset = 0
+        self._dof_offsets = {}
+        for g in self._canonical_grids():
+            for v in self._variables:
+                if v.domain is g:
+                    n = v.size()
+                    self._dof_offsets[(v.name, id(g))] = (offset, n)
+                    offset += n
+        # Variables on grids not in the mdg (should not happen) — guard.
+        for v in self._variables:
+            if (v.name, id(v.domain)) not in self._dof_offsets:
+                n = v.size()
+                self._dof_offsets[(v.name, id(v.domain))] = (offset, n)
+                offset += n
+        self._num_dofs = offset
+
+    def num_dofs(self) -> int:
+        return self._num_dofs
+
+    def dofs_of(self, variables: VariableList) -> np.ndarray:
+        if not isinstance(variables, (list, tuple)):
+            variables = [variables]
+        chunks = []
+        for v in variables:
+            if isinstance(v, str):
+                chunks.append(self.dofs_of(self.get_variables([v])))
+            elif isinstance(v, MixedDimensionalVariable):
+                chunks.extend(
+                    np.arange(*_span(self._dof_offsets[(s.name, id(s.domain))]))
+                    for s in v.sub_vars
+                )
+            elif isinstance(v, Variable):
+                chunks.append(
+                    np.arange(*_span(self._dof_offsets[(v.name, id(v.domain))]))
+                )
+            else:
+                raise TypeError(f"Cannot resolve dofs of {v!r}")
+        if not chunks:
+            return np.zeros(0, dtype=int)
+        return np.concatenate(chunks)
+
+    def projection_to(self, variables: Optional[VariableList] = None) -> sps.csr_matrix:
+        if variables is None:
+            return sps.eye(self._num_dofs, format="csr")
+        idx = self.dofs_of(variables)
+        return sps.csr_matrix(
+            (np.ones(idx.size), (np.arange(idx.size), idx)),
+            shape=(idx.size, self._num_dofs),
+        )
+
+    def identify_dof(self, dof: int) -> Variable:
+        for v in self._variables:
+            start, n = self._dof_offsets[(v.name, id(v.domain))]
+            if start <= dof < start + n:
+                return v
+        raise KeyError(f"Dof {dof} out of range")
+
+    # -- state get/set -------------------------------------------------------
+
+    def _grid_data(self, g) -> dict:
+        from porepy_tpu.grids.boundary_grid import BoundaryGrid
+
+        if isinstance(g, BoundaryGrid):
+            return self.mdg.boundary_grid_data(g)
+        if g in getattr(self.mdg, "_subdomain_data", {}):
+            return self.mdg.subdomain_data(g)
+        return self.mdg.interface_data(g)
+
+    def get_variable_values(
+        self,
+        variables: Optional[VariableList] = None,
+        time_step_index: Optional[int] = None,
+        iterate_index: Optional[int] = None,
+    ) -> np.ndarray:
+        vs = self._resolve(variables)
+        return np.concatenate(
+            [
+                get_solution_values(
+                    v.name,
+                    self._grid_data(v.domain),
+                    time_step_index=time_step_index,
+                    iterate_index=iterate_index,
+                )
+                for v in vs
+            ]
+            or [np.zeros(0)]
+        )
+
+    def set_variable_values(
+        self,
+        values: np.ndarray,
+        variables: Optional[VariableList] = None,
+        time_step_index: Optional[int] = None,
+        iterate_index: Optional[int] = None,
+        additive: bool = False,
+    ) -> None:
+        vs = self._resolve(variables)
+        pos = 0
+        for v in vs:
+            n = v.size()
+            set_solution_values(
+                v.name,
+                np.asarray(values)[pos : pos + n],
+                self._grid_data(v.domain),
+                time_step_index=time_step_index,
+                iterate_index=iterate_index,
+                additive=additive,
+            )
+            pos += n
+        if pos != np.asarray(values).size:
+            raise ValueError("Value vector size does not match variable dofs")
+
+    def shift_time_step_values(self, max_index: int = 1) -> None:
+        self._shift(cc.TIME_STEP_SOLUTIONS, max_index)
+
+    def shift_iterate_values(self, max_index: int = 1) -> None:
+        self._shift(cc.ITERATE_SOLUTIONS, max_index)
+
+    def _shift(self, key: str, max_index: int) -> None:
+        for v in self._variables:
+            ring = self._grid_data(v.domain).get(key, {}).get(v.name)
+            if ring is None:
+                continue
+            for i in range(max_index, 0, -1):
+                if (i - 1) in ring:
+                    ring[i] = np.copy(ring[i - 1])
+
+    def _resolve(self, variables: Optional[VariableList]) -> list[Variable]:
+        """Expand a variable spec into single-grid Variables in global dof
+        order."""
+        if variables is None:
+            vs = list(self._variables)
+        else:
+            if not isinstance(variables, (list, tuple)):
+                variables = [variables]
+            vs = []
+            for v in variables:
+                if isinstance(v, str):
+                    vs.extend(self.get_variables([v]))
+                elif isinstance(v, MixedDimensionalVariable):
+                    vs.extend(v.sub_vars)
+                else:
+                    vs.append(v)
+        return sorted(
+            vs, key=lambda v: self._dof_offsets[(v.name, id(v.domain))][0]
+        )
+
+    # -- compiler hooks ------------------------------------------------------
+
+    def _global_vector(self) -> np.ndarray:
+        """Current-iterate values of all variables in global dof order."""
+        out = np.zeros(self._num_dofs)
+        for v in self._variables:
+            start, n = self._dof_offsets[(v.name, id(v.domain))]
+            out[start : start + n] = get_solution_values(
+                v.name, self._grid_data(v.domain), iterate_index=0
+            )
+        return out
+
+    def _stored_values(self, v: Variable) -> np.ndarray:
+        data = self._grid_data(v.domain)
+        if v.time_step_index is not None:
+            return get_solution_values(v.name, data, time_step_index=v.time_step_index)
+        return get_solution_values(v.name, data, iterate_index=v.iterate_index)
+
+    def _stored_time_dependent(self, op: TimeDependentDenseArray) -> np.ndarray:
+        chunks = []
+        for g in op.domains:
+            data = self._grid_data(g)
+            if op.prev_time:
+                chunks.append(get_solution_values(op.name, data, time_step_index=0))
+            else:
+                chunks.append(get_solution_values(op.name, data, iterate_index=0))
+        return np.concatenate(chunks or [np.zeros(0)])
+
+    # -- equations -----------------------------------------------------------
+
+    def set_equation(
+        self,
+        equation: Operator,
+        grids: Optional[Sequence] = None,
+        equations_per_grid_entity: Optional[dict] = None,
+    ) -> None:
+        name = equation.name
+        self._equations[name] = equation
+        self._compiled.pop(name, None)
+
+    def remove_equation(self, name: str) -> Optional[Operator]:
+        self._compiled.pop(name, None)
+        return self._equations.pop(name, None)
+
+    def update_equation(self, name: str, equation: Operator) -> None:
+        equation.set_name(name)
+        self._equations[name] = equation
+        self._compiled.pop(name, None)
+
+    def clear_compiled(self) -> None:
+        """Drop compiled equation kernels (call after rediscretization that
+        changes constant matrices baked into operator DAGs)."""
+        self._compiled.clear()
+
+    def _get_compiled(self, name: str) -> _CompiledEquation:
+        ce = self._compiled.get(name)
+        if ce is None:
+            ce = _CompiledEquation(self, self._equations[name])
+            self._compiled[name] = ce
+        return ce
+
+    # -- evaluation / assembly -----------------------------------------------
+
+    def evaluate(self, op: Operator) -> np.ndarray:
+        return compiler.evaluate(op, self)
+
+    def assemble(
+        self,
+        equations: Optional[Sequence[str]] = None,
+        variables: Optional[VariableList] = None,
+        evaluate_jacobian: bool = True,
+    ) -> Union[tuple[sps.csr_matrix, np.ndarray], np.ndarray]:
+        """Assemble the (Jacobian, -residual) of the named equations (all by
+        default), restricted to the named variable columns (all by default).
+        """
+        names = list(equations) if equations is not None else list(self._equations)
+        x = jnp.asarray(self._global_vector())
+        vals = []
+        jacs = []
+        for name in names:
+            ce = self._get_compiled(name)
+            env = ce.env_spec.fetch(self)
+            if evaluate_jacobian:
+                val, jac = ce.residual_and_jacobian(x, env, self._num_dofs)
+                jacs.append(jac)
+            else:
+                val = ce.residual(x, env)
+            vals.append(val)
+        b = -np.concatenate(vals) if vals else np.zeros(0)
+        if not evaluate_jacobian:
+            return b
+        A = sps.vstack(jacs).tocsr() if jacs else sps.csr_matrix((0, self._num_dofs))
+        if variables is not None:
+            A = A @ self.projection_to(variables).T
+        return A, b
+
+    def assemble_subsystem(
+        self,
+        equations: Optional[Sequence[str]] = None,
+        variables: Optional[VariableList] = None,
+    ) -> tuple[sps.csr_matrix, np.ndarray]:
+        return self.assemble(equations=equations, variables=variables)
+
+    # -- Schur complement ----------------------------------------------------
+
+    def assemble_schur_complement_system(
+        self,
+        primary_equations: Sequence[str],
+        primary_variables: VariableList,
+        inverter=None,
+    ) -> tuple[sps.csr_matrix, np.ndarray]:
+        """Assemble the Schur complement after eliminating the complementary
+        (secondary) equations/variables:
+        ``A_pp - A_ps inv(A_ss) A_sp``; rhs ``b_p - A_ps inv(A_ss) b_s``.
+        """
+        if inverter is None:
+            inverter = self.default_schur_complement_inverter
+        all_eqs = list(self._equations)
+        sec_eqs = [n for n in all_eqs if n not in primary_equations]
+        prim_vars = self._resolve(primary_variables)
+        sec_vars = [v for v in self._variables if v not in prim_vars]
+
+        A, b = self.assemble()
+        pe_rows = self._equation_rows(primary_equations, all_eqs)
+        se_rows = self._equation_rows(sec_eqs, all_eqs)
+        pv = self.dofs_of(prim_vars)
+        sv = self.dofs_of(sec_vars)
+
+        A_pp = A[pe_rows][:, pv]
+        A_ps = A[pe_rows][:, sv]
+        A_sp = A[se_rows][:, pv]
+        A_ss = A[se_rows][:, sv]
+        b_p = b[pe_rows]
+        b_s = b[se_rows]
+
+        inv_ss = inverter(A_ss.tocsr())
+        S = (A_pp - A_ps @ inv_ss @ A_sp).tocsr()
+        rhs = b_p - A_ps @ (inv_ss @ b_s)
+        self._schur_cache = (inv_ss, A_sp, b_s, pv, sv)
+        return S, rhs
+
+    def expand_schur_complement_solution(self, reduced_solution: np.ndarray) -> np.ndarray:
+        inv_ss, A_sp, b_s, pv, sv = self._schur_cache
+        x = np.zeros(self._num_dofs)
+        x[pv] = reduced_solution
+        x[sv] = inv_ss @ (b_s - A_sp @ reduced_solution)
+        return x
+
+    @staticmethod
+    def default_schur_complement_inverter(A: sps.spmatrix) -> sps.spmatrix:
+        return sps.csr_matrix(sps.linalg.inv(A.tocsc()))
+
+    def _equation_rows(self, names: Sequence[str], all_names: Sequence[str]) -> np.ndarray:
+        offsets = {}
+        pos = 0
+        for n in all_names:
+            ce = self._get_compiled(n)
+            nrows = ce.pattern.shape[0]
+            offsets[n] = (pos, nrows)
+            pos += nrows
+        return np.concatenate(
+            [np.arange(*_span(offsets[n])) for n in names] or [np.zeros(0, dtype=int)]
+        )
+
+    def discretize(self) -> None:
+        """Re-run any discretizations referenced by the equations. Handled by
+        the model layer in this framework; kept for API parity."""
+
+    def __repr__(self) -> str:
+        return (
+            f"EquationSystem(dofs={self._num_dofs}, "
+            f"variables={len(self._variables)}, equations={len(self._equations)})"
+        )
+
+
+def _span(t: tuple[int, int]) -> tuple[int, int]:
+    return t[0], t[0] + t[1]
