@@ -84,4 +84,50 @@ from porepy_tpu.numerics import ad  # noqa: E402,F401
 from porepy_tpu.utils.solution_storage import (  # noqa: E402,F401
     set_solution_values,
     get_solution_values,
+    shift_solution_values,
 )
+
+# -- geometry / domain -------------------------------------------------------
+from porepy_tpu.geometry.domain import Domain, DomainSides  # noqa: E402,F401
+
+# -- discretizations (continued) ---------------------------------------------
+from porepy_tpu.numerics.fv.upwind import Upwind  # noqa: E402,F401
+
+# -- solvers / time stepping -------------------------------------------------
+from porepy_tpu.numerics.nonlinear.nonlinear_solvers import (  # noqa: E402,F401
+    NewtonSolver,
+)
+from porepy_tpu.numerics.linear_solvers import LinearSolver  # noqa: E402,F401
+from porepy_tpu.numerics.time_step_control import TimeManager  # noqa: E402,F401
+
+# -- materials / units -------------------------------------------------------
+from porepy_tpu.models.units import Units  # noqa: E402,F401
+from porepy_tpu.compositional.materials import (  # noqa: E402,F401
+    Constants,
+    FluidComponent,
+    SolidConstants,
+    NumericalConstants,
+    ReferenceVariableValues,
+)
+
+# -- model framework ---------------------------------------------------------
+from porepy_tpu.models.geometry import ModelGeometry  # noqa: E402,F401
+from porepy_tpu.models.abstract_equations import (  # noqa: E402,F401
+    BalanceEquation,
+    VariableMixin,
+)
+from porepy_tpu.models.boundary_condition import (  # noqa: E402,F401
+    BoundaryConditionMixin,
+)
+from porepy_tpu.models.initial_condition import (  # noqa: E402,F401
+    InitialConditionMixin,
+)
+from porepy_tpu.models.solution_strategy import SolutionStrategy  # noqa: E402,F401
+from porepy_tpu.models import constitutive_laws  # noqa: E402,F401
+from porepy_tpu.models.fluid_mass_balance import SinglePhaseFlow  # noqa: E402,F401
+from porepy_tpu.models.run_models import (  # noqa: E402,F401
+    run_stationary_model,
+    run_time_dependent_model,
+)
+from porepy_tpu.viz.data_saving_model_mixin import DataSavingMixin  # noqa: E402,F401
+from porepy_tpu.viz.solver_statistics import SolverStatistics  # noqa: E402,F401

@@ -1,0 +1,346 @@
+"""Constitutive-law mixin library.
+
+Parity counterpart of (a growing subset of) reference
+``models/constitutive_laws.py`` (4,839 LoC). Implemented so far: dimension
+reduction (aperture/specific volume), constant permeability + tensor
+utilities, Darcy's law on the TPFA/MPFA matrix contract, zero/constant
+gravity, advective flux with TPU-native upwinding (no per-iteration
+rediscretization — direction switching happens inside the jitted residual,
+see ``porepy_tpu/numerics/fv/upwind.py``), fluid density/viscosity/mobility
+laws, porosity laws.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from porepy_tpu.numerics import ad
+from porepy_tpu.numerics.ad.discretizations import TpfaAd, UpwindAd
+from porepy_tpu.numerics.fv.upwind import (
+    UpwindGeometry,
+    upwind_apply,
+    upwind_boundary_masks,
+)
+from porepy_tpu.params.tensor import SecondOrderTensor
+
+__all__ = [
+    "DimensionReduction",
+    "DisplacementJumpAperture",
+    "ConstantPermeability",
+    "SecondOrderTensorUtils",
+    "DarcysLaw",
+    "ZeroGravityForce",
+    "GravityForce",
+    "AdvectiveFlux",
+    "FluidDensityFromPressure",
+    "ConstantViscosity",
+    "FluidMobility",
+    "ConstantPorosity",
+]
+
+
+class DimensionReduction:
+    """Apertures and specific volumes (reference
+    ``constitutive_laws.py:131-285``)."""
+
+    def grid_aperture(self, sd) -> np.ndarray:
+        """Cell-wise aperture of a single grid: 1 in the top dimension,
+        residual aperture below."""
+        aperture = np.ones(sd.num_cells)
+        if sd.dim < self.nd:
+            aperture *= self.solid.residual_aperture
+        return aperture
+
+    def aperture(self, subdomains: Sequence) -> ad.Operator:
+        ops = [
+            ad.DenseArray(self.grid_aperture(sd), name=f"aperture_{sd.id}")
+            for sd in subdomains
+        ]
+        if not ops:
+            return ad.DenseArray(np.zeros(0), name="aperture")
+        out = ad.concat(ops, name="aperture")
+        return out
+
+    def specific_volume(self, grids: Sequence) -> ad.Operator:
+        """Aperture^(nd - dim) per grid, concatenated."""
+        if not grids:
+            return ad.DenseArray(np.zeros(0), name="specific_volume")
+        if all(getattr(g, "dim", self.nd) == self.nd for g in grids):
+            return ad.DenseArray(
+                np.ones(sum(g.num_cells for g in grids)), name="specific_volume"
+            )
+        parts = []
+        for g in grids:
+            a = self.aperture([g])
+            parts.append(a ** float(self.nd - g.dim))
+        return ad.concat(parts, name="specific_volume")
+
+
+class DisplacementJumpAperture(DimensionReduction):
+    """Aperture from displacement jumps; arrives with contact mechanics.
+    Falls back to residual aperture until then."""
+
+
+class ConstantPermeability:
+    """Reference ``constitutive_laws.py:572``."""
+
+    def permeability(self, subdomains: Sequence) -> ad.Operator:
+        size = sum(sd.num_cells for sd in subdomains)
+        val = self.solid.permeability
+        return ad.DenseArray(val * np.ones(size), name="permeability")
+
+    def normal_permeability(self, interfaces: Sequence) -> ad.Operator:
+        size = sum(intf.num_cells for intf in interfaces)
+        return ad.DenseArray(
+            self.solid.normal_permeability * np.ones(size),
+            name="normal_permeability",
+        )
+
+
+class SecondOrderTensorUtils:
+    def isotropic_second_order_tensor(self, sd, permeability_value) -> SecondOrderTensor:
+        vals = np.asarray(permeability_value) * np.ones(sd.num_cells)
+        return SecondOrderTensor(vals)
+
+    def operator_to_SecondOrderTensor(
+        self, sd, operator: ad.Operator, fallback_value: float
+    ) -> SecondOrderTensor:
+        try:
+            vals = np.asarray(operator.value(self.equation_system))
+        except Exception:
+            vals = fallback_value * np.ones(sd.num_cells)
+        return SecondOrderTensor(vals)
+
+
+class ZeroGravityForce:
+    """Reference ``constitutive_laws.py:2722`` (zero variant)."""
+
+    def gravity_force(self, grids: Sequence, material: str) -> ad.Operator:
+        num_cells = int(sum(g.num_cells for g in grids))
+        return ad.DenseArray(np.zeros(num_cells * self.nd), name="gravity_force")
+
+
+class GravityForce:
+    """Gravity force density: - rho * g * e_z (or e_y in 2d), cell-wise
+    vector (reference ``constitutive_laws.py:2722``)."""
+
+    def gravity_force(self, grids: Sequence, material: str) -> ad.Operator:
+        from porepy_tpu.utils import common_constants as cc
+
+        g_val = self.units.convert_units(cc.GRAVITY_ACCELERATION, "m*s^-2")
+        if material == "fluid":
+            rho = self.fluid_density(grids)
+        else:
+            rho = ad.Scalar(self.solid.density)
+        e_last = self.e_i(grids, i=self.nd - 1, dim=self.nd)
+        force = ad.Scalar(-g_val) * (e_last @ rho)
+        force.set_name("gravity_force")
+        return force
+
+
+class DarcysLaw:
+    """Darcy flux on the FV matrix contract (reference
+    ``constitutive_laws.py:852``). Mobility is *not* included (it upwinds
+    separately)."""
+
+    def darcy_flux(self, domains: Sequence) -> ad.Operator:
+        from porepy_tpu.grids.boundary_grid import BoundaryGrid
+
+        if len(domains) == 0 or all(isinstance(d, BoundaryGrid) for d in domains):
+            return self.create_boundary_operator(
+                name=self.bc_data_darcy_flux_key, domains=domains
+            )
+        subdomains = list(domains)
+        discr = self.darcy_flux_discretization(subdomains)
+        p = self.pressure(subdomains)
+        boundary_operator = self.combine_boundary_operators_darcy_flux(subdomains)
+        flux = (
+            discr.flux() @ p
+            + discr.bound_flux() @ boundary_operator
+            + discr.vector_source() @ self.vector_source_darcy_flux(subdomains)
+        )
+        interfaces = self.subdomains_to_interfaces(subdomains, [1])
+        if interfaces:
+            from porepy_tpu.numerics.ad.grid_operators import MortarProjections
+
+            projection = MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+            flux = flux + discr.bound_flux() @ (
+                projection.mortar_to_primary_int()
+                @ self.interface_darcy_flux(interfaces)
+            )
+        flux.set_name("darcy_flux")
+        return flux
+
+    def pressure_trace(self, subdomains: Sequence) -> ad.Operator:
+        discr = self.darcy_flux_discretization(subdomains)
+        p = self.pressure(subdomains)
+        boundary_operator = self.combine_boundary_operators_darcy_flux(subdomains)
+        trace = (
+            discr.bound_pressure_cell() @ p
+            + discr.bound_pressure_face() @ boundary_operator
+            + discr.bound_pressure_vector_source()
+            @ self.vector_source_darcy_flux(subdomains)
+        )
+        interfaces = self.subdomains_to_interfaces(subdomains, [1])
+        if interfaces:
+            from porepy_tpu.numerics.ad.grid_operators import MortarProjections
+
+            projection = MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+            trace = trace + discr.bound_pressure_face() @ (
+                projection.mortar_to_primary_int()
+                @ self.interface_darcy_flux(interfaces)
+            )
+        trace.set_name("pressure_trace")
+        return trace
+
+    def combine_boundary_operators_darcy_flux(
+        self, subdomains: Sequence
+    ) -> ad.Operator:
+        return self._combine_boundary_operators(
+            subdomains=subdomains,
+            dirichlet_operator=self.pressure,
+            neumann_operator=self.darcy_flux,
+            robin_operator=self.darcy_flux,
+            bc_type=self.bc_type_darcy_flux,
+            name="bc_values_" + self.bc_data_darcy_flux_key,
+        )
+
+    def vector_source_darcy_flux(self, grids: Sequence) -> ad.Operator:
+        force = self.gravity_force(grids, "fluid")
+        force.set_name("vector_source_darcy_flux")
+        return force
+
+    def darcy_flux_discretization(self, subdomains: Sequence) -> TpfaAd:
+        return TpfaAd(self.darcy_keyword, subdomains, self.mdg)
+
+
+class AdvectiveFlux:
+    """Upwinded advective flux (reference ``constitutive_laws.py:2507``).
+
+    TPU-native: the upstream selection runs inside the jitted residual
+    (``sign(q)`` with stopped gradient), so there is no upwind matrix to
+    rediscretize between iterations.
+    """
+
+    def advective_flux(
+        self,
+        subdomains: Sequence,
+        advected_entity: ad.Operator,
+        discr,  # accepted for API parity; selection happens in-kernel
+        bc_values: ad.Operator,
+        interface_flux: Optional[Callable] = None,
+    ) -> ad.Operator:
+        q = self.darcy_flux(subdomains)
+        geom, pattern = self._upwind_geometry(subdomains)
+
+        def f(q_v, w_v, bc_v):
+            dir_mask, neu_coeff = upwind_boundary_masks(geom, q_v)
+            return (
+                q_v * upwind_apply(geom, q_v, w_v)
+                + dir_mask * q_v * bc_v
+                + neu_coeff * bc_v
+            )
+
+        def pattern_fn(child_patterns, ndof):
+            q_pat, w_pat, bc_pat = child_patterns
+            out = (pattern @ w_pat).astype(bool).tocsr()
+            from porepy_tpu.numerics.ad.compiler import _union
+
+            return _union(_union(out, q_pat), bc_pat)
+
+        fn = ad.Function(f, name="advective_flux", pattern_fn=pattern_fn)
+        flux = fn(q, advected_entity, bc_values)
+
+        interfaces = self.subdomains_to_interfaces(subdomains, [1])
+        if interface_flux is not None and interfaces:
+            from porepy_tpu.numerics.ad.grid_operators import MortarProjections
+
+            projection = MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+            # Influx from lower-dimensional neighbors acts like a Neumann
+            # pickup on the internal boundary faces.
+            neu_sel = self._neumann_pickup_operator(subdomains)
+            flux = flux + neu_sel @ (
+                projection.mortar_to_primary_int() @ interface_flux(interfaces)
+            )
+        return flux
+
+    def _upwind_geometry(self, subdomains: Sequence):
+        cache = getattr(self, "_upwind_geom_cache", None)
+        if cache is None:
+            cache = self._upwind_geom_cache = {}
+        key = tuple(sd.id for sd in subdomains)
+        if key not in cache:
+            bcs = [self.bc_type_fluid_flux(sd) for sd in subdomains]
+            geom = UpwindGeometry(subdomains, bcs)
+            cache[key] = (geom, geom.structural_pattern())
+        return cache[key]
+
+    def _neumann_pickup_operator(self, subdomains: Sequence) -> ad.SparseArray:
+        import scipy.sparse as sps
+
+        geom, _ = self._upwind_geometry(subdomains)
+        coeff = np.asarray(geom.sgn_div) * np.asarray(geom.is_neu)
+        return ad.SparseArray(
+            sps.dia_matrix((coeff, 0), shape=(coeff.size, coeff.size)).tocsr(),
+            name="bound_transport_neu",
+        )
+
+    def interface_advective_flux(
+        self, interfaces: Sequence, advected_entity: ad.Operator, discr
+    ) -> ad.Operator:
+        raise NotImplementedError("Arrives with the mortar layer")
+
+
+class FluidDensityFromPressure:
+    """rho = rho_ref * exp(c_f (p - p_ref)) (reference
+    ``constitutive_laws.py`` FluidDensityFromPressure)."""
+
+    def fluid_compressibility(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(
+            self.fluid.reference_component.compressibility, "fluid_compressibility"
+        )
+
+    def pressure_exponential(self, domains: Sequence) -> ad.Operator:
+        dp = self.perturbation_from_reference("pressure", domains)
+        c = self.fluid_compressibility(domains)
+        return ad.exp(c * dp)
+
+    def fluid_density(self, domains: Sequence) -> ad.Operator:
+        rho_ref = ad.Scalar(
+            self.fluid.reference_component.density, "reference_fluid_density"
+        )
+        rho = rho_ref * self.pressure_exponential(domains)
+        rho.set_name("fluid_density")
+        return rho
+
+
+class ConstantViscosity:
+    def fluid_viscosity(self, domains: Sequence) -> ad.Operator:
+        return ad.Scalar(self.fluid.reference_component.viscosity, "viscosity")
+
+
+class FluidMobility:
+    """Mobility 1/mu and its (in-kernel) upwind discretization holder."""
+
+    mobility_keyword: str
+
+    def mobility(self, domains: Sequence) -> ad.Operator:
+        return ad.Scalar(1.0) / self.fluid_viscosity(domains)
+
+    def total_mass_mobility(self, domains: Sequence) -> ad.Operator:
+        out = self.fluid_density(domains) / self.fluid_viscosity(domains)
+        out.set_name("total_mass_mobility")
+        return out
+
+    def mobility_discretization(self, subdomains: Sequence) -> UpwindAd:
+        return UpwindAd(self.mobility_keyword, subdomains, self.mdg)
+
+    def interface_mobility_discretization(self, interfaces: Sequence):
+        raise NotImplementedError("Arrives with the mortar layer")
+
+
+class ConstantPorosity:
+    def porosity(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(self.solid.porosity, "porosity")

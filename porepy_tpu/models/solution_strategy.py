@@ -1,0 +1,326 @@
+"""Solution strategy: the model lifecycle engine.
+
+Parity counterpart of reference ``models/solution_strategy.py:24``:
+``prepare_simulation`` orchestration, Newton callbacks, assembly and linear
+solve, convergence checks, rediscretization hooks. Linear solve backends:
+``scipy_sparse`` (host direct, default — PyPardiso has no TPU role) and
+``jax_bicgstab``/``jax_gmres`` (device-resident Krylov on the assembled
+Jacobian).
+"""
+
+from __future__ import annotations
+
+import logging
+import time as _time
+from typing import Any, Optional
+
+import numpy as np
+import scipy.sparse as sps
+
+from porepy_tpu.compositional.materials import (
+    FluidComponent,
+    NumericalConstants,
+    ReferenceVariableValues,
+    SolidConstants,
+)
+from porepy_tpu.models.units import Units
+from porepy_tpu.numerics import ad
+from porepy_tpu.numerics.time_step_control import TimeManager
+from porepy_tpu.viz.solver_statistics import SolverStatistics
+
+__all__ = ["SolutionStrategy"]
+
+logger = logging.getLogger(__name__)
+
+
+class _FluidFacade:
+    """Minimal single-component fluid exposing the reference's access points
+    (``fluid.density/viscosity/reference_component``) by delegating to the
+    model's constitutive-law methods. The full multiphase compositional
+    layer replaces this for mixtures."""
+
+    def __init__(self, model, component: FluidComponent) -> None:
+        self._model = model
+        self.reference_component = component
+        self.num_components = 1
+        self.num_phases = 1
+
+    def density(self, domains) -> ad.Operator:
+        return self._model.fluid_density(domains)
+
+    def viscosity(self, domains) -> ad.Operator:
+        return self._model.fluid_viscosity(domains)
+
+    def specific_enthalpy(self, domains) -> ad.Operator:
+        return self._model.fluid_specific_enthalpy(domains)
+
+    def thermal_conductivity(self, domains) -> ad.Operator:
+        return self._model.fluid_thermal_conductivity(domains)
+
+
+class SolutionStrategy:
+    def __init__(self, params: Optional[dict] = None) -> None:
+        if params is None:
+            params = {}
+        default_params = {
+            "folder_name": "visualization",
+            "file_name": "data",
+            "linear_solver": "scipy_sparse",
+        }
+        default_params.update(params)
+        self.params = default_params
+
+        self.convergence_status = False
+        self.units: Units = self.params.get("units", Units())
+        reference_values: ReferenceVariableValues = self.params.get(
+            "reference_variable_values", ReferenceVariableValues()
+        )
+        self.reference_variable_values = reference_values.to_units(self.units)
+
+        if "time_manager" not in self.params:
+            self.time_manager = TimeManager(
+                schedule=[0, 1], dt_init=1, constant_dt=True
+            )
+        else:
+            self.time_manager = self.params["time_manager"]
+
+        self.restart_options = self.params.get("restart_options", {"restart": False})
+        self.ad_time_step = ad.Scalar(self.time_manager.dt)
+        self.results: list[Any] = []
+        self.nonlinear_solver_statistics = SolverStatistics()
+        self._nonlinear_discretizations: list = []
+
+        self.linear_system: tuple[sps.csr_matrix, np.ndarray]
+
+    # -- material setup ------------------------------------------------------
+
+    def set_materials(self) -> None:
+        constants = dict(self.params.get("material_constants", {}))
+        solid = constants.get("solid", SolidConstants())
+        fluid = constants.get("fluid", FluidComponent())
+        numerical = constants.get("numerical", NumericalConstants())
+        self.solid: SolidConstants = solid.to_units(self.units)
+        self.numerical: NumericalConstants = numerical.to_units(self.units)
+        self._fluid_component: FluidComponent = fluid.to_units(self.units)
+
+    def create_fluid(self) -> None:
+        self.fluid = _FluidFacade(self, self._fluid_component)
+
+    def assign_thermodynamic_properties_to_phases(self) -> None:
+        pass
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def prepare_simulation(self) -> None:
+        self.set_materials()
+        self.set_geometry()
+        self.initialize_data_saving()
+        self.set_equation_system_manager()
+        self.create_fluid()
+        self.create_variables()
+        self.assign_thermodynamic_properties_to_phases()
+        self.initial_condition()
+        self.initialize_previous_iterate_and_time_step_values()
+        self.update_time_dependent_ad_arrays()
+        self.reset_state_from_file()
+        self.set_equations()
+        self.update_discretization_parameters()
+        self.discretize()
+        self._initialize_linear_solver()
+        self.set_nonlinear_discretizations()
+        self.save_data_time_step()
+
+    def set_equation_system_manager(self) -> None:
+        if not hasattr(self, "equation_system"):
+            self.equation_system = ad.EquationSystem(self.mdg)
+
+    def initialize_previous_iterate_and_time_step_values(self) -> None:
+        val = self.equation_system.get_variable_values(iterate_index=0)
+        for iterate_index in self.iterate_indices:
+            self.equation_system.set_variable_values(val, iterate_index=iterate_index)
+        for time_step_index in self.time_step_indices:
+            self.equation_system.set_variable_values(
+                val, time_step_index=time_step_index
+            )
+
+    @property
+    def time_step_indices(self) -> np.ndarray:
+        return np.array([0])
+
+    @property
+    def iterate_indices(self) -> np.ndarray:
+        return np.array([0])
+
+    def reset_state_from_file(self) -> None:
+        if self.restart_options.get("restart", False):
+            raise NotImplementedError("Restart arrives with the exporter layer")
+
+    def update_time_dependent_ad_arrays(self) -> None:
+        self.update_all_boundary_conditions()
+
+    def update_derived_quantities(self) -> None:
+        pass
+
+    def set_nonlinear_discretizations(self) -> None:
+        pass
+
+    def add_nonlinear_discretization(self, discretization) -> None:
+        self._nonlinear_discretizations.append(discretization)
+
+    def rediscretize(self) -> None:
+        """Re-run nonlinear discretizations. The in-kernel upwinding needs no
+        rediscretization; only matrix-backed nonlinear discretizations (none
+        by default) trigger a kernel rebuild."""
+        if self._nonlinear_discretizations:
+            self.update_discretization_parameters()
+            self.discretize()
+            self.equation_system.clear_compiled()
+
+    # -- discretization ------------------------------------------------------
+
+    def update_discretization_parameters(self) -> None:
+        pass
+
+    def discretize(self) -> None:
+        tic = _time.time()
+        for discr, sd, data in getattr(self, "_discretizations", []):
+            discr.discretize(sd, data)
+        logger.info(f"Discretized in {_time.time() - tic:.2e} s")
+
+    # -- Newton callbacks ----------------------------------------------------
+
+    def before_nonlinear_loop(self) -> None:
+        self.ad_time_step.set_value(self.time_manager.dt)
+        self.nonlinear_solver_statistics.reset()
+        self.update_time_dependent_ad_arrays()
+        self.update_derived_quantities()
+
+    def before_nonlinear_iteration(self) -> None:
+        self.rediscretize()
+
+    def after_nonlinear_iteration(self, nonlinear_increment: np.ndarray) -> None:
+        self.equation_system.shift_iterate_values(
+            max_index=len(self.iterate_indices)
+        )
+        self.equation_system.set_variable_values(
+            values=nonlinear_increment, additive=True, iterate_index=0
+        )
+        self.update_derived_quantities()
+        self.nonlinear_solver_statistics.num_iteration += 1
+
+    def after_nonlinear_convergence(self) -> None:
+        solution = self.equation_system.get_variable_values(iterate_index=0)
+        if not self.time_manager.is_constant:
+            self.time_manager.compute_time_step(
+                iterations=self.nonlinear_solver_statistics.num_iteration
+            )
+        self.update_solution(solution)
+        self.convergence_status = True
+        self.save_data_time_step()
+
+    def update_solution(self, solution: np.ndarray) -> None:
+        self.equation_system.shift_time_step_values(
+            max_index=len(self.time_step_indices)
+        )
+        self.equation_system.set_variable_values(
+            values=solution, time_step_index=0, additive=False
+        )
+
+    def after_nonlinear_failure(self) -> None:
+        self.save_data_time_step()
+        if not self._is_nonlinear_problem():
+            raise ValueError("Failed to solve the linear system")
+        if self.time_manager.is_constant:
+            raise ValueError("Nonlinear iterations did not converge")
+        self.time_manager.compute_time_step(recompute_solution=True)
+        prev = self.equation_system.get_variable_values(time_step_index=0)
+        self.equation_system.set_variable_values(prev, iterate_index=0)
+
+    def after_simulation(self) -> None:
+        pass
+
+    # -- convergence ---------------------------------------------------------
+
+    def check_convergence(
+        self,
+        nonlinear_increment: np.ndarray,
+        residual: Optional[np.ndarray],
+        reference_residual: np.ndarray,
+        nl_params: dict[str, Any],
+    ) -> tuple[bool, bool]:
+        if not self._is_nonlinear_problem():
+            diverged = bool(np.any(np.isnan(nonlinear_increment)))
+            self.nonlinear_solver_statistics.log_error(
+                np.nan if diverged else 0.0, np.nan if diverged else 0.0
+            )
+            return not diverged, diverged
+
+        if np.any(np.isnan(nonlinear_increment)):
+            return False, True
+        increment_norm = self.compute_nonlinear_increment_norm(nonlinear_increment)
+        residual_norm = self.compute_residual_norm(residual, reference_residual)
+        diverged = (
+            nl_params["nl_divergence_tol"] is not np.inf
+            and residual_norm > nl_params["nl_divergence_tol"]
+        )
+        converged_inc = (
+            nl_params["nl_convergence_tol"] is np.inf
+            or increment_norm < nl_params["nl_convergence_tol"]
+        )
+        converged_res = (
+            nl_params["nl_convergence_tol_res"] is np.inf
+            or residual_norm < nl_params["nl_convergence_tol_res"]
+        )
+        converged = converged_inc and converged_res
+        self.nonlinear_solver_statistics.log_error(increment_norm, residual_norm)
+        return converged, diverged
+
+    def compute_residual_norm(
+        self, residual: Optional[np.ndarray], reference_residual: np.ndarray
+    ) -> float:
+        if residual is None:
+            return np.nan
+        return float(np.linalg.norm(residual) / np.sqrt(residual.size))
+
+    def compute_nonlinear_increment_norm(
+        self, nonlinear_increment: np.ndarray
+    ) -> float:
+        return float(
+            np.linalg.norm(nonlinear_increment) / np.sqrt(nonlinear_increment.size)
+        )
+
+    def _is_nonlinear_problem(self) -> bool:
+        return True
+
+    def _is_time_dependent(self) -> bool:
+        return True
+
+    # -- linear system -------------------------------------------------------
+
+    def assemble_linear_system(self) -> None:
+        tic = _time.time()
+        self.linear_system = self.equation_system.assemble()
+        logger.info(f"Assembled linear system in {_time.time() - tic:.2e} s")
+
+    def solve_linear_system(self) -> np.ndarray:
+        A, b = self.linear_system
+        if not np.any(b):
+            return np.zeros_like(b)
+        tic = _time.time()
+        solver = self.linear_solver
+        if solver == "scipy_sparse":
+            x = sps.linalg.spsolve(A.tocsr(), b)
+        elif solver in ("jax_bicgstab", "jax_gmres"):
+            from porepy_tpu.numerics.linalg.krylov import solve_sparse
+
+            x = solve_sparse(A, b, method=solver.split("_")[1])
+        else:
+            raise ValueError(f"Unknown linear solver {solver!r}")
+        logger.info(f"Solved linear system in {_time.time() - tic:.2e} s")
+        return np.atleast_1d(x)
+
+    def _initialize_linear_solver(self) -> None:
+        solver = self.params["linear_solver"]
+        if solver not in ("scipy_sparse", "jax_bicgstab", "jax_gmres"):
+            raise ValueError(f"Unknown linear solver {solver!r}")
+        self.linear_solver: str = solver

@@ -107,6 +107,7 @@ def build_function(
     ``env`` are constant arrays described by the returned spec.
     """
     env_spec = _EnvSpec()
+    const_mats: dict[int, jsparse.BCOO] = {}
 
     def fn(x, *env):
         cache: dict[int, Any] = {}
@@ -115,25 +116,27 @@ def build_function(
             key = id(node)
             if key in cache:
                 return cache[key]
-            val = _trace_node(node, rec, x, env, env_spec, eq_sys)
+            val = _trace_node(node, rec, x, env, env_spec, eq_sys, const_mats)
             cache[key] = val
             return val
 
         return rec(op)
 
-    # Pre-populate env slots with one non-traced pass so fn's signature is
-    # stable before the first call.
-    _collect_env(op, env_spec, eq_sys, set())
+    # Pre-populate env slots and convert constant sparse matrices to device
+    # BCOO OUTSIDE any jit trace (conversion inside a trace leaks tracers).
+    _collect_env(op, env_spec, eq_sys, set(), const_mats)
     return fn, env_spec
 
 
-def _collect_env(op: Operator, env_spec: _EnvSpec, eq_sys, seen: set) -> None:
+def _collect_env(
+    op: Operator, env_spec: _EnvSpec, eq_sys, seen: set, const_mats: dict
+) -> None:
     if id(op) in seen:
         return
     seen.add(id(op))
     if isinstance(op, MixedDimensionalVariable):
         for v in op.sub_vars:
-            _collect_env(v, env_spec, eq_sys, seen)
+            _collect_env(v, env_spec, eq_sys, seen, const_mats)
         return
     if isinstance(op, Variable):
         if not op.is_current_iterate:
@@ -142,8 +145,17 @@ def _collect_env(op: Operator, env_spec: _EnvSpec, eq_sys, seen: set) -> None:
     if isinstance(op, TimeDependentDenseArray):
         env_spec.slot(("tda", op.name, op.domains, op.prev_time), _fetch_tda(op))
         return
+    if isinstance(op, Scalar):
+        env_spec.slot(("scalar", id(op)), lambda _es, _op=op: np.float64(_op.value))
+        return
+    if isinstance(op, SparseArray):
+        const_mats[id(op)] = _bcoo(op.mat)
+        return
+    if type(op).__name__ == "MergedOperator" and hasattr(op, "fetch"):
+        const_mats[id(op)] = jsparse.BCOO.from_scipy_sparse(op.fetch())
+        return
     for c in op.children:
-        _collect_env(c, env_spec, eq_sys, seen)
+        _collect_env(c, env_spec, eq_sys, seen, const_mats)
 
 
 def _bcoo(mat: sps.spmatrix) -> jsparse.BCOO:
@@ -158,13 +170,22 @@ def _bcoo(mat: sps.spmatrix) -> jsparse.BCOO:
     return cached
 
 
-def _trace_node(node, rec, x, env, env_spec, eq_sys):
+def _trace_node(node, rec, x, env, env_spec, eq_sys, const_mats):
     if isinstance(node, Scalar):
-        return node.value
+        slot = env_spec.slot(
+            ("scalar", id(node)), lambda _es, _op=node: np.float64(_op.value)
+        )
+        return env[slot]
     if isinstance(node, DenseArray):
         return jnp.asarray(node.values)
     if isinstance(node, SparseArray):
-        return _bcoo(node.mat)
+        if id(node) not in const_mats:
+            const_mats[id(node)] = _bcoo(node.mat)
+        return const_mats[id(node)]
+    if type(node).__name__ == "MergedOperator" and hasattr(node, "fetch"):
+        if id(node) not in const_mats:
+            const_mats[id(node)] = jsparse.BCOO.from_scipy_sparse(node.fetch())
+        return const_mats[id(node)]
     if isinstance(node, MixedDimensionalVariable):
         if not node.sub_vars:
             return jnp.zeros(0)
@@ -200,6 +221,8 @@ def _trace_node(node, rec, x, env, env_spec, eq_sys):
         if isinstance(left, jsparse.BCOO):
             return left @ right
         return jnp.matmul(left, right)
+    if op is Operations.concat:
+        return jnp.concatenate([jnp.atleast_1d(v) for v in c]) if c else jnp.zeros(0)
     if op is Operations.evaluate:
         assert node.func is not None, "evaluate node without function"
         return node.func(*c)
@@ -276,6 +299,8 @@ def _pattern_node(node, rec, ndof, eq_sys) -> sps.csr_matrix:
         return _zero_pattern(node.values.shape[-1] if node.values.ndim else 1, ndof)
     if isinstance(node, SparseArray):
         return _zero_pattern(node.mat.shape[0], ndof)
+    if type(node).__name__ == "MergedOperator" and hasattr(node, "fetch"):
+        return _zero_pattern(node.fetch().shape[0], ndof)
     if isinstance(node, MixedDimensionalVariable):
         if not node.sub_vars:
             return _zero_pattern(0, ndof)
@@ -302,6 +327,8 @@ def _pattern_node(node, rec, ndof, eq_sys) -> sps.csr_matrix:
         left = node.children[0]
         if isinstance(left, SparseArray):
             return (abs(left.mat).astype(bool) @ c[1]).astype(bool).tocsr()
+        if type(left).__name__ == "MergedOperator" and hasattr(left, "fetch"):
+            return (abs(left.fetch()).astype(bool) @ c[1]).astype(bool).tocsr()
         if isinstance(left, DenseArray) and left.values.ndim == 2:
             return (
                 sps.csr_matrix(left.values.astype(bool)) @ c[1]
@@ -319,6 +346,10 @@ def _pattern_node(node, rec, ndof, eq_sys) -> sps.csr_matrix:
         raise NotImplementedError(
             "matmul with non-constant left operand has no structural pattern"
         )
+    if op is Operations.concat:
+        if not c:
+            return _zero_pattern(0, ndof)
+        return sps.vstack(c).tocsr()
     if op is Operations.evaluate:
         pattern_fn = getattr(node, "func_pattern", None)
         if pattern_fn is not None:

@@ -1,0 +1,95 @@
+"""AD wrappers of stored discretization matrices.
+
+Parity counterpart of reference ``numerics/ad/discretizations.py`` +
+``ad_utils.MergedOperator``: a :class:`MergedOperator` leaf represents the
+block-diagonal of one named discretization matrix over a list of
+subdomains, fetched from the grid data dicts *at compile time* (i.e. after
+``discretize()`` has run, lazily at the first assembly). After
+rediscretization, call ``EquationSystem.clear_compiled()`` so kernels
+rebuild with the fresh matrices.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import scipy.sparse as sps
+
+from porepy_tpu.numerics.ad.operators import Operator
+from porepy_tpu.utils import common_constants as cc
+
+__all__ = ["MergedOperator", "TpfaAd", "MpfaAd", "UpwindAd"]
+
+
+class MergedOperator(Operator):
+    """Leaf resolving to ``block_diag(data[kw][key] for sd in grids)``."""
+
+    def __init__(self, mdg, keyword: str, matrix_key: str, grids: Sequence) -> None:
+        super().__init__(name=f"{keyword}.{matrix_key}", domains=grids)
+        self.mdg = mdg
+        self.keyword = keyword
+        self.matrix_key = matrix_key
+
+    def fetch(self) -> sps.csr_matrix:
+        mats = []
+        for g in self.domains:
+            data = self.mdg.subdomain_data(g)
+            mats.append(
+                data[cc.DISCRETIZATION_MATRICES][self.keyword][self.matrix_key]
+            )
+        if not mats:
+            return sps.csr_matrix((0, 0))
+        if len(mats) == 1:
+            return mats[0].tocsr()
+        return sps.block_diag(mats, format="csr")
+
+
+class _DiscretizationAd:
+    """Base: expose each stored matrix as a MergedOperator factory."""
+
+    matrix_keys: tuple[str, ...] = ()
+
+    def __init__(self, keyword: str, subdomains: Sequence, mdg) -> None:
+        self.keyword = keyword
+        self.subdomains = list(subdomains)
+        self.mdg = mdg
+
+    def _op(self, key: str) -> MergedOperator:
+        return MergedOperator(self.mdg, self.keyword, key, self.subdomains)
+
+
+class TpfaAd(_DiscretizationAd):
+    """Reference ``ad/discretizations.py:87`` equivalent."""
+
+    def flux(self) -> MergedOperator:
+        return self._op("flux")
+
+    def bound_flux(self) -> MergedOperator:
+        return self._op("bound_flux")
+
+    def bound_pressure_cell(self) -> MergedOperator:
+        return self._op("bound_pressure_cell")
+
+    def bound_pressure_face(self) -> MergedOperator:
+        return self._op("bound_pressure_face")
+
+    def vector_source(self) -> MergedOperator:
+        return self._op("vector_source")
+
+    def bound_pressure_vector_source(self) -> MergedOperator:
+        return self._op("bound_pressure_vector_source")
+
+
+class MpfaAd(TpfaAd):
+    """Same matrix contract as TPFA; backed by the MPFA discretization."""
+
+
+class UpwindAd(_DiscretizationAd):
+    def upwind(self) -> MergedOperator:
+        return self._op("transport")
+
+    def bound_transport_dir(self) -> MergedOperator:
+        return self._op("rhs_dir")
+
+    def bound_transport_neu(self) -> MergedOperator:
+        return self._op("rhs_neu")

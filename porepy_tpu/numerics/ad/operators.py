@@ -48,6 +48,7 @@ class Operations(enum.Enum):
     matmul = "matmul"
     neg = "neg"
     evaluate = "evaluate"
+    concat = "concat"
 
 
 class AdArray:
@@ -229,8 +230,15 @@ def _retag(
 
 
 class Scalar(Operator):
+    """Scalar leaf. The value is fetched per evaluation (not baked into
+    compiled kernels), so :meth:`set_value` takes effect without
+    recompilation — used by the time-step scalar ``ad_time_step``."""
+
     def __init__(self, value: float, name: Optional[str] = None) -> None:
         super().__init__(name=name)
+        self.value = float(value)
+
+    def set_value(self, value: float) -> None:
         self.value = float(value)
 
 
@@ -366,6 +374,17 @@ class MixedDimensionalVariable(Variable):
 
 
 # -- convenience --------------------------------------------------------------
+
+
+def concat(operators: Sequence[Operator], name: Optional[str] = None) -> Operator:
+    """Concatenation of operator values along their single axis."""
+    ops = []
+    for o in operators:
+        w = _wrap(o)
+        if w is NotImplemented:
+            raise TypeError(f"Cannot concatenate {o!r}")
+        ops.append(w)
+    return Operator(name=name or "concat", operation=Operations.concat, children=ops)
 
 
 def sum_operator_list(

@@ -14,7 +14,20 @@ import numpy as np
 
 from porepy_tpu.utils import common_constants as cc
 
-__all__ = ["set_solution_values", "get_solution_values"]
+__all__ = ["set_solution_values", "get_solution_values", "shift_solution_values"]
+
+
+def shift_solution_values(
+    name: str, data: dict, location: str, max_index: int = 1
+) -> None:
+    """Shift the ring buffer at ``data[location][name]`` backwards: values at
+    index ``i`` are copied to ``i+1`` for ``i < max_index``."""
+    ring = data.get(location, {}).get(name)
+    if ring is None:
+        return
+    for i in range(max_index, 0, -1):
+        if (i - 1) in ring:
+            ring[i] = np.copy(ring[i - 1])
 
 
 def set_solution_values(

@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 # Needed by the reference shim (tools.refshim) for pure-Python numba paths.
 os.environ.setdefault("NUMBA_DISABLE_JIT", "1")
+# Persistent compilation cache: repeated test runs skip XLA recompiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

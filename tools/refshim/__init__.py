@@ -59,12 +59,55 @@ if "numba" not in sys.modules:
     except ImportError:
         _install_fake_numba()
 
+def _install_fake_shapely():
+    """Minimal shapely: enough for the reference's no-fracture meshing path,
+    where geometry objects are constructed but intersections never queried
+    (the fracture-edge loop is empty)."""
+    shapely = types.ModuleType("shapely")
+    geometry = types.ModuleType("shapely.geometry")
+
+    class _Geom:
+        def __init__(self, *args, **kwargs):
+            self._args = args
+
+        def intersection(self, other):
+            raise NotImplementedError(
+                "fake shapely: intersections unavailable (install shapely)"
+            )
+
+        def touches(self, other):
+            raise NotImplementedError("fake shapely")
+
+        @property
+        def coords(self):
+            return []
+
+        @property
+        def length(self):
+            return 0.0
+
+    geometry.Polygon = _Geom
+    geometry.LineString = _Geom
+    geometry.MultiLineString = _Geom
+    geometry.Point = _Geom
+    shapely.geometry = geometry
+    shapely.__version__ = "2.0.0"
+    sys.modules["shapely"] = shapely
+    sys.modules["shapely.geometry"] = geometry
+
+
 for _name in ("meshio", "gmsh"):
     if _name not in sys.modules:
         try:
             __import__(_name)
         except ImportError:
             _install_fake(_name)
+
+if "shapely" not in sys.modules:
+    try:
+        import shapely  # noqa: F401
+    except ImportError:
+        _install_fake_shapely()
 
 _REF = "/root/reference/src"
 if _REF not in sys.path:
