@@ -1,0 +1,1 @@
+from porepy_tpu.fracs import meshing  # noqa: F401

@@ -13,32 +13,82 @@ __all__ = [
     "compute_normal",
     "project_plane_matrix",
     "project_line_matrix",
+    "project_points_to_line",
     "rotation_matrix_from_vectors",
 ]
+
+
+def axis_angle_rotation(angle: float, vect: np.ndarray) -> np.ndarray:
+    """Rodrigues rotation about ``vect`` by ``angle``; the identity when
+    ``vect`` is (close to) zero — including the anti-parallel case, matching
+    the reference (``map_geometry.py:328,347``). That quirk is load-bearing
+    for node orderings of embedded grids."""
+    if np.allclose(vect, np.zeros(3)):
+        return np.identity(3)
+    vect = vect / np.linalg.norm(vect)
+    W = np.array(
+        [
+            [0.0, -vect[2], vect[1]],
+            [vect[2], 0.0, -vect[0]],
+            [-vect[1], vect[0], 0.0],
+        ]
+    )
+    return np.identity(3) + np.sin(angle) * W + (1.0 - np.cos(angle)) * (W @ W)
+
+
+def project_points_to_line(
+    p: np.ndarray, tol: float = 1e-4
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Project collinear points to 1d coordinates along their line.
+
+    Returns ``(sorted_coordinates, rotation_matrix, active_dimension_mask,
+    sort_index)`` — behavior-parity with reference
+    ``geometry/map_geometry.py:140-213`` including its rotation and
+    active-dimension conventions.
+    """
+    p = np.asarray(p, dtype=float)
+    center = p.mean(axis=1, keepdims=True)
+    p = p - center
+    if p.shape[0] == 2:
+        p = np.vstack([p, np.zeros(p.shape[1])])
+
+    # The rotation target is the z-axis (the reference's
+    # ``project_line_matrix`` default) — this, with the furthest-point
+    # tangent sign, fixes the node ordering of embedded 1d grids.
+    tangent = compute_tangent(p)
+    reference = np.array([0.0, 0.0, 1.0])
+    angle = np.arccos(np.clip(tangent @ reference, -1.0, 1.0))
+    vect = np.cross(tangent, reference)
+    rot = axis_angle_rotation(angle, vect)
+
+    p1 = rot @ p
+    sum_coord = np.sum(np.abs(p1), axis=1)
+    sum_coord /= np.max(sum_coord)
+    active_dimension = ~np.isclose(sum_coord, 0, atol=tol, rtol=0)
+    if active_dimension.sum() != 1:
+        raise ValueError("Points are not aligned on a line")
+    coord_1d = p1[active_dimension]
+    sort_ind = np.argsort(coord_1d)[0]
+    return coord_1d[0, sort_ind], rot, active_dimension, sort_ind
 
 
 def compute_tangent(pts: np.ndarray, check: bool = True) -> np.ndarray:
     """Unit tangent of a collinear point cloud ``(3, n)``.
 
-    The tangent is the mean of the (nonzero) difference vectors from the
-    point-cloud mean, normalized.
+    Deterministic sign convention matching the reference
+    (``geometry/map_geometry.py:573``): the difference vector from the mean
+    to the furthest point (first on ties), normalized. The sign is
+    load-bearing for 1d-grid node orderings.
     """
     pts = np.asarray(pts, dtype=float)
+    if pts.shape[0] == 2:
+        pts = np.vstack([pts, np.zeros(pts.shape[1])])
     mean = pts.mean(axis=1, keepdims=True)
     diff = pts - mean
-    norms = np.linalg.norm(diff, axis=0)
-    good = norms > 1e-12 * max(1.0, norms.max())
-    if not np.any(good):
-        raise ValueError("Cannot compute tangent of coincident points")
-    # Orient all difference vectors consistently before averaging.
-    d = diff[:, good]
-    ref = d[:, 0]
-    sgn = np.sign(ref @ d)
-    sgn[sgn == 0] = 1.0
-    tangent = (d * sgn).mean(axis=1)
+    tangent = diff[:, np.argmax(np.sum(diff**2, axis=0))]
     nrm = np.linalg.norm(tangent)
     if check and nrm < 1e-12:
-        raise ValueError("Degenerate tangent")
+        raise ValueError("Cannot compute tangent of coincident points")
     return tangent / nrm
 
 

@@ -19,7 +19,9 @@ class PointGrid(Grid):
         pt = np.asarray(pt, dtype=float).reshape(-1, 1)
         if pt.shape[0] < 3:
             pt = np.vstack([pt, np.zeros((3 - pt.shape[0], 1))])
-        face_nodes = sps.csc_matrix((1, 0), dtype=bool)
+        # Zero nodes (the point is the cell center, not a mesh node) —
+        # parity with reference ``grids/point_grid.py:39-45``.
+        face_nodes = sps.csc_matrix((0, 0), dtype=bool)
         cell_faces = sps.csc_matrix((0, 1))
-        super().__init__(0, pt, face_nodes, cell_faces, name)
         self.cell_centers = pt.copy()
+        super().__init__(0, np.zeros((3, 0)), face_nodes, cell_faces, name)
