@@ -64,9 +64,26 @@ class DimensionReduction:
         return out
 
     def specific_volume(self, grids: Sequence) -> ad.Operator:
-        """Aperture^(nd - dim) per grid, concatenated."""
+        """Aperture^(nd - dim) per subdomain; for interfaces, inherited
+        from the higher-dimensional neighbor via the primary projection
+        (reference ``constitutive_laws.py:203-250``)."""
+        from porepy_tpu.grids.mortar_grid import MortarGrid
+
         if not grids:
             return ad.DenseArray(np.zeros(0), name="specific_volume")
+        if isinstance(grids[0], MortarGrid):
+            interfaces = list(grids)
+            neighbors = self.interfaces_to_subdomains(interfaces)
+            projection = ad.MortarProjections(self.mdg, neighbors, interfaces, dim=1)
+            codim = interfaces[0].codim
+            if codim == 1:
+                trace = ad.Trace(neighbors)
+                sv_neighbors = trace @ self.specific_volume(neighbors)
+            else:
+                sv_neighbors = self.specific_volume(neighbors)
+            out = projection.primary_to_mortar_avg() @ sv_neighbors
+            out.set_name("specific_volume")
+            return out
         if all(getattr(g, "dim", self.nd) == self.nd for g in grids):
             return ad.DenseArray(
                 np.ones(sum(g.num_cells for g in grids)), name="specific_volume"
@@ -84,34 +101,61 @@ class DisplacementJumpAperture(DimensionReduction):
 
 
 class ConstantPermeability:
-    """Reference ``constitutive_laws.py:572``."""
+    """Reference ``constitutive_laws.py:572``: homogeneous permeability as a
+    9-component-per-cell tensor operator."""
 
     def permeability(self, subdomains: Sequence) -> ad.Operator:
         size = sum(sd.num_cells for sd in subdomains)
-        val = self.solid.permeability
-        return ad.DenseArray(val * np.ones(size), name="permeability")
+        permeability = ad.DenseArray(
+            self.solid.permeability * np.ones(size), name="permeability"
+        )
+        return self.isotropic_second_order_tensor(subdomains, permeability)
 
     def normal_permeability(self, interfaces: Sequence) -> ad.Operator:
-        size = sum(intf.num_cells for intf in interfaces)
-        return ad.DenseArray(
-            self.solid.normal_permeability * np.ones(size),
-            name="normal_permeability",
-        )
+        return ad.Scalar(self.solid.normal_permeability, "normal_permeability")
 
 
 class SecondOrderTensorUtils:
-    def isotropic_second_order_tensor(self, sd, permeability_value) -> SecondOrderTensor:
-        vals = np.asarray(permeability_value) * np.ones(sd.num_cells)
-        return SecondOrderTensor(vals)
+    """Reference ``constitutive_laws.py:492-570``."""
+
+    def isotropic_second_order_tensor(
+        self, subdomains: Sequence, permeability: ad.Operator
+    ) -> ad.Operator:
+        """Expand a cell-wise scalar to the diagonal of a 9-entries-per-cell
+        tensor representation."""
+        basis = self.basis(subdomains, dim=9)
+        out = ad.sum_operator_list(
+            [basis[i] @ permeability for i in (0, 4, 8)]
+        )
+        out.set_name("isotropic_second_order_tensor")
+        return out
 
     def operator_to_SecondOrderTensor(
-        self, sd, operator: ad.Operator, fallback_value: float
+        self, subdomains: Sequence, operator: ad.Operator, fallback_value: float
     ) -> SecondOrderTensor:
+        """Evaluate a (9 x num_cells) tensor operator and scale by the
+        specific volume — the aperture scaling of effective fracture
+        permeability (reference ``constitutive_laws.py:518-570``)."""
+        if not isinstance(subdomains, (list, tuple)):
+            subdomains = [subdomains]
+        volume = np.asarray(
+            self.equation_system.evaluate(self.specific_volume(list(subdomains)))
+        )
+        num_cells = sum(sd.num_cells for sd in subdomains)
         try:
-            vals = np.asarray(operator.value(self.equation_system))
+            tensor = np.asarray(self.equation_system.evaluate(operator))
         except Exception:
-            vals = fallback_value * np.ones(sd.num_cells)
-        return SecondOrderTensor(vals)
+            return SecondOrderTensor(fallback_value * np.ones(num_cells) * volume)
+        val = tensor.reshape(9, -1, order="F")
+        components = [val[i] for i in (0, 4, 8)]
+        for i, j in zip((1, 2, 5), (3, 6, 7)):
+            if not np.allclose(val[i], val[j]):
+                raise ValueError("Tensor operator is not symmetric")
+            components.append(val[i])
+        kxx, kyy, kzz, kxy, kxz, kyz = [c * volume for c in components]
+        return SecondOrderTensor(
+            kxx, kyy=kyy, kzz=kzz, kxy=kxy, kxz=kxz, kyz=kyz
+        )
 
 
 class ZeroGravityForce:
@@ -212,6 +256,41 @@ class DarcysLaw:
         force.set_name("vector_source_darcy_flux")
         return force
 
+    def interface_vector_source_darcy_flux(self, interfaces: Sequence) -> ad.Operator:
+        """Gravity along the interface normal; zero with ZeroGravityForce
+        (reference ``constitutive_laws.py`` DarcysLaw)."""
+        num = int(sum(intf.num_cells for intf in interfaces))
+        return ad.DenseArray(
+            np.zeros(num), name="interface_vector_source_darcy_flux"
+        )
+
+    def interface_darcy_flux_equation(self, interfaces: Sequence) -> ad.Operator:
+        """Two-sided interface Darcy law: flux variable minus the
+        normal-permeability-scaled pressure jump across the interface
+        (reference ``constitutive_laws.py:1032``)."""
+        subdomains = self.interfaces_to_subdomains(interfaces)
+        projection = ad.MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+        normal_gradient = ad.Scalar(2.0) * (
+            projection.secondary_to_mortar_avg()
+            @ self.aperture(subdomains) ** (-1.0)
+        )
+        normal_gradient.set_name("normal_gradient")
+        pressure_l = projection.secondary_to_mortar_avg() @ self.pressure(subdomains)
+        pressure_h = projection.primary_to_mortar_avg() @ self.pressure_trace(
+            subdomains
+        )
+        eq = self.interface_darcy_flux(interfaces) - self.volume_integral(
+            self.normal_permeability(interfaces)
+            * (
+                normal_gradient * (pressure_h - pressure_l)
+                + self.interface_vector_source_darcy_flux(interfaces)
+            ),
+            interfaces,
+            1,
+        )
+        eq.set_name("interface_darcy_flux_equation")
+        return eq
+
     def darcy_flux_discretization(self, subdomains: Sequence) -> TpfaAd:
         return TpfaAd(self.darcy_keyword, subdomains, self.mdg)
 
@@ -290,7 +369,37 @@ class AdvectiveFlux:
     def interface_advective_flux(
         self, interfaces: Sequence, advected_entity: ad.Operator, discr
     ) -> ad.Operator:
-        raise NotImplementedError("Arrives with the mortar layer")
+        """Upwinded advective flux over interfaces: the interface Darcy flux
+        times the upstream (primary trace / secondary) advected value
+        (reference ``constitutive_laws.py:2571``). Upstream selection runs
+        inside the jitted residual, like the subdomain upwinding."""
+        import jax
+        import jax.numpy as jnp
+
+        subdomains = self.interfaces_to_subdomains(interfaces)
+        projection = ad.MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+        trace = ad.Trace(subdomains)
+
+        w_primary = (
+            projection.primary_to_mortar_avg() @ trace @ advected_entity
+        )
+        w_secondary = projection.secondary_to_mortar_avg() @ advected_entity
+        lam = self.interface_darcy_flux(interfaces)
+
+        def f(lam_v, wp, ws):
+            take_primary = jax.lax.stop_gradient(lam_v) >= 0
+            return lam_v * jnp.where(take_primary, wp, ws)
+
+        def pattern_fn(child_patterns, ndof):
+            from porepy_tpu.numerics.ad.compiler import _union
+
+            out = child_patterns[0]
+            for other in child_patterns[1:]:
+                out = _union(out, other)
+            return out
+
+        fn = ad.Function(f, name="interface_upwind", pattern_fn=pattern_fn)
+        return fn(lam, w_primary, w_secondary)
 
 
 class FluidDensityFromPressure:
@@ -337,8 +446,9 @@ class FluidMobility:
     def mobility_discretization(self, subdomains: Sequence) -> UpwindAd:
         return UpwindAd(self.mobility_keyword, subdomains, self.mdg)
 
-    def interface_mobility_discretization(self, interfaces: Sequence):
-        raise NotImplementedError("Arrives with the mortar layer")
+    def interface_mobility_discretization(self, interfaces: Sequence) -> UpwindAd:
+        """Placeholder for API parity; interface upwinding runs in-kernel."""
+        return UpwindAd(self.mobility_keyword, [], self.mdg)
 
 
 class ConstantPorosity:

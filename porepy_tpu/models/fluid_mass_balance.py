@@ -112,12 +112,19 @@ class FluidMassBalanceEquations(BalanceEquation):
         flux.set_name("interface_fluid_flux")
         return flux
 
-    def interface_darcy_flux_equation(self, interfaces: Sequence) -> ad.Operator:
-        raise NotImplementedError("Arrives with the mortar layer")
-
     def fluid_source(self, subdomains: Sequence) -> ad.Operator:
+        """External sources plus influx from higher-dimensional neighbors
+        through interfaces (reference ``fluid_mass_balance.py:343``)."""
         num_cells = sum(sd.num_cells for sd in subdomains)
         source = ad.DenseArray(np.zeros(num_cells), name="fluid_source")
+        interfaces = self.subdomains_to_interfaces(subdomains, [1])
+        if interfaces:
+            projection = ad.MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+            intf_source = projection.mortar_to_secondary_int() @ (
+                self.interface_fluid_flux(interfaces)
+            )
+            intf_source.set_name("interface_fluid_flux_source")
+            source = source + intf_source
         return source
 
 

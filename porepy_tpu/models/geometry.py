@@ -71,10 +71,6 @@ class ModelGeometry:
         return default_args
 
     def create_mdg(self) -> MixedDimensionalGrid:
-        if self.fractures:
-            raise NotImplementedError(
-                "Fractured meshing arrives with the fracs layer"
-            )
         gt = self.grid_type()
         if gt != "cartesian":
             raise NotImplementedError(f"Grid type {gt!r} not yet supported")
@@ -83,11 +79,23 @@ class ModelGeometry:
         lengths = self.domain.side_lengths()
         cs = args["cell_size"]
         n = [max(1, int(round(length / cs))) for length in lengths]
+        origin = np.array([box["xmin"], box["ymin"], box.get("zmin", 0.0)])
+        if self.fractures:
+            from porepy_tpu.fracs import meshing
+
+            frac_arrays = [
+                np.asarray(getattr(f, "pts", f), dtype=float)
+                - origin[: len(lengths), None]
+                for f in self.fractures
+            ]
+            mdg = meshing.cart_grid(
+                frac_arrays, np.asarray(n), physdims=np.asarray(lengths)
+            )
+            for sd in mdg.subdomains():
+                sd.nodes += origin[:, None]
+            mdg.compute_geometry()
+            return mdg
         g = CartGrid(n, physdims=lengths)
-        # Shift to the domain origin.
-        origin = np.array(
-            [box["xmin"], box["ymin"], box.get("zmin", 0.0)]
-        )
         g.nodes += origin[:, None]
         mdg = MixedDimensionalGrid()
         mdg.add_subdomains(g)

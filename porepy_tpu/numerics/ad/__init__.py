@@ -21,9 +21,17 @@ from porepy_tpu.numerics.ad.time_derivatives import dt, time_increment  # noqa: 
 from porepy_tpu.numerics.ad.grid_operators import (  # noqa: F401
     BoundaryProjection,
     Divergence,
+    MortarProjections,
     SubdomainProjections,
     Trace,
 )
+from porepy_tpu.numerics.ad.discretizations import (  # noqa: F401
+    MergedOperator,
+    MpfaAd,
+    TpfaAd,
+    UpwindAd,
+)
+from porepy_tpu.numerics.ad.operators import concat  # noqa: F401
 from porepy_tpu.numerics.ad.functions import (  # noqa: F401
     abs,
     arccos,

@@ -128,12 +128,36 @@ def build_function(
     return fn, env_spec
 
 
+def constant_sparse_matrix(op: Operator):
+    """The scipy matrix of a variable-free matrix subtree (constant folding
+    for chains like ``projection @ trace``), or None if not constant."""
+    if isinstance(op, SparseArray):
+        return op.mat
+    if type(op).__name__ == "MergedOperator" and hasattr(op, "fetch"):
+        return op.fetch()
+    if op.operation is Operations.matmul and len(op.children) == 2:
+        a = constant_sparse_matrix(op.children[0])
+        if a is None:
+            return None
+        b = constant_sparse_matrix(op.children[1])
+        if b is None:
+            return None
+        return (a @ b).tocsr()
+    return None
+
+
 def _collect_env(
     op: Operator, env_spec: _EnvSpec, eq_sys, seen: set, const_mats: dict
 ) -> None:
     if id(op) in seen:
         return
     seen.add(id(op))
+    # Fold constant matrix chains into a single device matrix.
+    if op.operation is Operations.matmul:
+        mat = constant_sparse_matrix(op)
+        if mat is not None:
+            const_mats[id(op)] = _bcoo(mat)
+            return
     if isinstance(op, MixedDimensionalVariable):
         for v in op.sub_vars:
             _collect_env(v, env_spec, eq_sys, seen, const_mats)
@@ -201,6 +225,9 @@ def _trace_node(node, rec, x, env, env_spec, eq_sys, const_mats):
             ("tda", node.name, node.domains, node.prev_time), _fetch_tda(node)
         )
         return env[slot]
+
+    if id(node) in const_mats:
+        return const_mats[id(node)]
 
     c = [rec(ch) for ch in node.children]
     op = node.operation
@@ -325,24 +352,13 @@ def _pattern_node(node, rec, ndof, eq_sys) -> sps.csr_matrix:
         return c[0]
     if op is Operations.matmul:
         left = node.children[0]
-        if isinstance(left, SparseArray):
-            return (abs(left.mat).astype(bool) @ c[1]).astype(bool).tocsr()
-        if type(left).__name__ == "MergedOperator" and hasattr(left, "fetch"):
-            return (abs(left.fetch()).astype(bool) @ c[1]).astype(bool).tocsr()
+        left_mat = constant_sparse_matrix(left)
+        if left_mat is not None:
+            return (abs(left_mat).astype(bool) @ c[1]).astype(bool).tocsr()
         if isinstance(left, DenseArray) and left.values.ndim == 2:
             return (
                 sps.csr_matrix(left.values.astype(bool)) @ c[1]
             ).astype(bool).tocsr()
-        if c[0].nnz == 0 and isinstance(left, Operator) and not isinstance(
-            left, (Variable, MixedDimensionalVariable)
-        ):
-            # Left operand is a constant expression (e.g. transposed
-            # projection); evaluate it structurally via its value.
-            val = evaluate(left, eq_sys)
-            if val.ndim == 2:
-                return (
-                    sps.csr_matrix(np.asarray(val).astype(bool)) @ c[1]
-                ).astype(bool).tocsr()
         raise NotImplementedError(
             "matmul with non-constant left operand has no structural pattern"
         )

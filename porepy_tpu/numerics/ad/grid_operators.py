@@ -23,7 +23,118 @@ __all__ = [
     "Divergence",
     "Trace",
     "BoundaryProjection",
+    "MortarProjections",
 ]
+
+
+class MortarProjections:
+    """Projections between concatenated mortar space and concatenated
+    subdomain face/cell spaces (reference ``grid_operators.py:229``).
+
+    Rows: mortar cells of ``interfaces`` in order; columns: faces (primary)
+    or cells (secondary) of ``subdomains`` in order. All eight directional
+    maps plus the side-sign matrix are exposed as callables returning
+    constant sparse operators.
+    """
+
+    def __init__(self, mdg, subdomains: Sequence, interfaces: Sequence, dim: int = 1) -> None:
+        self.mdg = mdg
+        self.dim = dim
+        self._subdomains = list(subdomains)
+        self._interfaces = list(interfaces)
+
+        tot_faces = sum(sd.num_faces for sd in subdomains) * dim
+        tot_cells = sum(sd.num_cells for sd in subdomains) * dim
+        tot_mortar = sum(intf.num_cells for intf in interfaces) * dim
+        self._shapes = (tot_mortar, tot_faces, tot_cells)
+
+        face_offset = {}
+        cell_offset = {}
+        f = c = 0
+        for sd in subdomains:
+            face_offset[sd] = f
+            cell_offset[sd] = c
+            f += sd.num_faces * dim
+            c += sd.num_cells * dim
+
+        def build(matrix_of, to_primary: bool) -> sps.csr_matrix:
+            """Stack per-interface projection matrices into the global
+            (mortar x faces/cells) layout."""
+            tot_cols = tot_faces if to_primary else tot_cells
+            offset = face_offset if to_primary else cell_offset
+            rows, cols, vals = [], [], []
+            m_off = 0
+            for intf in interfaces:
+                sd_pair = mdg.interface_to_subdomain_pair(intf)
+                sd = sd_pair[0] if to_primary else sd_pair[1]
+                mat = matrix_of(intf).tocoo()
+                rows.append(mat.row + m_off)
+                cols.append(mat.col + offset.get(sd, 0))
+                vals.append(mat.data)
+                if sd not in offset:
+                    raise ValueError(
+                        "Interface neighbor not in the subdomain list"
+                    )
+                m_off += intf.num_cells * dim
+            if not rows:
+                return sps.csr_matrix((tot_mortar, tot_cols))
+            return sps.csr_matrix(
+                (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+                shape=(tot_mortar, tot_cols),
+            )
+
+        d = dim
+        self._primary_to_mortar_int = build(
+            lambda i: i.primary_to_mortar_int(d), True
+        )
+        self._primary_to_mortar_avg = build(
+            lambda i: i.primary_to_mortar_avg(d), True
+        )
+        self._secondary_to_mortar_int = build(
+            lambda i: i.secondary_to_mortar_int(d), False
+        )
+        self._secondary_to_mortar_avg = build(
+            lambda i: i.secondary_to_mortar_avg(d), False
+        )
+        self._sign = sps.block_diag(
+            [i.sign_of_mortar_sides(d) for i in interfaces] or [sps.csr_matrix((0, 0))],
+            format="csr",
+        )
+
+    def primary_to_mortar_int(self) -> SparseArray:
+        return SparseArray(self._primary_to_mortar_int, "primary_to_mortar_int")
+
+    def primary_to_mortar_avg(self) -> SparseArray:
+        return SparseArray(self._primary_to_mortar_avg, "primary_to_mortar_avg")
+
+    def secondary_to_mortar_int(self) -> SparseArray:
+        return SparseArray(self._secondary_to_mortar_int, "secondary_to_mortar_int")
+
+    def secondary_to_mortar_avg(self) -> SparseArray:
+        return SparseArray(self._secondary_to_mortar_avg, "secondary_to_mortar_avg")
+
+    def mortar_to_primary_int(self) -> SparseArray:
+        return SparseArray(
+            self._primary_to_mortar_avg.T.tocsr(), "mortar_to_primary_int"
+        )
+
+    def mortar_to_primary_avg(self) -> SparseArray:
+        return SparseArray(
+            self._primary_to_mortar_int.T.tocsr(), "mortar_to_primary_avg"
+        )
+
+    def mortar_to_secondary_int(self) -> SparseArray:
+        return SparseArray(
+            self._secondary_to_mortar_avg.T.tocsr(), "mortar_to_secondary_int"
+        )
+
+    def mortar_to_secondary_avg(self) -> SparseArray:
+        return SparseArray(
+            self._secondary_to_mortar_int.T.tocsr(), "mortar_to_secondary_avg"
+        )
+
+    def sign_of_mortar_sides(self) -> SparseArray:
+        return SparseArray(self._sign, "sign_of_mortar_sides")
 
 
 def _block_diag(mats: Sequence[sps.spmatrix], shape_if_empty=(0, 0)) -> sps.csr_matrix:

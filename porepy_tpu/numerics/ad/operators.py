@@ -322,7 +322,7 @@ class Variable(Operator):
         g = self.domain
         n = 0
         n += self.dof_info.get("cells", 0) * g.num_cells
-        n += self.dof_info.get("faces", 0) * g.num_faces
+        n += self.dof_info.get("faces", 0) * getattr(g, "num_faces", 0)
         n += self.dof_info.get("nodes", 0) * getattr(g, "num_nodes", 0)
         return n
 

@@ -60,36 +60,119 @@ if "numba" not in sys.modules:
         _install_fake_numba()
 
 def _install_fake_shapely():
-    """Minimal shapely: enough for the reference's no-fracture meshing path,
-    where geometry objects are constructed but intersections never queried
-    (the fracture-edge loop is empty)."""
+    """Functional minimal shapely for the reference's meshing path: clip a
+    segment by a CONVEX polygon (the reference only clips fracture lines by
+    box/convex domains in its structured 2d preprocessing)."""
+    import numpy as _np
+
     shapely = types.ModuleType("shapely")
     geometry = types.ModuleType("shapely.geometry")
 
-    class _Geom:
-        def __init__(self, *args, **kwargs):
-            self._args = args
-
-        def intersection(self, other):
-            raise NotImplementedError(
-                "fake shapely: intersections unavailable (install shapely)"
-            )
-
-        def touches(self, other):
-            raise NotImplementedError("fake shapely")
+    class LineString:
+        def __init__(self, coords):
+            self._pts = [(float(p[0]), float(p[1])) for p in coords]
 
         @property
         def coords(self):
-            return []
+            return list(self._pts)
 
         @property
         def length(self):
-            return 0.0
+            if len(self._pts) < 2:
+                return 0.0
+            a, b = _np.array(self._pts[0]), _np.array(self._pts[-1])
+            return float(_np.linalg.norm(b - a))
 
-    geometry.Polygon = _Geom
-    geometry.LineString = _Geom
-    geometry.MultiLineString = _Geom
-    geometry.Point = _Geom
+        @property
+        def xy(self):
+            xs = [p[0] for p in self._pts]
+            ys = [p[1] for p in self._pts]
+            return (xs, ys)
+
+        def touches(self, poly):
+            # True if the whole segment lies on the polygon boundary.
+            return all(poly._on_boundary(p) for p in self._pts) and (
+                poly._on_boundary(
+                    (
+                        0.5 * (self._pts[0][0] + self._pts[-1][0]),
+                        0.5 * (self._pts[0][1] + self._pts[-1][1]),
+                    )
+                )
+            )
+
+    class MultiLineString:
+        def __init__(self, lines):
+            self.geoms = [LineString(c) for c in lines]
+
+        def __iter__(self):
+            return iter(self.geoms)
+
+    class Polygon:
+        def __init__(self, pts):
+            self._v = _np.array([(float(p[0]), float(p[1])) for p in pts])
+            # Signed area to determine orientation (positive = CCW).
+            x, y = self._v[:, 0], self._v[:, 1]
+            self._ccw = (
+                _np.sum(x * _np.roll(y, -1) - _np.roll(x, -1) * y) > 0
+            )
+
+        def _edges(self):
+            n = len(self._v)
+            for i in range(n):
+                yield self._v[i], self._v[(i + 1) % n]
+
+        def _inside(self, a, b, p):
+            cross = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+            return cross >= -1e-12 if self._ccw else cross <= 1e-12
+
+        def _on_boundary(self, p, tol=1e-9):
+            p = _np.asarray(p, dtype=float)
+            for a, b in self._edges():
+                ab = b - a
+                t = _np.dot(p - a, ab) / max(_np.dot(ab, ab), 1e-300)
+                t = min(max(t, 0.0), 1.0)
+                if _np.linalg.norm(a + t * ab - p) < tol:
+                    return True
+            return False
+
+        def intersection(self, line):
+            # Parametric clipping of the segment by each edge half-plane
+            # (convex polygon assumed).
+            p0 = _np.array(line._pts[0])
+            p1 = _np.array(line._pts[-1])
+            d = p1 - p0
+            t0, t1 = 0.0, 1.0
+            for a, b in self._edges():
+                # Inward normal relative to orientation.
+                e = b - a
+                n = _np.array([-e[1], e[0]]) if self._ccw else _np.array([e[1], -e[0]])
+                denom = _np.dot(n, d)
+                num = _np.dot(n, p0 - a)
+                if abs(denom) < 1e-300:
+                    if num < -1e-12:
+                        return LineString([])  # fully outside
+                    continue
+                t_hit = -num / denom
+                if denom > 0:
+                    t0 = max(t0, t_hit)
+                else:
+                    t1 = min(t1, t_hit)
+                if t0 > t1 + 1e-12:
+                    return LineString([])
+            if t0 > t1:
+                return LineString([])
+            q0 = p0 + t0 * d
+            q1 = p0 + t1 * d
+            return LineString([q0, q1])
+
+    class Point:
+        def __init__(self, *args):
+            self._p = args
+
+    geometry.Polygon = Polygon
+    geometry.LineString = LineString
+    geometry.MultiLineString = MultiLineString
+    geometry.Point = Point
     shapely.geometry = geometry
     shapely.__version__ = "2.0.0"
     sys.modules["shapely"] = shapely
