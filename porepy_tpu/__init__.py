@@ -125,6 +125,10 @@ from porepy_tpu.models.initial_condition import (  # noqa: E402,F401
 from porepy_tpu.models.solution_strategy import SolutionStrategy  # noqa: E402,F401
 from porepy_tpu.models import constitutive_laws  # noqa: E402,F401
 from porepy_tpu.models.fluid_mass_balance import SinglePhaseFlow  # noqa: E402,F401
+from porepy_tpu.models.mass_and_energy_balance import (  # noqa: E402,F401
+    MassAndEnergyBalance,
+)
+from porepy_tpu.models import energy_balance  # noqa: E402,F401
 from porepy_tpu.models.run_models import (  # noqa: E402,F401
     run_stationary_model,
     run_time_dependent_model,

@@ -31,10 +31,18 @@ __all__ = [
     "ConstantPermeability",
     "SecondOrderTensorUtils",
     "DarcysLaw",
+    "FouriersLaw",
     "ZeroGravityForce",
     "GravityForce",
     "AdvectiveFlux",
+    "ConstantFluidThermalConductivity",
+    "ThermalConductivityLTE",
+    "FluidEnthalpyFromTemperature",
+    "EnthalpyFromTemperature",
+    "ConstantSolidDensity",
     "FluidDensityFromPressure",
+    "FluidDensityFromTemperature",
+    "FluidDensityFromPressureAndTemperature",
     "ConstantViscosity",
     "FluidMobility",
     "ConstantPorosity",
@@ -402,6 +410,195 @@ class AdvectiveFlux:
         return fn(lam, w_primary, w_secondary)
 
 
+class FouriersLaw:
+    """Conductive heat flux on the FV matrix contract — structural mirror of
+    :class:`DarcysLaw` with the fourier keyword (reference
+    ``constitutive_laws.py:2184``)."""
+
+    def fourier_flux(self, domains: Sequence) -> ad.Operator:
+        from porepy_tpu.grids.boundary_grid import BoundaryGrid
+
+        if len(domains) == 0 or all(isinstance(d, BoundaryGrid) for d in domains):
+            return self.create_boundary_operator(
+                name=self.bc_data_fourier_flux_key, domains=domains
+            )
+        subdomains = list(domains)
+        discr = self.fourier_flux_discretization(subdomains)
+        t = self.temperature(subdomains)
+        boundary_operator = self.combine_boundary_operators_fourier_flux(subdomains)
+        flux = (
+            discr.flux() @ t
+            + discr.bound_flux() @ boundary_operator
+            + discr.vector_source() @ self.vector_source_fourier_flux(subdomains)
+        )
+        interfaces = self.subdomains_to_interfaces(subdomains, [1])
+        if interfaces:
+            from porepy_tpu.numerics.ad.grid_operators import MortarProjections
+
+            projection = MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+            flux = flux + discr.bound_flux() @ (
+                projection.mortar_to_primary_int()
+                @ self.interface_fourier_flux(interfaces)
+            )
+        flux.set_name("fourier_flux")
+        return flux
+
+    def temperature_trace(self, subdomains: Sequence) -> ad.Operator:
+        discr = self.fourier_flux_discretization(subdomains)
+        t = self.temperature(subdomains)
+        boundary_operator = self.combine_boundary_operators_fourier_flux(subdomains)
+        trace = (
+            discr.bound_pressure_cell() @ t
+            + discr.bound_pressure_face() @ boundary_operator
+            + discr.bound_pressure_vector_source()
+            @ self.vector_source_fourier_flux(subdomains)
+        )
+        interfaces = self.subdomains_to_interfaces(subdomains, [1])
+        if interfaces:
+            from porepy_tpu.numerics.ad.grid_operators import MortarProjections
+
+            projection = MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+            trace = trace + discr.bound_pressure_face() @ (
+                projection.mortar_to_primary_int()
+                @ self.interface_fourier_flux(interfaces)
+            )
+        trace.set_name("temperature_trace")
+        return trace
+
+    def combine_boundary_operators_fourier_flux(
+        self, subdomains: Sequence
+    ) -> ad.Operator:
+        return self._combine_boundary_operators(
+            subdomains=subdomains,
+            dirichlet_operator=self.temperature,
+            neumann_operator=self.fourier_flux,
+            robin_operator=self.fourier_flux,
+            bc_type=self.bc_type_fourier_flux,
+            name="bc_values_" + self.bc_data_fourier_flux_key,
+        )
+
+    def vector_source_fourier_flux(self, grids: Sequence) -> ad.Operator:
+        num_cells = int(sum(g.num_cells for g in grids))
+        return ad.DenseArray(
+            np.zeros(num_cells * self.nd), name="vector_source_fourier_flux"
+        )
+
+    def interface_vector_source_fourier_flux(
+        self, interfaces: Sequence
+    ) -> ad.Operator:
+        num = int(sum(intf.num_cells for intf in interfaces))
+        return ad.DenseArray(
+            np.zeros(num), name="interface_vector_source_fourier_flux"
+        )
+
+    def interface_fourier_flux_equation(self, interfaces: Sequence) -> ad.Operator:
+        subdomains = self.interfaces_to_subdomains(interfaces)
+        projection = ad.MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+        normal_gradient = ad.Scalar(2.0) * (
+            projection.secondary_to_mortar_avg()
+            @ self.aperture(subdomains) ** (-1.0)
+        )
+        temperature_h = projection.primary_to_mortar_avg() @ self.temperature_trace(
+            subdomains
+        )
+        temperature_l = projection.secondary_to_mortar_avg() @ self.temperature(
+            subdomains
+        )
+        eq = self.interface_fourier_flux(interfaces) - self.volume_integral(
+            self.normal_thermal_conductivity(interfaces)
+            * (
+                normal_gradient * (temperature_h - temperature_l)
+                + self.interface_vector_source_fourier_flux(interfaces)
+            ),
+            interfaces,
+            1,
+        )
+        eq.set_name("interface_fourier_flux_equation")
+        return eq
+
+    def fourier_flux_discretization(self, subdomains: Sequence) -> TpfaAd:
+        return TpfaAd(self.fourier_keyword, subdomains, self.mdg)
+
+
+class ConstantFluidThermalConductivity:
+    """Reference ``constitutive_laws.py`` ConstantFluidThermalConductivity."""
+
+    def fluid_thermal_conductivity(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(
+            self.fluid.reference_component.thermal_conductivity,
+            "fluid_thermal_conductivity",
+        )
+
+    def normal_thermal_conductivity(self, interfaces: Sequence) -> ad.Operator:
+        return ad.Scalar(
+            self.fluid.reference_component.normal_thermal_conductivity,
+            "normal_thermal_conductivity",
+        )
+
+
+class ThermalConductivityLTE(ConstantFluidThermalConductivity):
+    """Porosity-weighted local-thermal-equilibrium conductivity (reference
+    ``constitutive_laws.py:2093``)."""
+
+    def solid_thermal_conductivity(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(
+            self.solid.thermal_conductivity, "solid_thermal_conductivity"
+        )
+
+    def thermal_conductivity(self, subdomains: Sequence) -> ad.Operator:
+        phi = self.porosity(subdomains)
+        if isinstance(phi, ad.Scalar):
+            size = sum(sd.num_cells for sd in subdomains)
+            phi = phi * ad.DenseArray(np.ones(size))
+        conductivity = phi * self.fluid_thermal_conductivity(subdomains) + (
+            ad.Scalar(1.0) - phi
+        ) * self.solid_thermal_conductivity(subdomains)
+        return self.isotropic_second_order_tensor(subdomains, conductivity)
+
+
+class FluidEnthalpyFromTemperature:
+    """h = c_p (T - T_ref) (reference ``fluid_property_library.py:1325``)."""
+
+    def fluid_specific_heat_capacity(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(
+            self.fluid.reference_component.specific_heat_capacity,
+            "fluid_specific_heat_capacity",
+        )
+
+    def fluid_specific_enthalpy(self, domains: Sequence) -> ad.Operator:
+        c = self.fluid_specific_heat_capacity(domains)
+        enthalpy = c * self.perturbation_from_reference("temperature", domains)
+        enthalpy.set_name("fluid_enthalpy")
+        return enthalpy
+
+
+class EnthalpyFromTemperature(FluidEnthalpyFromTemperature):
+    """Fluid and solid linear enthalpies (reference
+    ``constitutive_laws.py:2652``)."""
+
+    def enthalpy_discretization(self, subdomains: Sequence) -> UpwindAd:
+        return UpwindAd(self.enthalpy_keyword, subdomains, self.mdg)
+
+    def interface_enthalpy_discretization(self, interfaces: Sequence) -> UpwindAd:
+        return UpwindAd(self.enthalpy_keyword, [], self.mdg)
+
+    def solid_specific_heat_capacity(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(
+            self.solid.specific_heat_capacity, "solid_specific_heat_capacity"
+        )
+
+    def solid_enthalpy(self, subdomains: Sequence) -> ad.Operator:
+        c = self.solid_specific_heat_capacity(subdomains)
+        enthalpy = c * self.perturbation_from_reference("temperature", subdomains)
+        enthalpy.set_name("solid_enthalpy")
+        return enthalpy
+
+
+class ConstantSolidDensity:
+    def solid_density(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(self.solid.density, "solid_density")
+
+
 class FluidDensityFromPressure:
     """rho = rho_ref * exp(c_f (p - p_ref)) (reference
     ``constitutive_laws.py`` FluidDensityFromPressure)."""
@@ -422,6 +619,49 @@ class FluidDensityFromPressure:
         )
         rho = rho_ref * self.pressure_exponential(domains)
         rho.set_name("fluid_density")
+        return rho
+
+
+class FluidDensityFromTemperature:
+    """rho = rho_ref exp(-c_T (T - T_ref)) (reference
+    ``fluid_property_library.py:126``)."""
+
+    def fluid_thermal_expansion(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(
+            self.fluid.reference_component.thermal_expansion,
+            "fluid_thermal_expansion",
+        )
+
+    def temperature_exponential(self, domains: Sequence) -> ad.Operator:
+        dT = self.perturbation_from_reference("temperature", domains)
+        c = self.fluid_thermal_expansion(domains)
+        return ad.exp(ad.Scalar(-1.0) * c * dT)
+
+    def fluid_density(self, domains: Sequence) -> ad.Operator:
+        rho_ref = ad.Scalar(
+            self.fluid.reference_component.density, "reference_fluid_density"
+        )
+        rho = rho_ref * self.temperature_exponential(domains)
+        rho.set_name("fluid_density")
+        return rho
+
+
+class FluidDensityFromPressureAndTemperature(
+    FluidDensityFromPressure, FluidDensityFromTemperature
+):
+    """rho = rho_ref exp(c_p dp - c_T dT) (reference
+    ``fluid_property_library.py:192``)."""
+
+    def fluid_density(self, domains: Sequence) -> ad.Operator:
+        rho_ref = ad.Scalar(
+            self.fluid.reference_component.density, "reference_fluid_density"
+        )
+        rho = (
+            rho_ref
+            * self.pressure_exponential(domains)
+            * self.temperature_exponential(domains)
+        )
+        rho.set_name("fluid_density_from_pressure_and_temperature")
         return rho
 
 

@@ -60,7 +60,9 @@ class FluidMassBalanceEquations(BalanceEquation):
         flux = self.fluid_flux(subdomains)
         source = self.fluid_source(subdomains)
         eq = self.balance_equation(subdomains, accumulation, flux, source, dim=1)
-        eq.set_name(self.primary_equation_name())
+        # Explicit class reference: in multi-physics compositions `self`
+        # would resolve to another physics' primary name.
+        eq.set_name(FluidMassBalanceEquations.primary_equation_name())
         return eq
 
     def fluid_mass(self, subdomains: Sequence) -> ad.Operator:
