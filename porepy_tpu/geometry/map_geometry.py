@@ -92,6 +92,42 @@ def compute_tangent(pts: np.ndarray, check: bool = True) -> np.ndarray:
     return tangent / nrm
 
 
+def map_grid(g, tol: float = 1e-5, R: np.ndarray | None = None):
+    """Map a grid to its natural dimension: for 1d/2d grids, rotate to the
+    line/plane and drop inactive coordinates (reference
+    ``map_geometry.py:43``).
+
+    Returns ``(cell_centers, face_normals, face_centers, R, dim_mask,
+    nodes)`` with the first three reduced to ``g.dim`` rows.
+    """
+    cell_centers = g.cell_centers
+    face_normals = g.face_normals
+    face_centers = g.face_centers
+    nodes = g.nodes
+
+    if g.dim == 0 or g.dim == 3:
+        if R is None:
+            R = np.eye(3)
+        return cell_centers, face_normals, face_centers, R, np.ones(3, bool), nodes
+
+    if R is None:
+        if g.dim == 2:
+            R = project_plane_matrix(g.nodes)
+        else:
+            R = project_line_matrix(g.nodes)
+    face_centers = R @ face_centers
+    check = np.sum(np.abs(face_centers.T - face_centers[:, 0]), axis=0)
+    check = check / np.sum(check)
+    dim = ~np.isclose(check, 0, atol=tol, rtol=0)
+    if g.dim != int(dim.sum()):
+        raise ValueError("Grid does not lie in a lower-dimensional plane")
+    face_centers = face_centers[dim, :]
+    cell_centers = (R @ cell_centers)[dim, :]
+    face_normals = (R @ face_normals)[dim, :]
+    nodes = (R @ nodes)[dim, :]
+    return cell_centers, face_normals, face_centers, R, dim, nodes
+
+
 def compute_normal(pts: np.ndarray, tol: float = 1e-5) -> np.ndarray:
     """Unit normal of a (nearly) planar point cloud ``(3, n)``.
 

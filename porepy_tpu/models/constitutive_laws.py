@@ -299,8 +299,13 @@ class DarcysLaw:
         eq.set_name("interface_darcy_flux_equation")
         return eq
 
-    def darcy_flux_discretization(self, subdomains: Sequence) -> TpfaAd:
-        return TpfaAd(self.darcy_keyword, subdomains, self.mdg)
+    def darcy_flux_discretization(self, subdomains: Sequence) -> MpfaAd:
+        """MPFA by default, matching the reference
+        (``constitutive_laws.py:1078``); override to return TpfaAd for
+        two-point schemes."""
+        from porepy_tpu.numerics.ad.discretizations import MpfaAd
+
+        return MpfaAd(self.darcy_keyword, subdomains, self.mdg)
 
 
 class AdvectiveFlux:
@@ -516,8 +521,10 @@ class FouriersLaw:
         eq.set_name("interface_fourier_flux_equation")
         return eq
 
-    def fourier_flux_discretization(self, subdomains: Sequence) -> TpfaAd:
-        return TpfaAd(self.fourier_keyword, subdomains, self.mdg)
+    def fourier_flux_discretization(self, subdomains: Sequence):
+        from porepy_tpu.numerics.ad.discretizations import MpfaAd
+
+        return MpfaAd(self.fourier_keyword, subdomains, self.mdg)
 
 
 class ConstantFluidThermalConductivity:

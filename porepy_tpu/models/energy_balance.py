@@ -276,6 +276,10 @@ class SolutionStrategyEnergyBalance(SolutionStrategy):
         super().update_discretization_parameters()
         if not hasattr(self, "_discretizations"):
             self._discretizations = []
+        subdomains = self.mdg.subdomains()
+        discr = self._fv_discretizer(
+            self.fourier_keyword, self.fourier_flux_discretization(subdomains)
+        )
         for sd, data in self.mdg.subdomains(return_data=True):
             initialize_data(
                 data,
@@ -290,7 +294,7 @@ class SolutionStrategyEnergyBalance(SolutionStrategy):
                     "ambient_dimension": self.nd,
                 },
             )
-            self._discretizations.append((Tpfa(self.fourier_keyword), sd, data))
+            self._discretizations.append((discr, sd, data))
 
     def _is_nonlinear_problem(self) -> bool:
         return True

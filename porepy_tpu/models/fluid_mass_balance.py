@@ -242,6 +242,10 @@ class SolutionStrategySinglePhaseFlow(SolutionStrategy):
 
     def update_discretization_parameters(self) -> None:
         self._discretizations = []
+        subdomains = self.mdg.subdomains()
+        discr = self._fv_discretizer(
+            self.darcy_keyword, self.darcy_flux_discretization(subdomains)
+        )
         for sd, data in self.mdg.subdomains(return_data=True):
             initialize_data(
                 data,
@@ -254,7 +258,7 @@ class SolutionStrategySinglePhaseFlow(SolutionStrategy):
                     "ambient_dimension": self.nd,
                 },
             )
-            self._discretizations.append((Tpfa(self.darcy_keyword), sd, data))
+            self._discretizations.append((discr, sd, data))
 
     def _is_nonlinear_problem(self) -> bool:
         """Compressible flow is nonlinear; incompressible subclasses

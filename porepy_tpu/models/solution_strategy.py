@@ -178,6 +178,19 @@ class SolutionStrategy:
 
     # -- discretization ------------------------------------------------------
 
+    def _fv_discretizer(self, keyword: str, ad_wrapper):
+        """Concrete FV discretizer matching an AD wrapper type (MpfaAd ->
+        Mpfa, TpfaAd -> Tpfa)."""
+        from porepy_tpu.numerics.ad.discretizations import MpfaAd, TpfaAd
+        from porepy_tpu.numerics.fv.mpfa import Mpfa
+        from porepy_tpu.numerics.fv.tpfa import Tpfa
+
+        if isinstance(ad_wrapper, MpfaAd):
+            return Mpfa(keyword)
+        if isinstance(ad_wrapper, TpfaAd):
+            return Tpfa(keyword)
+        raise ValueError(f"Unknown discretization wrapper {type(ad_wrapper)}")
+
     def update_discretization_parameters(self) -> None:
         pass
 

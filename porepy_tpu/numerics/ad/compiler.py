@@ -176,17 +176,35 @@ def _collect_env(
         const_mats[id(op)] = _bcoo(op.mat)
         return
     if type(op).__name__ == "MergedOperator" and hasattr(op, "fetch"):
-        const_mats[id(op)] = jsparse.BCOO.from_scipy_sparse(op.fetch())
+        const_mats[id(op)] = scipy_to_bcoo(op.fetch())
         return
     for c in op.children:
         _collect_env(c, env_spec, eq_sys, seen, const_mats)
+
+
+def scipy_to_bcoo(mat: sps.spmatrix) -> jsparse.BCOO:
+    """Device BCOO with COPIED buffers.
+
+    ``BCOO.from_scipy_sparse`` can zero-copy alias the scipy arrays on CPU
+    (alignment-dependent); a later in-place scipy operation (e.g.
+    ``sort_indices``) then silently corrupts the device constant. Copy
+    explicitly so device matrices are immutable snapshots.
+    """
+    coo = mat.tocoo()
+    indices = jnp.asarray(
+        np.ascontiguousarray(np.column_stack([coo.row, coo.col]).astype(np.int32))
+    )
+    data = jnp.asarray(np.array(coo.data, dtype=np.float64, copy=True))
+    return jsparse.BCOO(
+        (data, indices), shape=coo.shape, indices_sorted=False, unique_indices=False
+    )
 
 
 def _bcoo(mat: sps.spmatrix) -> jsparse.BCOO:
     # Cache the device conversion on the scipy object.
     cached = getattr(mat, "_ppt_bcoo", None)
     if cached is None:
-        cached = jsparse.BCOO.from_scipy_sparse(mat.tocsr())
+        cached = scipy_to_bcoo(mat)
         try:
             mat._ppt_bcoo = cached
         except AttributeError:
@@ -208,7 +226,7 @@ def _trace_node(node, rec, x, env, env_spec, eq_sys, const_mats):
         return const_mats[id(node)]
     if type(node).__name__ == "MergedOperator" and hasattr(node, "fetch"):
         if id(node) not in const_mats:
-            const_mats[id(node)] = jsparse.BCOO.from_scipy_sparse(node.fetch())
+            const_mats[id(node)] = scipy_to_bcoo(node.fetch())
         return const_mats[id(node)]
     if isinstance(node, MixedDimensionalVariable):
         if not node.sub_vars:

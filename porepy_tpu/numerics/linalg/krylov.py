@@ -65,7 +65,8 @@ def solve_sparse(
     n = A.shape[0]
     if maxiter is None:
         maxiter = max(200, 4 * n)
-    bcoo = jsparse.BCOO.from_scipy_sparse(A)
+    from porepy_tpu.numerics.ad.compiler import scipy_to_bcoo
+    bcoo = scipy_to_bcoo(A)
     d = np.asarray(A.diagonal())
     d = np.where(np.abs(d) > 1e-300, d, 1.0)
     x = _krylov(bcoo, jnp.asarray(b), jnp.asarray(1.0 / d), method, tol, maxiter)
