@@ -32,6 +32,8 @@ __all__ = [
     "SecondOrderTensorUtils",
     "DarcysLaw",
     "FouriersLaw",
+    "ElasticModuli",
+    "LinearElasticMechanicalStress",
     "ZeroGravityForce",
     "GravityForce",
     "AdvectiveFlux",
@@ -413,6 +415,89 @@ class AdvectiveFlux:
 
         fn = ad.Function(f, name="interface_upwind", pattern_fn=pattern_fn)
         return fn(lam, w_primary, w_secondary)
+
+
+class ElasticModuli:
+    """Elastic moduli and the cell-wise stiffness tensor (reference
+    ``constitutive_laws.py`` ElasticModuli)."""
+
+    def shear_modulus(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(self.solid.shear_modulus, "shear_modulus")
+
+    def lame_lambda(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(self.solid.lame_lambda, "lame_lambda")
+
+    def youngs_modulus(self, subdomains: Sequence) -> ad.Operator:
+        mu = self.solid.shear_modulus
+        lmbda = self.solid.lame_lambda
+        val = mu * (3 * lmbda + 2 * mu) / (lmbda + mu)
+        return ad.Scalar(val, "youngs_modulus")
+
+    def bulk_modulus(self, subdomains: Sequence) -> ad.Operator:
+        val = self.solid.lame_lambda + 2 * self.solid.shear_modulus / 3
+        return ad.Scalar(val, "bulk_modulus")
+
+    def stiffness_tensor(self, subdomain):
+        """Cell-wise isotropic stiffness from the solid's Lame parameters."""
+        from porepy_tpu.params.tensor import FourthOrderTensor as _C
+
+        mu = self.solid.shear_modulus * np.ones(subdomain.num_cells)
+        lmbda = self.solid.lame_lambda * np.ones(subdomain.num_cells)
+        return _C(mu, lmbda)
+
+
+class LinearElasticMechanicalStress:
+    """MPSA-discretized linear elastic stress (reference
+    ``constitutive_laws.py:2812``)."""
+
+    def mechanical_stress(self, domains: Sequence) -> ad.Operator:
+        from porepy_tpu.grids.boundary_grid import BoundaryGrid
+
+        if len(domains) == 0 or all(isinstance(d, BoundaryGrid) for d in domains):
+            return self.create_boundary_operator(
+                name=self.stress_keyword, domains=domains
+            )
+        subdomains = list(domains)
+        for sd in subdomains:
+            if sd.dim != self.nd:
+                raise ValueError("Mechanical stress requires co-dimension 0")
+        discr = self.stress_discretization(subdomains)
+        boundary_operator = self.combine_boundary_operators_mechanical_stress(
+            subdomains
+        )
+        stress = (
+            discr.stress() @ self.displacement(subdomains)
+            + discr.bound_stress() @ boundary_operator
+        )
+        interfaces = self.subdomains_to_interfaces(subdomains, [1])
+        if interfaces:
+            proj = ad.MortarProjections(
+                self.mdg, subdomains, interfaces, dim=self.nd
+            )
+            stress = stress + discr.bound_stress() @ (
+                proj.mortar_to_primary_avg()
+                @ self.interface_displacement(interfaces)
+            )
+        stress.set_name("mechanical_stress")
+        return stress
+
+    def combine_boundary_operators_mechanical_stress(
+        self, subdomains: Sequence
+    ) -> ad.Operator:
+        return self._combine_boundary_operators(
+            subdomains=subdomains,
+            dirichlet_operator=self.displacement,
+            neumann_operator=self.mechanical_stress,
+            robin_operator=self.mechanical_stress,
+            bc_type=self.bc_type_mechanics,
+            dim=self.nd,
+            name="bc_values_mechanics",
+        )
+
+    def stress_discretization(self, subdomains: Sequence):
+        from porepy_tpu.numerics.ad.discretizations import MpsaAd
+
+        return MpsaAd(self.stress_keyword, subdomains, self.mdg)
 
 
 class FouriersLaw:

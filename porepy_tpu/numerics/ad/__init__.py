@@ -28,6 +28,7 @@ from porepy_tpu.numerics.ad.grid_operators import (  # noqa: F401
 from porepy_tpu.numerics.ad.discretizations import (  # noqa: F401
     MergedOperator,
     MpfaAd,
+    MpsaAd,
     TpfaAd,
     UpwindAd,
 )

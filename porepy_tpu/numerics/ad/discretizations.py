@@ -84,6 +84,22 @@ class MpfaAd(TpfaAd):
     """Same matrix contract as TPFA; backed by the MPFA discretization."""
 
 
+class MpsaAd(_DiscretizationAd):
+    """Reference ``ad/discretizations.py:153`` equivalent."""
+
+    def stress(self) -> MergedOperator:
+        return self._op("stress")
+
+    def bound_stress(self) -> MergedOperator:
+        return self._op("bound_stress")
+
+    def bound_displacement_cell(self) -> MergedOperator:
+        return self._op("bound_displacement_cell")
+
+    def bound_displacement_face(self) -> MergedOperator:
+        return self._op("bound_displacement_face")
+
+
 class UpwindAd(_DiscretizationAd):
     def upwind(self) -> MergedOperator:
         return self._op("transport")

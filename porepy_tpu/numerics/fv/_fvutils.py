@@ -312,3 +312,21 @@ def cell_scalar_to_subcell_vector(nd, sub_cell_index, cell_index):
             ).tocsr()
         )
     return sps.vstack(mats).tocsr()
+
+
+def map_hf_2_f(fno=None, subfno=None, nd=None, sd=None):
+    """Mapping from half-faces (subface, component) to faces for vector
+    problems (reference ``_fvutils.py:601``)."""
+    from porepy_tpu.utils.array_operations import expand_indices_nd
+
+    if sd is not None:
+        s_t = SubcellTopology(sd)
+        fno = s_t.fno_unique
+        subfno = s_t.subfno_unique
+        if nd is None:
+            nd = sd.dim
+    hfi = expand_indices_nd(subfno, nd)
+    hf = expand_indices_nd(fno, nd)
+    return sps.coo_matrix(
+        (np.ones(hf.size), (hf, hfi)), shape=(hf.max() + 1, hfi.max() + 1)
+    ).tocsr()

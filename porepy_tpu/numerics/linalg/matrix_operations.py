@@ -134,3 +134,14 @@ def _invert_blocks_python(mat: sps.csr_matrix, s: np.ndarray) -> sps.csr_matrix:
     rows, cols, _ = _block_entry_layout(s)
     data = np.concatenate([blk.ravel() for blk in blocks])
     return sps.csr_matrix((data, (rows, cols)), shape=mat.shape)
+
+
+def zero_rows(A: sps.csr_matrix, rows: np.ndarray) -> None:
+    """Zero the values of the given rows in place (sparsity unchanged)."""
+    from porepy_tpu.utils.array_operations import expand_index_pointers
+
+    if A.getformat() != "csr":
+        raise ValueError("Need a csr matrix")
+    indptr = A.indptr
+    row_indptr = expand_index_pointers(indptr[rows], indptr[rows + 1])
+    A.data[row_indptr] = 0
