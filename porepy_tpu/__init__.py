@@ -129,6 +129,8 @@ from porepy_tpu.models.mass_and_energy_balance import (  # noqa: E402,F401
     MassAndEnergyBalance,
 )
 from porepy_tpu.models.momentum_balance import MomentumBalance  # noqa: E402,F401
+from porepy_tpu.models.poromechanics import Poromechanics  # noqa: E402,F401
+from porepy_tpu.numerics.fv.biot import Biot  # noqa: E402,F401
 from porepy_tpu.numerics.fv.mpfa import Mpfa  # noqa: E402,F401
 from porepy_tpu.numerics.fv.mpsa import Mpsa  # noqa: E402,F401
 from porepy_tpu.models import energy_balance  # noqa: E402,F401

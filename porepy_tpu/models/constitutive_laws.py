@@ -500,6 +500,149 @@ class LinearElasticMechanicalStress:
         return MpsaAd(self.stress_keyword, subdomains, self.mdg)
 
 
+class BiotCoefficient:
+    """Reference ``constitutive_laws.py:4350``."""
+
+    def biot_coefficient(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(self.solid.biot_coefficient, "biot_coefficient")
+
+    def biot_tensor(self, subdomains: Sequence) -> SecondOrderTensor:
+        size = sum(sd.num_cells for sd in subdomains)
+        return SecondOrderTensor(
+            self.solid.biot_coefficient * np.ones(size)
+        )
+
+
+class SpecificStorage:
+    """Reference ``constitutive_laws.py:4383``."""
+
+    def specific_storage(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(self.solid.specific_storage, "specific_storage")
+
+
+class PressureStress(LinearElasticMechanicalStress):
+    """Pressure contribution to poromechanical stress (reference
+    ``constitutive_laws.py:3377``)."""
+
+    def pressure_stress(self, subdomains: Sequence) -> ad.Operator:
+        from porepy_tpu.numerics.ad.discretizations import BiotAd
+
+        for sd in subdomains:
+            if sd.dim != self.nd:
+                raise ValueError("Pressure stress requires dimension nd")
+        discr = BiotAd(self.stress_keyword, subdomains, self.mdg)
+        stress = discr.scalar_gradient(
+            self.darcy_keyword
+        ) @ self.perturbation_from_reference("pressure", subdomains)
+        stress.set_name("pressure_stress")
+        return stress
+
+    def stress_discretization(self, subdomains: Sequence):
+        from porepy_tpu.numerics.ad.discretizations import BiotAd
+
+        return BiotAd(self.stress_keyword, subdomains, self.mdg)
+
+
+class PoroMechanicsPorosity:
+    """Pressure- and displacement-dependent matrix porosity with MPSA
+    consistency stabilization (reference ``constitutive_laws.py:4427``)."""
+
+    def porosity(self, subdomains: Sequence) -> ad.Operator:
+        subdomains_nd = [sd for sd in subdomains if sd.dim == self.nd]
+        subdomains_lower = [sd for sd in subdomains if sd.dim < self.nd]
+        projection = ad.SubdomainProjections(subdomains, dim=1)
+        size = sum(sd.num_cells for sd in subdomains_lower)
+        one = ad.DenseArray(np.ones(size), name="one")
+        phi = projection.cell_prolongation(subdomains_nd) @ self.matrix_porosity(
+            subdomains_nd
+        )
+        if subdomains_lower:
+            phi = phi + projection.cell_prolongation(subdomains_lower) @ one
+        phi.set_name("porosity")
+        return phi
+
+    def matrix_porosity(self, subdomains: Sequence) -> ad.Operator:
+        if not all(sd.dim == self.nd for sd in subdomains):
+            raise ValueError("Matrix porosity requires dimension nd")
+        phi = (
+            self.reference_porosity(subdomains)
+            + self.porosity_change_from_pressure(subdomains)
+            + self.porosity_change_from_displacement(subdomains)
+        )
+        phi = phi + self._mpsa_consistency(
+            subdomains, self.darcy_keyword, self.pressure_variable
+        )
+        phi.set_name("stabilized_matrix_porosity")
+        return phi
+
+    def reference_porosity(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(self.solid.porosity, "reference_porosity")
+
+    def porosity_change_from_pressure(self, subdomains: Sequence) -> ad.Operator:
+        alpha = self.biot_coefficient(subdomains)
+        phi_ref = self.reference_porosity(subdomains)
+        bulk = self.bulk_modulus(subdomains)
+        dp = self.perturbation_from_reference("pressure", subdomains)
+        n_inv = (alpha - phi_ref) * (ad.Scalar(1.0) - alpha) / bulk
+        out = n_inv * dp
+        out.set_name("porosity_change_from_pressure")
+        return out
+
+    def porosity_change_from_displacement(self, subdomains: Sequence) -> ad.Operator:
+        out = self.displacement_divergence(subdomains)
+        out.set_name("porosity_change_from_displacement")
+        return out
+
+    def displacement_divergence(self, subdomains: Sequence) -> ad.Operator:
+        from porepy_tpu.numerics.ad.discretizations import BiotAd
+
+        if not all(sd.dim == self.nd for sd in subdomains):
+            raise ValueError("Displacement divergence requires dimension nd")
+        discr = BiotAd(self.stress_keyword, subdomains, self.mdg)
+        boundary_operator = self.combine_boundary_operators_mechanical_stress(
+            subdomains
+        )
+        bc_contribution = boundary_operator
+        interfaces = self.subdomains_to_interfaces(subdomains, [1])
+        if interfaces:
+            sd_projection = ad.SubdomainProjections(subdomains, dim=self.nd)
+            mortar_projection = ad.MortarProjections(
+                self.mdg, subdomains, interfaces, dim=self.nd
+            )
+            bc_contribution = boundary_operator + sd_projection.face_restriction(
+                subdomains
+            ) @ (
+                mortar_projection.mortar_to_primary_avg()
+                @ self.interface_displacement(interfaces)
+            )
+        integrated = discr.displacement_divergence(
+            self.darcy_keyword
+        ) @ self.displacement(subdomains) + discr.bound_displacement_divergence(
+            self.darcy_keyword
+        ) @ bc_contribution
+        cell_volumes_inv = ad.Scalar(1.0) / self.wrap_grid_attribute(
+            subdomains, "cell_volumes", dim=1
+        )
+        out = cell_volumes_inv * integrated
+        out.set_name("displacement_divergence")
+        return out
+
+    def _mpsa_consistency(
+        self, subdomains: Sequence, physics_name: str, variable_name: str
+    ) -> ad.Operator:
+        from porepy_tpu.numerics.ad.discretizations import BiotAd
+
+        discr = BiotAd(self.stress_keyword, subdomains, self.mdg)
+        dp = self.perturbation_from_reference(variable_name, subdomains)
+        integrated = discr.consistency(physics_name) @ dp
+        cell_volumes_inv = ad.Scalar(1.0) / self.wrap_grid_attribute(
+            subdomains, "cell_volumes", dim=1
+        )
+        out = cell_volumes_inv * integrated
+        out.set_name("mpsa_consistency")
+        return out
+
+
 class FouriersLaw:
     """Conductive heat flux on the FV matrix contract — structural mirror of
     :class:`DarcysLaw` with the fourier keyword (reference

@@ -242,6 +242,7 @@ class SolutionStrategySinglePhaseFlow(SolutionStrategy):
 
     def update_discretization_parameters(self) -> None:
         self._discretizations = []
+        super().update_discretization_parameters()
         subdomains = self.mdg.subdomains()
         discr = self._fv_discretizer(
             self.darcy_keyword, self.darcy_flux_discretization(subdomains)

@@ -1,0 +1,121 @@
+"""Coupled poromechanics (Biot).
+
+Parity counterpart of reference ``models/poromechanics.py``: mass balance
+and momentum balance coupled through the constitutive laws — the stress
+gains the pore-pressure term ``alpha p I`` and the porosity gains
+``alpha div(u)`` plus the MPSA consistency stabilization. Fracture contact
+coupling arrives with the contact-mechanics milestone; unfractured domains
+are complete.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from porepy_tpu.models import constitutive_laws as laws
+from porepy_tpu.models import fluid_mass_balance as mass
+from porepy_tpu.models import momentum_balance as momentum
+from porepy_tpu.models.geometry import ModelGeometry
+from porepy_tpu.numerics import ad
+from porepy_tpu.numerics.fv.biot import Biot
+from porepy_tpu.viz.data_saving_model_mixin import DataSavingMixin
+
+__all__ = ["Poromechanics"]
+
+
+class ConstitutiveLawsPoromechanics(
+    laws.DisplacementJumpAperture,
+    laws.BiotCoefficient,
+    laws.SpecificStorage,
+    laws.PressureStress,
+    laws.PoroMechanicsPorosity,
+    laws.ZeroGravityForce,
+    laws.SecondOrderTensorUtils,
+    laws.DarcysLaw,
+    laws.DimensionReduction,
+    laws.AdvectiveFlux,
+    laws.FluidMobility,
+    laws.ConstantPermeability,
+    laws.FluidDensityFromPressure,
+    laws.ConstantViscosity,
+    laws.ElasticModuli,
+    laws.LinearElasticMechanicalStress,
+    laws.ConstantSolidDensity,
+):
+    def stress(self, subdomains: Sequence) -> ad.Operator:
+        return self.mechanical_stress(subdomains) + self.pressure_stress(
+            subdomains
+        )
+
+
+class EquationsPoromechanics(
+    momentum.MomentumBalanceEquations,
+    mass.FluidMassBalanceEquations,
+):
+    def set_equations(self) -> None:
+        super().set_equations()
+
+
+class VariablesPoromechanics(
+    momentum.VariablesMomentumBalance,
+    mass.VariablesSinglePhaseFlow,
+):
+    def create_variables(self) -> None:
+        super().create_variables()
+
+
+class BoundaryConditionsPoromechanics(
+    mass.BoundaryConditionsSinglePhaseFlow,
+    momentum.BoundaryConditionsMomentumBalance,
+):
+    pass
+
+
+class InitialConditionsPoromechanics(
+    mass.InitialConditionsSinglePhaseFlow,
+    momentum.InitialConditionsMomentumBalance,
+):
+    pass
+
+
+class SolutionStrategyPoromechanics(
+    mass.SolutionStrategySinglePhaseFlow,
+    momentum.SolutionStrategyMomentumBalance,
+):
+    def __init__(self, params: Optional[dict] = None) -> None:
+        super().__init__(params)
+
+    def update_discretization_parameters(self) -> None:
+        super().update_discretization_parameters()
+        # Swap the plain MPSA for the Biot discretization with the Darcy
+        # coupling keyword, matching the reference
+        # (``poromechanics.py:233``).
+        self._discretizations = [
+            entry
+            for entry in self._discretizations
+            if entry[0].keyword != self.stress_keyword
+        ]
+        for sd, data in self.mdg.subdomains(dim=self.nd, return_data=True):
+            params = data["parameters"][self.stress_keyword]
+            svm = params.get("scalar_vector_mappings", {})
+            svm[self.darcy_keyword] = self.biot_tensor([sd])
+            params["scalar_vector_mappings"] = svm
+            self._discretizations.append(
+                (Biot(self.stress_keyword), sd, data)
+            )
+
+    def _is_nonlinear_problem(self) -> bool:
+        return True
+
+
+class Poromechanics(
+    EquationsPoromechanics,
+    VariablesPoromechanics,
+    ConstitutiveLawsPoromechanics,
+    BoundaryConditionsPoromechanics,
+    InitialConditionsPoromechanics,
+    SolutionStrategyPoromechanics,
+    ModelGeometry,
+    DataSavingMixin,
+):
+    """Coupled fluid mass and momentum balance (Biot poromechanics)."""

@@ -22,21 +22,35 @@ __all__ = ["MergedOperator", "TpfaAd", "MpfaAd", "UpwindAd"]
 
 
 class MergedOperator(Operator):
-    """Leaf resolving to ``block_diag(data[kw][key] for sd in grids)``."""
+    """Leaf resolving to ``block_diag(data[kw][key] for sd in grids)``.
 
-    def __init__(self, mdg, keyword: str, matrix_key: str, grids: Sequence) -> None:
-        super().__init__(name=f"{keyword}.{matrix_key}", domains=grids)
+    ``sub_key`` addresses keyed coupling-term dictionaries (Biot stores one
+    matrix per coupled scalar keyword).
+    """
+
+    def __init__(
+        self,
+        mdg,
+        keyword: str,
+        matrix_key: str,
+        grids: Sequence,
+        sub_key: str = None,
+    ) -> None:
+        name = f"{keyword}.{matrix_key}" + (f"[{sub_key}]" if sub_key else "")
+        super().__init__(name=name, domains=grids)
         self.mdg = mdg
         self.keyword = keyword
         self.matrix_key = matrix_key
+        self.sub_key = sub_key
 
     def fetch(self) -> sps.csr_matrix:
         mats = []
         for g in self.domains:
             data = self.mdg.subdomain_data(g)
-            mats.append(
-                data[cc.DISCRETIZATION_MATRICES][self.keyword][self.matrix_key]
-            )
+            mat = data[cc.DISCRETIZATION_MATRICES][self.keyword][self.matrix_key]
+            if self.sub_key is not None:
+                mat = mat[self.sub_key]
+            mats.append(mat)
         if not mats:
             return sps.csr_matrix((0, 0))
         if len(mats) == 1:
@@ -98,6 +112,31 @@ class MpsaAd(_DiscretizationAd):
 
     def bound_displacement_face(self) -> MergedOperator:
         return self._op("bound_displacement_face")
+
+
+class BiotAd(MpsaAd):
+    """Reference ``ad/discretizations.py:87`` equivalent: MPSA matrices plus
+    the keyword-addressed poromechanical coupling terms."""
+
+    def _keyed(self, key: str, sub_key: str) -> MergedOperator:
+        return MergedOperator(
+            self.mdg, self.keyword, key, self.subdomains, sub_key=sub_key
+        )
+
+    def displacement_divergence(self, sub_key: str) -> MergedOperator:
+        return self._keyed("displacement_divergence", sub_key)
+
+    def bound_displacement_divergence(self, sub_key: str) -> MergedOperator:
+        return self._keyed("boundary_displacement_divergence", sub_key)
+
+    def scalar_gradient(self, sub_key: str) -> MergedOperator:
+        return self._keyed("scalar_gradient", sub_key)
+
+    def consistency(self, sub_key: str) -> MergedOperator:
+        return self._keyed("mpsa_consistency", sub_key)
+
+    def bound_pressure(self, sub_key: str) -> MergedOperator:
+        return self._keyed("bound_displacement_pressure", sub_key)
 
 
 class UpwindAd(_DiscretizationAd):

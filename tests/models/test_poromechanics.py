@@ -1,0 +1,137 @@
+"""Biot discretization and coupled poromechanics: parity with the
+reference on all coupling matrices and on transient coupled fields."""
+
+import numpy as np
+
+import porepy_tpu as pt
+from tests.conftest import requires_reference
+
+
+@requires_reference
+def test_biot_matrix_parity(ref_pp):
+    rng = np.random.default_rng(5)
+    for nx in ([4, 3], [3, 2, 2]):
+        g = pt.CartGrid(list(nx))
+        g.compute_geometry()
+        gr = ref_pp.CartGrid(list(nx))
+        gr.compute_geometry()
+        nc = g.num_cells
+        mu = rng.uniform(0.5, 2.0, nc)
+        lmbda = rng.uniform(0.5, 2.0, nc)
+        bf = g.get_boundary_faces()
+        cond = ["dir" if i % 2 == 0 else "neu" for i in range(bf.size)]
+        svm = {"flow": 0.8}
+
+        d = pt.initialize_data(
+            {},
+            "mechanics",
+            {
+                "fourth_order_tensor": pt.FourthOrderTensor(mu, lmbda),
+                "bc": pt.BoundaryConditionVectorial(g, bf, cond),
+                "scalar_vector_mappings": dict(svm),
+            },
+        )
+        pt.Biot("mechanics").discretize(g, d)
+        dr = ref_pp.initialize_data(
+            {},
+            "mechanics",
+            {
+                "fourth_order_tensor": ref_pp.FourthOrderTensor(mu, lmbda),
+                "bc": ref_pp.BoundaryConditionVectorial(gr, bf, cond),
+                "scalar_vector_mappings": dict(svm),
+                "inverter": "python",
+            },
+        )
+        ref_pp.Biot("mechanics").discretize(gr, dr)
+        md = d[pt.DISCRETIZATION_MATRICES]["mechanics"]
+        mdr = dr[ref_pp.DISCRETIZATION_MATRICES]["mechanics"]
+        for key in (
+            "stress",
+            "bound_stress",
+            "bound_displacement_cell",
+            "bound_displacement_face",
+        ):
+            diff = abs(md[key] - mdr[key])
+            mx = diff.max() if diff.nnz else 0.0
+            assert mx / max(abs(mdr[key]).max(), 1e-300) < 1e-10, key
+        for key in (
+            "scalar_gradient",
+            "displacement_divergence",
+            "boundary_displacement_divergence",
+            "mpsa_consistency",
+            "bound_displacement_pressure",
+        ):
+            diff = abs(md[key]["flow"] - mdr[key]["flow"])
+            mx = diff.max() if diff.nnz else 0.0
+            assert mx / max(abs(mdr[key]["flow"]).max(), 1e-300) < 1e-10, key
+
+
+def _make(mod, base):
+    class M(base):
+        def bc_values_displacement(self, bg):
+            vals = np.zeros((self.nd, bg.num_cells))
+            north = self.domain_boundary_sides(bg).north
+            vals[1, north] = -0.001
+            return vals.ravel("F")
+
+        def bc_values_pressure(self, bg):
+            return np.zeros(bg.num_cells)
+
+        def initialize_data_saving(self):
+            pass
+
+        def save_data_time_step(self):
+            pass
+
+    params = {
+        "grid_type": "cartesian",
+        "meshing_arguments": {"cell_size": 0.25},
+        "material_constants": {
+            "solid": mod.SolidConstants(
+                shear_modulus=1.0,
+                lame_lambda=1.0,
+                permeability=1e-2,
+                porosity=0.1,
+                biot_coefficient=0.8,
+                specific_storage=0.1,
+            ),
+            "fluid": mod.FluidComponent(
+                viscosity=1.0, density=1.0, compressibility=1e-2
+            ),
+        },
+        "time_manager": mod.TimeManager([0, 0.5], 0.25, constant_dt=True),
+    }
+    return M(params), params
+
+
+@requires_reference
+def test_poromechanics_parity(ref_pp):
+    m, p1 = _make(pt, pt.Poromechanics)
+    pt.run_time_dependent_model(m, p1)
+    r, p2 = _make(ref_pp, ref_pp.Poromechanics)
+    ref_pp.run_time_dependent_model(r, p2)
+    for var in ("pressure", "u"):
+        vo = m.equation_system.get_variable_values([var], time_step_index=0)
+        vr = r.equation_system.get_variable_values([var], time_step_index=0)
+        assert np.abs(vo - vr).max() < 1e-12, var
+
+
+def test_poromechanics_compression_builds_pressure():
+    """Rapid compression of a low-permeability medium raises pore pressure
+    (undrained response) — the Biot coupling signature."""
+    m, params = _make(pt, pt.Poromechanics)
+    params["material_constants"]["solid"] = pt.SolidConstants(
+        shear_modulus=1.0,
+        lame_lambda=1.0,
+        permeability=1e-8,
+        porosity=0.1,
+        biot_coefficient=0.8,
+        specific_storage=0.1,
+    )
+    m = type(m)(params)
+    pt.run_time_dependent_model(m, params)
+    p = m.equation_system.get_variable_values(["pressure"], time_step_index=0)
+    # Compression (negative volumetric strain) with near-zero drainage:
+    # pressure must drop/rise consistently with div(u) sign, here negative
+    # displacement divergence -> negative pressure change has magnitude > 0.
+    assert np.abs(p).max() > 1e-6
