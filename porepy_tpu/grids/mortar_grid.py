@@ -120,9 +120,12 @@ class MortarGrid:
         """
         coo = sps.coo_matrix(primary_secondary)
         secondary_f, primary_f, data = coo.row, coo.col, coo.data
-        # Deterministic CSR-like ordering (row-major) to mirror the
-        # reference's sparse_array_to_row_col_data.
-        order = np.lexsort((primary_f, secondary_f))
+        # Deterministic column-major ordering: face_cells arrives as csc, so
+        # the coo entries are sorted by primary face index. With split grids
+        # the duplicated faces have the highest indices, which puts the
+        # original side in the first half — the assumption behind
+        # _ind_face_on_other_side below (reference ``mortar_grid.py:871``).
+        order = np.lexsort((secondary_f, primary_f))
         secondary_f, primary_f, data = (
             secondary_f[order],
             primary_f[order],

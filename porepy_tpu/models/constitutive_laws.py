@@ -500,6 +500,213 @@ class LinearElasticMechanicalStress:
         return MpsaAd(self.stress_keyword, subdomains, self.mdg)
 
 
+    def fracture_stress(self, interfaces):
+        """Contact traction rotated to global coordinates and projected to
+        the interface, rescaled to physical units (reference
+        ``constitutive_laws.py:2956``)."""
+        for interface in interfaces:
+            if interface.dim != self.nd - 1:
+                raise ValueError("Interface must be of co-dimension 1")
+        subdomains = self.interfaces_to_subdomains(interfaces)
+        fracture_subdomains = [sd for sd in subdomains if sd.dim == self.nd - 1]
+        subdomain_projection = ad.SubdomainProjections(subdomains, self.nd)
+        mortar_projection = ad.MortarProjections(
+            self.mdg, subdomains, interfaces, self.nd
+        )
+        nondim_traction = (
+            mortar_projection.sign_of_mortar_sides()
+            @ mortar_projection.secondary_to_mortar_int()
+            @ subdomain_projection.cell_prolongation(fracture_subdomains)
+            @ self.local_coordinates(fracture_subdomains).transpose()
+            @ self.contact_traction(fracture_subdomains)
+        )
+        traction = nondim_traction * self.characteristic_contact_traction(
+            fracture_subdomains
+        )
+        traction.set_name("mechanical_fracture_stress")
+        return traction
+
+
+
+class DisplacementJump:
+    """Displacement jump across fractures in local (tangential/normal)
+    coordinates, split into elastic and plastic parts (reference
+    ``constitutive_laws.py:26``)."""
+
+    def displacement_jump(self, subdomains: Sequence) -> ad.Operator:
+        if not all(sd.dim == self.nd - 1 for sd in subdomains):
+            raise ValueError("Displacement jump only defined on fractures")
+        interfaces = self.subdomains_to_interfaces(subdomains, [1])
+        interfaces = [intf for intf in interfaces if intf.dim == self.nd - 1]
+        mortar_projection = ad.MortarProjections(
+            self.mdg, subdomains, interfaces, self.nd
+        )
+        rotated_jumps = (
+            self.local_coordinates(subdomains)
+            @ mortar_projection.mortar_to_secondary_avg()
+            @ mortar_projection.sign_of_mortar_sides()
+            @ self.interface_displacement(interfaces)
+        )
+        rotated_jumps.set_name("rotated_displacement_jump")
+        return rotated_jumps
+
+    def elastic_displacement_jump(self, subdomains: Sequence) -> ad.Operator:
+        basis = self.basis(subdomains, dim=self.nd)
+        local_basis = self.basis(subdomains, dim=self.nd - 1)
+        tangential_to_nd = ad.sum_operator_list(
+            [e_nd @ e_f.T for e_nd, e_f in zip(basis[:-1], local_basis)]
+        )
+        normal_to_nd = basis[-1]
+        u_t = self.elastic_tangential_fracture_deformation(subdomains)
+        u_n = self.elastic_normal_fracture_deformation(subdomains)
+        return tangential_to_nd @ u_t + normal_to_nd @ u_n
+
+    def plastic_displacement_jump(self, subdomains: Sequence) -> ad.Operator:
+        u_p = self.displacement_jump(subdomains) - self.elastic_displacement_jump(
+            subdomains
+        )
+        u_p.set_name("plastic_displacement_jump")
+        return u_p
+
+
+class CharacteristicTractionFromDisplacement:
+    """Reference ``constitutive_laws.py:3682``."""
+
+    def characteristic_contact_traction(self, subdomains: Sequence) -> ad.Operator:
+        size = ad.Scalar(float(np.max(self.domain.side_lengths())))
+        strain = self.characteristic_displacement(subdomains) / size
+        t_char = strain * self.youngs_modulus(subdomains)
+        t_char.set_name("characteristic_contact_traction")
+        return t_char
+
+    def characteristic_displacement(self, subdomains: Sequence) -> ad.Operator:
+        u_char = ad.Scalar(self.numerical.characteristic_displacement)
+        u_char.set_name("characteristic_displacement")
+        return u_char
+
+
+class CoulombFrictionBound:
+    """b = -F t_n (reference ``constitutive_laws.py:3776``)."""
+
+    def friction_bound(self, subdomains: Sequence) -> ad.Operator:
+        t_n = self.normal_component(subdomains) @ self.contact_traction(subdomains)
+        bound = ad.Scalar(-1.0) * self.friction_coefficient(subdomains) * t_n
+        bound.set_name("friction_bound")
+        return bound
+
+    def friction_coefficient(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(self.solid.friction_coefficient, "friction_coefficient")
+
+
+class ShearDilation:
+    """Dilation gap tan(psi) * |u_t^plastic| (reference constitutive law)."""
+
+    def shear_dilation_gap(self, subdomains: Sequence) -> ad.Operator:
+        angle = self.dilation_angle(subdomains)
+        norm = ad.l2_norm(
+            self.nd - 1,
+            self.tangential_component(subdomains)
+            @ self.plastic_displacement_jump(subdomains),
+        )
+        out = ad.tan(angle) * norm
+        out.set_name("shear_dilation")
+        return out
+
+    def dilation_angle(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(self.solid.dilation_angle, "dilation_angle")
+
+
+class BartonBandis:
+    """Barton-Bandis elastic normal fracture deformation (reference
+    ``constitutive_laws.py:3883``); void when the maximum opening is 0."""
+
+    def elastic_normal_fracture_deformation(
+        self, subdomains: Sequence
+    ) -> ad.Operator:
+        maximum_opening = self.maximum_elastic_fracture_opening(subdomains)
+        val = self.equation_system.evaluate(maximum_opening)
+        if np.any(np.asarray(val) == 0):
+            num_cells = sum(sd.num_cells for sd in subdomains)
+            return ad.DenseArray(np.zeros(num_cells), "zero_barton_bandis_opening")
+        if np.any(np.asarray(val) < 0):
+            raise ValueError("The maximum opening must be non-negative")
+        nd_vec_to_normal = self.normal_component(subdomains)
+        contact_traction = ad.Scalar(-1.0) * self.contact_traction(subdomains)
+        normal_traction = nd_vec_to_normal @ contact_traction
+        normal_stiffness = self.fracture_normal_stiffness(subdomains)
+        scaled_stiffness = normal_stiffness / self.characteristic_contact_traction(
+            subdomains
+        )
+        opening_decrease = (
+            normal_traction
+            * maximum_opening
+            / (scaled_stiffness * maximum_opening + normal_traction)
+        )
+        elastic_opening = maximum_opening - opening_decrease
+        elastic_opening.set_name("barton_bandis_elastic_opening")
+        return elastic_opening
+
+    def maximum_elastic_fracture_opening(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(
+            self.solid.maximum_elastic_fracture_opening, "maximum_opening"
+        )
+
+    def fracture_normal_stiffness(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(
+            self.solid.fracture_normal_stiffness, "fracture_normal_stiffness"
+        )
+
+
+class FractureGap(BartonBandis, ShearDilation):
+    """gap = reference + shear dilation + elastic opening (reference
+    ``constitutive_laws.py:4022``)."""
+
+    def fracture_gap(self, subdomains: Sequence) -> ad.Operator:
+        gap = (
+            self.reference_fracture_gap(subdomains)
+            + self.shear_dilation_gap(subdomains)
+            + self.elastic_normal_fracture_deformation(subdomains)
+        )
+        gap.set_name("fracture_gap")
+        return gap
+
+    def reference_fracture_gap(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(self.solid.fracture_gap, "reference_fracture_gap")
+
+
+class ElasticTangentialFractureDeformation:
+    """u_t = t_t / K_t; zero when K_t = -1 (reference
+    ``constitutive_laws.py:4062``)."""
+
+    def fracture_tangential_stiffness(self, subdomains: Sequence) -> ad.Operator:
+        return ad.Scalar(
+            self.solid.fracture_tangential_stiffness,
+            "fracture_tangential_stiffness",
+        )
+
+    def elastic_tangential_fracture_deformation(
+        self, subdomains: Sequence
+    ) -> ad.Operator:
+        stiffness = self.fracture_tangential_stiffness(subdomains)
+        stiffness_value = self.units.convert_units(
+            float(self.equation_system.evaluate(stiffness)), "Pa*m^-1", to_si=True
+        )
+        if np.any(np.isclose(stiffness_value, -1.0, atol=1e-12, rtol=1e-12)):
+            num_cells = sum(sd.num_cells for sd in subdomains)
+            zero = ad.DenseArray(np.zeros((self.nd - 1) * num_cells))
+            zero.set_name("zero_elastic_tangential_fracture_deformation")
+            return zero
+        t_t = self.tangential_component(subdomains) @ self.contact_traction(
+            subdomains
+        )
+        scaled_stiffness = stiffness / self.characteristic_contact_traction(
+            subdomains
+        )
+        u_t = t_t / scaled_stiffness
+        u_t.set_name("elastic_tangential_fracture_deformation")
+        return u_t
+
+
 class BiotCoefficient:
     """Reference ``constitutive_laws.py:4350``."""
 

@@ -37,6 +37,12 @@ class ModelGeometry:
         self.fracture_network = None
         self.mdg = self.create_mdg()
         self.nd: int = self.mdg.dim_max()
+        if self.mdg.subdomains(dim=self.nd - 1):
+            from porepy_tpu.utils.tangential_normal_projection import (
+                set_local_coordinate_projections,
+            )
+
+            set_local_coordinate_projections(self.mdg)
         self.set_well_network()
 
     def set_domain(self) -> None:
@@ -199,12 +205,68 @@ class ModelGeometry:
             bottom = np.zeros(num, dtype=bool)
         return DomainSides(all_bf, east, west, north, south, top, bottom)
 
-    def local_coordinates(self, subdomains: Sequence[Grid]) -> ad.SparseArray:
-        raise NotImplementedError(
-            "Arrives with the tangential/normal projection utilities"
+    def tangential_component(self, subdomains: Sequence[Grid]) -> ad.Operator:
+        """Restrict cell-wise nd-vectors to the first nd-1 (tangential)
+        components, expressed in the tangential basis (reference
+        ``models/geometry.py:379``)."""
+        op = ad.sum_operator_list(
+            [
+                self.e_i(subdomains, i=i, dim=self.nd - 1)
+                @ self.e_i(subdomains, i=i, dim=self.nd).T
+                for i in range(self.nd - 1)
+            ]
         )
+        op.set_name("tangential_component")
+        return op
+
+    def normal_component(self, subdomains: Sequence[Grid]) -> ad.SparseArray:
+        """Restrict cell-wise nd-vectors to the final (normal) component."""
+        e_n = self.e_i(subdomains, i=self.nd - 1, dim=self.nd)
+        out = e_n.T
+        out.set_name("normal_component")
+        return out
+
+    def local_coordinates(self, subdomains: Sequence[Grid]) -> ad.SparseArray:
+        """Global-to-local rotation for fracture subdomains, from the stored
+        tangential/normal projections (reference ``models/geometry.py:440``)."""
+        import scipy.sparse as sps
+
+        if not all(sd.dim == self.nd - 1 for sd in subdomains):
+            raise ValueError("Local coordinates defined on fractures only")
+        if subdomains:
+            mats = [
+                self.mdg.subdomain_data(sd)[
+                    "tangential_normal_projection"
+                ].project_tangential_normal(sd.num_cells)
+                for sd in subdomains
+            ]
+            mat = sps.block_diag(mats, format="csr")
+        else:
+            mat = sps.csr_matrix((0, 0))
+        return ad.SparseArray(mat, name="local_coordinates")
 
     def internal_boundary_normal_to_outwards(
         self, subdomains: Sequence[Grid], *, dim: int
-    ):
-        raise NotImplementedError("Arrives with the fracs layer")
+    ) -> ad.SparseArray:
+        """Diagonal +-1 operator flipping face normal vectors that point
+        away from the fracture on internal boundaries (reference
+        ``models/geometry.py:590``)."""
+        import scipy.sparse as sps
+
+        if len(subdomains) == 0:
+            return ad.SparseArray(sps.csr_matrix((0, 0)))
+        mats = []
+        for sd in subdomains:
+            faces = np.where(sd.tags["fracture_faces"])[0]
+            sgn, _ = sd.signs_and_cells_of_boundary_faces(faces)
+            diag = np.zeros(sd.num_faces)
+            diag[faces] = sgn
+            diag_nd = np.tile(diag, (dim, 1)).ravel(order="F")
+            mats.append(
+                sps.dia_matrix(
+                    (diag_nd, 0), shape=(diag_nd.size, diag_nd.size)
+                )
+            )
+        flipper = sps.block_diag(mats, format="csr")
+        out = ad.SparseArray(flipper, name="flip_normal_vectors")
+        return out

@@ -15,7 +15,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from porepy_tpu.grids.boundary_grid import BoundaryGrid
-from porepy_tpu.models import constitutive_laws
+from porepy_tpu.models import constitutive_laws, contact_mechanics
 from porepy_tpu.models.abstract_equations import BalanceEquation, VariableMixin
 from porepy_tpu.models.boundary_condition import BoundaryConditionMixin
 from porepy_tpu.models.geometry import ModelGeometry
@@ -73,13 +73,40 @@ class MomentumBalanceEquations(BalanceEquation):
         return ad.Scalar(0.0)
 
     def interface_force_balance_equation(self, interfaces: Sequence) -> ad.Operator:
-        raise NotImplementedError(
-            "Interface force balance arrives with contact mechanics"
+        """Force balance on matrix-fracture interfaces: matrix stress projected
+        to mortar equals the (area-scaled) contact traction (reference
+        ``momentum_balance.py:127``)."""
+        for interface in interfaces:
+            if interface.dim != self.nd - 1:
+                raise ValueError("Interface must be a fracture-matrix interface.")
+
+        subdomains = self.interfaces_to_subdomains(interfaces)
+        matrix_subdomains = [sd for sd in subdomains if sd.dim == self.nd]
+
+        mortar_projection = ad.MortarProjections(
+            self.mdg, subdomains, interfaces, self.nd
         )
+        proj = ad.SubdomainProjections(subdomains, self.nd)
+
+        contact_from_primary_mortar = (
+            mortar_projection.primary_to_mortar_int()
+            @ proj.face_prolongation(matrix_subdomains)
+            @ self.internal_boundary_normal_to_outwards(
+                matrix_subdomains, dim=self.nd
+            )
+            @ self.stress(matrix_subdomains)
+        )
+        traction_from_secondary = self.fracture_stress(interfaces)
+        force_balance_eq: ad.Operator = contact_from_primary_mortar + (
+            self.volume_integral(traction_from_secondary, interfaces, dim=self.nd)
+        )
+        force_balance_eq.set_name("interface_force_balance_equation")
+        return force_balance_eq
 
     def body_force(self, subdomains: Sequence) -> ad.Operator:
-        num_cells = int(sum(sd.num_cells for sd in subdomains))
-        return ad.DenseArray(np.zeros(num_cells * self.nd), name="body_force")
+        return self.volume_integral(
+            self.gravity_force(subdomains, "solid"), subdomains, dim=self.nd
+        )
 
 
 class VariablesMomentumBalance(VariableMixin):
@@ -203,13 +230,19 @@ class SolutionStrategyMomentumBalance(SolutionStrategy):
 
 
 class MomentumBalance(
+    contact_mechanics.ContactMechanicsEquations,
     MomentumBalanceEquations,
+    contact_mechanics.ContactTractionVariable,
     VariablesMomentumBalance,
+    contact_mechanics.ConstitutiveLawsContactMechanics,
     ConstitutiveLawsMomentumBalance,
     BoundaryConditionsMomentumBalance,
+    contact_mechanics.InitialConditionsContactTraction,
     InitialConditionsMomentumBalance,
+    contact_mechanics.SolutionStrategyContactMechanics,
     SolutionStrategyMomentumBalance,
     ModelGeometry,
     DataSavingMixin,
 ):
-    """Quasi-static momentum balance for elastic (porous) media."""
+    """Mixed-dimensional quasi-static momentum balance with fracture contact
+    mechanics (reference ``momentum_balance.py:975``)."""

@@ -33,6 +33,9 @@ from porepy_tpu.numerics.ad.discretizations import (  # noqa: F401
     UpwindAd,
 )
 from porepy_tpu.numerics.ad.operators import concat  # noqa: F401
+from porepy_tpu.numerics.ad.operators import (  # noqa: F401
+    sum_operator_list as sum_projection_list,
+)
 from porepy_tpu.numerics.ad.functions import (  # noqa: F401
     abs,
     arccos,

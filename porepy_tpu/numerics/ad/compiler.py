@@ -263,6 +263,13 @@ def _trace_node(node, rec, x, env, env_spec, eq_sys, const_mats):
         return -c[0]
     if op is Operations.matmul:
         left, right = c
+        # Matrix @ scalar: broadcast the scalar over the domain (reference
+        # allows e.g. ``scalar_to_tangential @ c_num`` for both cell-wise
+        # arrays and single scalars, contact_mechanics.py:215).
+        if jnp.ndim(right) == 0 or (
+            jnp.shape(right) == (1,) and left.shape[1] != 1
+        ):
+            right = jnp.broadcast_to(jnp.reshape(right, ()), (left.shape[1],))
         if isinstance(left, jsparse.BCOO):
             return left @ right
         return jnp.matmul(left, right)
@@ -372,7 +379,17 @@ def _pattern_node(node, rec, ndof, eq_sys) -> sps.csr_matrix:
         left = node.children[0]
         left_mat = constant_sparse_matrix(left)
         if left_mat is not None:
-            return (abs(left_mat).astype(bool) @ c[1]).astype(bool).tocsr()
+            right_pat = c[1]
+            if right_pat.shape[0] == 1 and left_mat.shape[1] != 1:
+                # Scalar broadcast: every row with a nonzero inherits the
+                # scalar's dependency pattern.
+                rowmask = np.asarray(
+                    abs(left_mat).astype(bool).sum(axis=1)
+                ).ravel() > 0
+                return (
+                    sps.csr_matrix(rowmask.reshape(-1, 1)) @ right_pat
+                ).astype(bool).tocsr()
+            return (abs(left_mat).astype(bool) @ right_pat).astype(bool).tocsr()
         if isinstance(left, DenseArray) and left.values.ndim == 2:
             return (
                 sps.csr_matrix(left.values.astype(bool)) @ c[1]

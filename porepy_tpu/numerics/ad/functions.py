@@ -134,13 +134,34 @@ def characteristic_function(tol: float, var) -> Operator:
     return _fn_op(f, (var,), "characteristic_function")
 
 
+def _safe_l2(nd, x):
+    return jnp.linalg.norm(x.reshape(-1, nd), axis=1)
+
+
+def _safe_l2_jvp(nd, primals, tangents):
+    # Zero vectors get unit Jacobian weight on every component instead of
+    # the undefined 0/0 (reference ``functions.py:120``: semismooth Newton
+    # needs a valid subgradient at the sticking state).
+    (x,) = primals
+    (dx,) = tangents
+    xr = x.reshape(-1, nd)
+    dxr = dx.reshape(-1, nd)
+    val = jnp.linalg.norm(xr, axis=1)
+    safe = val > 1e-12
+    w = jnp.where(
+        safe[:, None], xr / jnp.where(safe, val, 1.0)[:, None], 1.0
+    )
+    return val, (w * dxr).sum(axis=1)
+
+
 def l2_norm(nd: int, var: Operator) -> Operator:
     """Cell-wise Euclidean norm of a vector quantity stored
     component-major per cell (F-order: ``[x0, y0, x1, y1, ...]``), matching
     reference ``functions.py:447``. Output has ``n/nd`` rows."""
+    import jax
 
-    def f(x):
-        return jnp.linalg.norm(x.reshape(-1, nd), axis=1)
+    f = jax.custom_jvp(lambda x: _safe_l2(nd, x))
+    f.defjvp(lambda primals, tangents: _safe_l2_jvp(nd, primals, tangents))
 
     def pattern_fn(child_patterns, ndof):
         import scipy.sparse as sps

@@ -67,14 +67,14 @@ class MortarProjections:
             for intf in interfaces:
                 sd_pair = mdg.interface_to_subdomain_pair(intf)
                 sd = sd_pair[0] if to_primary else sd_pair[1]
-                mat = matrix_of(intf).tocoo()
-                rows.append(mat.row + m_off)
-                cols.append(mat.col + offset.get(sd, 0))
-                vals.append(mat.data)
-                if sd not in offset:
-                    raise ValueError(
-                        "Interface neighbor not in the subdomain list"
-                    )
+                # A neighbor absent from the subdomain list contributes a
+                # zero block (reference allows restricting the subdomain
+                # side, e.g. matrix-only stress assembly).
+                if sd in offset:
+                    mat = matrix_of(intf).tocoo()
+                    rows.append(mat.row + m_off)
+                    cols.append(mat.col + offset[sd])
+                    vals.append(mat.data)
                 m_off += intf.num_cells * dim
             if not rows:
                 return sps.csr_matrix((tot_mortar, tot_cols))

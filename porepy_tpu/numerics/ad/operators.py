@@ -257,6 +257,9 @@ class SparseArray(Operator):
     def T(self) -> "SparseArray":
         return SparseArray(self.mat.T, name=f"{self.name}.T")
 
+    def transpose(self) -> "SparseArray":
+        return self.T
+
 
 class TimeDependentDenseArray(Operator):
     """Array fetched from grid data dicts at evaluation time, re-read every

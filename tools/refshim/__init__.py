@@ -184,7 +184,24 @@ for _name in ("meshio", "gmsh"):
         try:
             __import__(_name)
         except ImportError:
-            _install_fake(_name)
+            _fake = _install_fake(_name)
+            if _name == "meshio":
+                # Minimal data holders so the reference Exporter can build
+                # its meshio geometry without the real package installed.
+                class _CellBlock:
+                    def __init__(self, cell_type, data):
+                        self.type = cell_type
+                        self.data = data
+
+                class _Mesh:
+                    def __init__(self, points=None, cells=None, **kw):
+                        self.points = points
+                        self.cells = cells
+                        self.kw = kw
+
+                _fake.CellBlock = _CellBlock
+                _fake.Mesh = _Mesh
+                _fake.write = lambda *a, **k: None
 
 if "shapely" not in sys.modules:
     try:
