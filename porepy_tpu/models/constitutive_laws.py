@@ -106,8 +106,107 @@ class DimensionReduction:
 
 
 class DisplacementJumpAperture(DimensionReduction):
-    """Aperture from displacement jumps; arrives with contact mechanics.
-    Falls back to residual aperture until then."""
+    """Fracture aperture from the normal displacement jump (reference
+    ``constitutive_laws.py:285``): matrix aperture is one, fracture aperture
+    is ``max(normal_jump + residual, residual)``, intersection aperture is
+    the average of the adjacent fracture apertures."""
+
+    def residual_aperture(self, subdomains: Sequence) -> ad.Scalar:
+        return ad.Scalar(self.solid.residual_aperture, "residual_aperture")
+
+    def aperture(self, subdomains: Sequence) -> ad.Operator:
+        from porepy_tpu.numerics.ad.grid_operators import (
+            MortarProjections,
+            SubdomainProjections,
+            Trace,
+        )
+
+        projection = SubdomainProjections(subdomains, dim=1)
+        nd_subdomains = [sd for sd in subdomains if sd.dim == self.nd]
+        num_cells_nd = int(sum(sd.num_cells for sd in nd_subdomains))
+        one = ad.DenseArray(np.ones(num_cells_nd), name="one")
+        apertures = projection.cell_prolongation(nd_subdomains) @ one
+
+        # Reverse dimension order so results follow the md-grid iteration
+        # order of the subdomains.
+        for dim in range(self.nd - 1, -1, -1):
+            subdomains_of_dim = [sd for sd in subdomains if sd.dim == dim]
+            if len(subdomains_of_dim) == 0:
+                continue
+            if dim == self.nd - 1:
+                normal_jump = self.normal_component(
+                    subdomains_of_dim
+                ) @ self.displacement_jump(subdomains_of_dim)
+                # Guard against non-physical negative jumps in unconverged
+                # states: aperture is bounded below by the residual.
+                a_ref = self.residual_aperture(subdomains_of_dim)
+                apertures_of_dim = ad.maximum(normal_jump + a_ref, a_ref)
+                apertures_of_dim.set_name("aperture_maximum_function")
+                apertures = apertures + (
+                    projection.cell_prolongation(subdomains_of_dim)
+                    @ apertures_of_dim
+                )
+            else:
+                # Intersections: average of the neighboring (parent)
+                # fracture apertures, reached via trace + mortar maps.
+                interfaces_dim = self.subdomains_to_interfaces(
+                    subdomains_of_dim, [1]
+                )
+                interfaces_dim = [
+                    intf for intf in interfaces_dim if intf.dim == dim
+                ]
+                parent_subdomains = self.interfaces_to_subdomains(
+                    interfaces_dim
+                )
+                parent_subdomains = [
+                    sd for sd in parent_subdomains if sd.dim == dim + 1
+                ]
+                combined = self.mdg.sort_subdomains(
+                    subdomains_of_dim + parent_subdomains
+                )
+                mortar_projection = MortarProjections(
+                    self.mdg, combined, interfaces_dim, 1
+                )
+                combined_projection = SubdomainProjections(combined, 1)
+                trace = Trace(parent_subdomains)
+                parent_cells_to_intersection_cells = (
+                    mortar_projection.mortar_to_secondary_avg().mat
+                    @ mortar_projection.primary_to_mortar_avg().mat
+                    @ combined_projection.face_prolongation(
+                        parent_subdomains
+                    ).mat
+                    @ trace.mat
+                ).tocsr()
+                average_weights = np.ravel(
+                    parent_cells_to_intersection_cells.sum(axis=1)
+                )
+                nonzero = average_weights > 0
+                average_weights[nonzero] = 1.0 / average_weights[nonzero]
+                divide_by_num_neighbors = ad.DenseArray(
+                    average_weights, name="average_weights"
+                )
+                parent_apertures = self.aperture(parent_subdomains)
+                apertures_of_dim = divide_by_num_neighbors * (
+                    ad.SparseArray(
+                        parent_cells_to_intersection_cells,
+                        name="parents_to_intersections",
+                    )
+                    @ parent_apertures
+                )
+                apertures_of_dim = (
+                    combined_projection.cell_restriction(subdomains_of_dim)
+                    @ apertures_of_dim
+                )
+                apertures_of_dim.set_name(
+                    f"Displacement_jump_aperture_dim_{dim}"
+                )
+                apertures = apertures + (
+                    projection.cell_prolongation(subdomains_of_dim)
+                    @ apertures_of_dim
+                )
+
+        apertures.set_name("Displacement_jump_apertures")
+        return apertures
 
 
 class ConstantPermeability:
@@ -742,6 +841,38 @@ class PressureStress(LinearElasticMechanicalStress):
             self.darcy_keyword
         ) @ self.perturbation_from_reference("pressure", subdomains)
         stress.set_name("pressure_stress")
+        return stress
+
+    def fracture_stress(self, interfaces: Sequence) -> ad.Operator:
+        """Contact traction plus fluid pressure inside the fracture
+        (reference ``constitutive_laws.py:3445``)."""
+        if not all(intf.dim == self.nd - 1 for intf in interfaces):
+            raise ValueError("Interfaces must be of dimension nd - 1")
+        traction = super().fracture_stress(
+            interfaces
+        ) + self.fracture_pressure_stress(interfaces)
+        traction.set_name("poro_mechanical_fracture_stress")
+        return traction
+
+    def fracture_pressure_stress(self, interfaces: Sequence) -> ad.Operator:
+        """Normal force from the fluid pressure inside the fracture acting
+        on the matrix boundary (reference ``constitutive_laws.py:3470``)."""
+        subdomains = self.interfaces_to_subdomains(interfaces)
+        mortar_projection = ad.MortarProjections(
+            self.mdg, subdomains, interfaces, 1
+        )
+        outwards_normal = self.outwards_internal_boundary_normals(
+            interfaces, unitary=True
+        )
+        scalar_to_nd = ad.sum_operator_list(
+            self.basis(interfaces, dim=self.nd)
+        )
+        stress = outwards_normal * (
+            scalar_to_nd
+            @ mortar_projection.secondary_to_mortar_avg()
+            @ self.pressure(subdomains)
+        )
+        stress.set_name("fracture_pressure_stress")
         return stress
 
     def stress_discretization(self, subdomains: Sequence):

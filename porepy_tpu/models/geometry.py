@@ -245,6 +245,44 @@ class ModelGeometry:
             mat = sps.csr_matrix((0, 0))
         return ad.SparseArray(mat, name="local_coordinates")
 
+    def outwards_internal_boundary_normals(
+        self, interfaces: Sequence, *, unitary: bool
+    ) -> ad.Operator:
+        """Outward normal vectors on internal (fracture) boundaries, as an
+        nd-vector per mortar cell; ``unitary`` normalizes by mortar cell
+        volume (reference ``models/geometry.py:647``)."""
+        if len(interfaces) == 0:
+            return ad.DenseArray(np.zeros(0))
+        primary_subdomains = [
+            self.mdg.interface_to_subdomain_pair(intf)[0] for intf in interfaces
+        ]
+        mortar_projection = ad.MortarProjections(
+            self.mdg, primary_subdomains, interfaces, dim=self.nd
+        )
+        primary_face_normals = self.wrap_grid_attribute(
+            primary_subdomains, "face_normals", dim=self.nd
+        )
+        flip = self.internal_boundary_normal_to_outwards(
+            primary_subdomains, dim=self.nd
+        )
+        flipped_normals = flip @ primary_face_normals
+        outwards_normals = (
+            mortar_projection.primary_to_mortar_int() @ flipped_normals
+        )
+        outwards_normals.set_name("outwards_internal_boundary_normals")
+        if unitary:
+            cell_volumes_inv = ad.Scalar(1.0) / self.wrap_grid_attribute(
+                interfaces, "cell_volumes", dim=1
+            )
+            cell_volumes_inv_nd = ad.sum_operator_list(
+                [e @ cell_volumes_inv for e in self.basis(interfaces, self.nd)]
+            )
+            outwards_normals = cell_volumes_inv_nd * outwards_normals
+            outwards_normals.set_name(
+                "unitary_outwards_internal_boundary_normals"
+            )
+        return outwards_normals
+
     def internal_boundary_normal_to_outwards(
         self, subdomains: Sequence[Grid], *, dim: int
     ) -> ad.SparseArray:

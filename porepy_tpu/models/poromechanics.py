@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from porepy_tpu.models import constitutive_laws as laws
+from porepy_tpu.models import contact_mechanics as contact
 from porepy_tpu.models import fluid_mass_balance as mass
 from porepy_tpu.models import momentum_balance as momentum
 from porepy_tpu.models.geometry import ModelGeometry
@@ -39,8 +40,13 @@ class ConstitutiveLawsPoromechanics(
     laws.FluidDensityFromPressure,
     laws.ConstantViscosity,
     laws.ElasticModuli,
+    laws.CharacteristicTractionFromDisplacement,
+    laws.ElasticTangentialFractureDeformation,
     laws.LinearElasticMechanicalStress,
     laws.ConstantSolidDensity,
+    laws.FractureGap,
+    laws.CoulombFrictionBound,
+    laws.DisplacementJump,
 ):
     def stress(self, subdomains: Sequence) -> ad.Operator:
         return self.mechanical_stress(subdomains) + self.pressure_stress(
@@ -51,14 +57,22 @@ class ConstitutiveLawsPoromechanics(
 class EquationsPoromechanics(
     momentum.MomentumBalanceEquations,
     mass.FluidMassBalanceEquations,
+    contact.ContactMechanicsEquations,
 ):
     def set_equations(self) -> None:
         super().set_equations()
+
+    def body_force(self, subdomains: Sequence) -> ad.Operator:
+        """Bulk (solid+fluid) gravity, reference ``poromechanics.py:77``."""
+        return self.volume_integral(
+            self.gravity_force(subdomains, "bulk"), subdomains, dim=self.nd
+        )
 
 
 class VariablesPoromechanics(
     momentum.VariablesMomentumBalance,
     mass.VariablesSinglePhaseFlow,
+    contact.ContactTractionVariable,
 ):
     def create_variables(self) -> None:
         super().create_variables()
@@ -74,6 +88,7 @@ class BoundaryConditionsPoromechanics(
 class InitialConditionsPoromechanics(
     mass.InitialConditionsSinglePhaseFlow,
     momentum.InitialConditionsMomentumBalance,
+    contact.InitialConditionsContactTraction,
 ):
     pass
 
@@ -81,6 +96,7 @@ class InitialConditionsPoromechanics(
 class SolutionStrategyPoromechanics(
     mass.SolutionStrategySinglePhaseFlow,
     momentum.SolutionStrategyMomentumBalance,
+    contact.SolutionStrategyContactMechanics,
 ):
     def __init__(self, params: Optional[dict] = None) -> None:
         super().__init__(params)
@@ -103,6 +119,14 @@ class SolutionStrategyPoromechanics(
             self._discretizations.append(
                 (Biot(self.stress_keyword), sd, data)
             )
+
+    def set_nonlinear_discretizations(self) -> None:
+        """Darcy flux on sub-dimensional grids depends on the aperture
+        (displacement jump), so it must be re-discretized every Newton
+        iteration on fractured domains (reference ``poromechanics.py:252``)."""
+        super().set_nonlinear_discretizations()
+        if self.mdg.dim_min() < self.nd:
+            self.add_nonlinear_discretization("darcy_flux_sub_nd")
 
     def _is_nonlinear_problem(self) -> bool:
         return True

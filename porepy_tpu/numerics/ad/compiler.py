@@ -143,6 +143,19 @@ def constant_sparse_matrix(op: Operator):
         if b is None:
             return None
         return (a @ b).tocsr()
+    # Sums/differences of constant matrices (e.g. sum_projection_list of
+    # basis prolongations) are themselves constant matrices.
+    if op.operation in (Operations.add, Operations.sub) and len(op.children) == 2:
+        a = constant_sparse_matrix(op.children[0])
+        if a is None:
+            return None
+        b = constant_sparse_matrix(op.children[1])
+        if b is None or a.shape != b.shape:
+            return None
+        return (a + b if op.operation is Operations.add else a - b).tocsr()
+    if op.operation is Operations.neg and len(op.children) == 1:
+        a = constant_sparse_matrix(op.children[0])
+        return None if a is None else (-a).tocsr()
     return None
 
 
@@ -395,7 +408,9 @@ def _pattern_node(node, rec, ndof, eq_sys) -> sps.csr_matrix:
                 sps.csr_matrix(left.values.astype(bool)) @ c[1]
             ).astype(bool).tocsr()
         raise NotImplementedError(
-            "matmul with non-constant left operand has no structural pattern"
+            "matmul with non-constant left operand has no structural pattern: "
+            f"{type(left).__name__} {getattr(left, 'name', '')!r} "
+            f"op={getattr(left, 'operation', None)}"
         )
     if op is Operations.concat:
         if not c:

@@ -2,6 +2,7 @@
 reference on all coupling matrices and on transient coupled fields."""
 
 import numpy as np
+import pytest
 
 import porepy_tpu as pt
 from tests.conftest import requires_reference
@@ -114,6 +115,77 @@ def test_poromechanics_parity(ref_pp):
         vo = m.equation_system.get_variable_values([var], time_step_index=0)
         vr = r.equation_system.get_variable_values([var], time_step_index=0)
         assert np.abs(vo - vr).max() < 1e-12, var
+
+
+def _make_fractured(mod, base, frac_wrap, shear, normal):
+    class M(base):
+        def set_fractures(self):
+            self._fractures = [frac_wrap(np.array([[0.25, 0.75], [0.5, 0.5]]))]
+
+        def bc_values_displacement(self, bg):
+            vals = np.zeros((self.nd, bg.num_cells))
+            north = self.domain_boundary_sides(bg).north
+            vals[0, north] = shear
+            vals[1, north] = normal
+            return vals.ravel("F")
+
+        def bc_values_pressure(self, bg):
+            return 1e-3 * (1.0 - bg.cell_centers[1])
+
+        def initialize_data_saving(self):
+            pass
+
+        def save_data_time_step(self):
+            pass
+
+    params = {
+        "grid_type": "cartesian",
+        "meshing_arguments": {"cell_size": 0.25},
+        "material_constants": {
+            "solid": mod.SolidConstants(
+                residual_aperture=0.01,
+                normal_permeability=1.0,
+                permeability=1.0,
+                porosity=0.1,
+            ),
+            "fluid": mod.FluidComponent(
+                compressibility=1e-3, viscosity=1.0, density=1.0
+            ),
+        },
+        "time_manager": mod.TimeManager([0, 1.0], 1.0, constant_dt=True),
+    }
+    return M(params), params
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "bc", [(0.01, -0.005), (0.0, 0.004)], ids=["contact", "opening"]
+)
+def test_fractured_poromechanics_parity(ref_pp, bc):
+    """Coupled flow + mechanics + frictional contact on a fractured domain:
+    all fields (including the jump-dependent aperture rediscretization in
+    the opening case) must match the reference."""
+    m, p1 = _make_fractured(pt, pt.Poromechanics, lambda a: a, *bc)
+    pt.run_time_dependent_model(m, p1)
+    r, p2 = _make_fractured(
+        ref_pp, ref_pp.Poromechanics, ref_pp.LineFracture, *bc
+    )
+    ref_pp.run_time_dependent_model(r, p2)
+    for var in (
+        "pressure",
+        "u",
+        "contact_traction",
+        "u_interface",
+        "interface_darcy_flux",
+    ):
+        vo = m.equation_system.get_variable_values([var], iterate_index=0)
+        vr = r.equation_system.get_variable_values([var], iterate_index=0)
+        assert np.abs(vo - vr).max() < 1e-12, (var, np.abs(vo - vr).max())
+
+    # The jump-based aperture must agree with the reference too.
+    ap_o = m.equation_system.evaluate(m.aperture(m.mdg.subdomains(dim=1)))
+    ap_r = r.equation_system.evaluate(r.aperture(r.mdg.subdomains(dim=1)))
+    assert np.abs(np.asarray(ap_o) - np.asarray(ap_r)).max() < 1e-12
 
 
 def test_poromechanics_compression_builds_pressure():
