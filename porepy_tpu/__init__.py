@@ -130,6 +130,9 @@ from porepy_tpu.models.mass_and_energy_balance import (  # noqa: E402,F401
 )
 from porepy_tpu.models.momentum_balance import MomentumBalance  # noqa: E402,F401
 from porepy_tpu.models.poromechanics import Poromechanics  # noqa: E402,F401
+from porepy_tpu.models.thermoporomechanics import (  # noqa: E402,F401
+    Thermoporomechanics,
+)
 from porepy_tpu.numerics.fv.biot import Biot  # noqa: E402,F401
 from porepy_tpu.numerics.fv.mpfa import Mpfa  # noqa: E402,F401
 from porepy_tpu.numerics.fv.mpsa import Mpsa  # noqa: E402,F401

@@ -881,6 +881,50 @@ class PressureStress(LinearElasticMechanicalStress):
         return BiotAd(self.stress_keyword, subdomains, self.mdg)
 
 
+class ThermalExpansion:
+    """Solid thermal expansion coefficient and the associated
+    thermo-mechanical coupling tensor (reference
+    ``constitutive_laws.py:2010``)."""
+
+    def solid_thermal_expansion_coefficient(
+        self, subdomains: Sequence
+    ) -> ad.Operator:
+        return ad.Scalar(
+            self.solid.thermal_expansion, "solid_thermal_expansion"
+        )
+
+    def solid_thermal_expansion_tensor(
+        self, subdomains: Sequence
+    ) -> SecondOrderTensor:
+        """Isotropic thermal stress coefficient
+        ``(2 mu + 3 lambda) * alpha`` (Boley & Weiner Eq. 1.12.14)."""
+        size = sum(sd.num_cells for sd in subdomains)
+        val = (
+            2 * self.solid.shear_modulus + 3 * self.solid.lame_lambda
+        ) * self.solid.thermal_expansion
+        return SecondOrderTensor(val * np.ones(size))
+
+
+class ThermoPressureStress(PressureStress):
+    """Pressure and temperature contributions to the poromechanical stress.
+    The temperature stress reuses the Biot discretization with the
+    thermal-expansion tensor under the enthalpy keyword (reference
+    ``constitutive_laws.py:3521``)."""
+
+    def thermal_stress(self, subdomains: Sequence) -> ad.Operator:
+        from porepy_tpu.numerics.ad.discretizations import BiotAd
+
+        for sd in subdomains:
+            if sd.dim != self.nd:
+                raise ValueError("Thermal stress requires dimension nd")
+        discr = BiotAd(self.stress_keyword, subdomains, self.mdg)
+        stress = discr.scalar_gradient(
+            self.enthalpy_keyword
+        ) @ self.perturbation_from_reference("temperature", subdomains)
+        stress.set_name("thermal_stress")
+        return stress
+
+
 class PoroMechanicsPorosity:
     """Pressure- and displacement-dependent matrix porosity with MPSA
     consistency stabilization (reference ``constitutive_laws.py:4427``)."""
@@ -979,6 +1023,33 @@ class PoroMechanicsPorosity:
         out = cell_volumes_inv * integrated
         out.set_name("mpsa_consistency")
         return out
+
+
+class ThermoPoroMechanicsPorosity(PoroMechanicsPorosity):
+    """Extends the poromechanical porosity with thermal contraction:
+    ``beta_phi = -(alpha - phi_ref) * beta_solid * dT`` (Coussy Eq. 4.44;
+    reference ``constitutive_laws.py:4776``)."""
+
+    def matrix_porosity(self, subdomains: Sequence) -> ad.Operator:
+        phi = super().matrix_porosity(subdomains)
+        phi = phi + self.porosity_change_from_temperature(subdomains)
+        phi.set_name("Thermoporomechanics porosity")
+        return phi
+
+    def porosity_change_from_temperature(
+        self, subdomains: Sequence
+    ) -> ad.Operator:
+        if not all(sd.dim == self.nd for sd in subdomains):
+            raise ValueError("Subdomains must be of dimension nd")
+        dtemperature = self.perturbation_from_reference(
+            "temperature", subdomains
+        )
+        phi_ref = self.reference_porosity(subdomains)
+        beta = self.solid_thermal_expansion_coefficient(subdomains)
+        alpha = self.biot_coefficient(subdomains)
+        phi = ad.Scalar(-1.0) * (alpha - phi_ref) * beta * dtemperature
+        phi.set_name("Porosity change from temperature")
+        return phi
 
 
 class FouriersLaw:
@@ -1119,7 +1190,15 @@ class ThermalConductivityLTE(ConstantFluidThermalConductivity):
         )
 
     def thermal_conductivity(self, subdomains: Sequence) -> ad.Operator:
-        phi = self.porosity(subdomains)
+        # The conductivity is a discretization parameter: it may be requested
+        # before variables exist (e.g. variable-dependent porosity in THM).
+        # Fall back to the reference porosity then (reference
+        # ``constitutive_laws.py:2158``).
+        try:
+            phi = self.porosity(subdomains)
+            self.equation_system.evaluate(phi)
+        except (KeyError, ValueError):
+            phi = self.reference_porosity(subdomains)
         if isinstance(phi, ad.Scalar):
             size = sum(sd.num_cells for sd in subdomains)
             phi = phi * ad.DenseArray(np.ones(size))

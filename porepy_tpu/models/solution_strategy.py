@@ -169,11 +169,22 @@ class SolutionStrategy:
 
     def rediscretize(self) -> None:
         """Re-run nonlinear discretizations. The in-kernel upwinding needs no
-        rediscretization; only matrix-backed nonlinear discretizations (none
-        by default) trigger a kernel rebuild."""
+        rediscretization. Registered nonlinear fluxes (keyword strings) are
+        re-discretized on sub-dimensional grids only: the reference updates
+        all discretization parameters but re-computes matrices just for the
+        registered fluxes (reference ``solution_strategy.py:960``), so the
+        nd-matrix FV matrices keep their prepare-time values."""
         if self._nonlinear_discretizations:
             self.update_discretization_parameters()
-            self.discretize()
+            keywords = set()
+            for marker in self._nonlinear_discretizations:
+                if "fourier" in marker:
+                    keywords.add(getattr(self, "fourier_keyword", None))
+                if "darcy" in marker:
+                    keywords.add(getattr(self, "darcy_keyword", None))
+            for discr, sd, data in getattr(self, "_discretizations", []):
+                if discr.keyword in keywords and sd.dim < self.nd:
+                    discr.discretize(sd, data)
             self.equation_system.clear_compiled()
 
     # -- discretization ------------------------------------------------------

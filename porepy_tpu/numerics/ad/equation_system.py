@@ -147,6 +147,13 @@ class EquationSystem:
             if v.name == name and (grids is None or v.domain in grids)
         ]
         if not sub:
+            # An explicitly empty grid list is a valid (empty) restriction —
+            # e.g. matrix porosity evaluated on a fracture-only subdomain
+            # list. Only an unknown variable name is an error.
+            if grids is not None and len(list(grids)) == 0 and any(
+                v.name == name for v in self._variables
+            ):
+                return MixedDimensionalVariable([])
             raise ValueError(f"No variable named {name!r}")
         return MixedDimensionalVariable(sub)
 
