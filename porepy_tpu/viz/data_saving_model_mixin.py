@@ -16,7 +16,8 @@ class DataSavingMixin:
     def initialize_data_saving(self) -> None:
         self.suppress_export: bool = self.params.get("suppress_export", False)
         self.exporter = None
-        if not self.suppress_export and self.params.get("write_vtu", False):
+        self.results: list = []
+        if not self.suppress_export and self.params.get("write_vtu", True):
             from porepy_tpu.viz.exporter import Exporter
 
             self.exporter = Exporter(
@@ -53,8 +54,23 @@ class DataSavingMixin:
             time_step=self.time_manager.time_index,
         )
 
-    def load_data_from_vtu(self, *args, **kwargs) -> None:
-        raise NotImplementedError("Restart arrives with the exporter layer")
+    def load_data_from_vtu(self, vtu_files, **kwargs) -> None:
+        """Restart: read states from previously exported vtu files."""
+        assert self.exporter is not None
+        self.exporter.import_state_from_vtu(vtu_files, **kwargs)
 
-    def load_data_from_pvd(self, *args, **kwargs) -> None:
-        raise NotImplementedError("Restart arrives with the exporter layer")
+    def load_data_from_pvd(self, pvd_file, **kwargs) -> None:
+        """Restart from a step pvd file: loads every vtu it indexes."""
+        import os
+        import xml.etree.ElementTree as ET
+
+        assert self.exporter is not None
+        tree = ET.parse(pvd_file)
+        folder = os.path.dirname(pvd_file)
+        files = [
+            os.path.join(folder, ds.get("file"))
+            for ds in tree.getroot().iter("DataSet")
+        ]
+        self.exporter.import_state_from_vtu(
+            [f for f in files if f.endswith(".vtu")], **kwargs
+        )
