@@ -60,6 +60,12 @@ from porepy_tpu.geometry import map_geometry  # noqa: E402,F401
 # -- grids -------------------------------------------------------------------
 from porepy_tpu.grids.grid import Grid  # noqa: E402,F401
 from porepy_tpu.grids.structured import CartGrid, TensorGrid  # noqa: E402,F401
+from porepy_tpu.grids.simplex import (  # noqa: E402,F401
+    StructuredTetrahedralGrid,
+    StructuredTriangleGrid,
+    TetrahedralGrid,
+    TriangleGrid,
+)
 from porepy_tpu.grids.point_grid import PointGrid  # noqa: E402,F401
 from porepy_tpu.grids.boundary_grid import BoundaryGrid  # noqa: E402,F401
 from porepy_tpu.grids.md_grid import MixedDimensionalGrid  # noqa: E402,F401
