@@ -136,16 +136,22 @@ def compute_normal(pts: np.ndarray, tol: float = 1e-5) -> np.ndarray:
     pts = np.asarray(pts, dtype=float)
     if pts.shape[1] < 3:
         raise ValueError("Need at least 3 points to compute a normal")
-    centered = pts - pts.mean(axis=1, keepdims=True)
-    # SVD of the 3 x n cloud: left singular vector of the smallest singular
-    # value spans the normal direction.
-    u, s, _ = np.linalg.svd(centered, full_matrices=True)
-    normal = u[:, -1]
-    # Deterministic sign: make the largest-magnitude entry positive.
-    k = np.argmax(np.abs(normal))
-    if normal[k] < 0:
-        normal = -normal
-    return normal
+    v = pts - pts.mean(axis=1, keepdims=True)
+    # Cross the longest center-to-point vector with the one giving the
+    # longest cross product — numerically stable and sign-matching the
+    # reference convention (``map_geometry.py:440``), on which downstream
+    # angular sorts depend.
+    nrm = np.linalg.norm(v, axis=0)
+    i1 = int(np.argmax(nrm))
+    v1 = v[:, i1]
+    cross = np.cross(v1, v.T).T
+    i2 = int(np.argmax(np.linalg.norm(cross, axis=0)))
+    normal = cross[:, i2]
+    if np.allclose(normal, 0.0, atol=tol * nrm[i1] * nrm[i2]):
+        raise RuntimeError(
+            "Unable to calculate normal from point set. Are all points collinear?"
+        )
+    return normal / np.linalg.norm(normal)
 
 
 def rotation_matrix_from_vectors(a: np.ndarray, b: np.ndarray) -> np.ndarray:

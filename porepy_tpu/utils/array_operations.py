@@ -11,7 +11,45 @@ __all__ = [
     "ismember_columns",
     "expand_index_pointers",
     "expand_indices_nd",
+    "uniquify_point_set",
 ]
+
+
+def uniquify_point_set(
+    points: np.ndarray, tol: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge points closer than ``tol``; each unique point is the first
+    encountered (reference ``array_operations.py:569``). Returns the reduced
+    point set, the indices of the kept columns, and the inverse map."""
+    points = np.asarray(points, dtype=float)
+    n = points.shape[1]
+    if n == 0:
+        return (
+            np.empty_like(points),
+            np.zeros(0, dtype=int),
+            np.zeros(0, dtype=int),
+        )
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points.T)
+    # Union-find over all close pairs; the representative of each cluster is
+    # its lowest (first-encountered) index.
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i, j in tree.query_pairs(r=tol):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            lo, hi = (ri, rj) if ri < rj else (rj, ri)
+            parent[hi] = lo
+    reps = np.array([find(i) for i in range(n)])
+    ia, ib = np.unique(reps, return_inverse=True)
+    return points[:, ia], ia, ib
 
 
 def ismember_columns(
