@@ -66,6 +66,18 @@ from porepy_tpu.grids.simplex import (  # noqa: E402,F401
     TetrahedralGrid,
     TriangleGrid,
 )
+
+# -- fractures -----------------------------------------------------------------
+from porepy_tpu.fracs.fracture import (  # noqa: E402,F401
+    LineFracture,
+    PlaneFracture,
+    create_elliptic_fracture,
+)
+from porepy_tpu.fracs.fracture_network import (  # noqa: E402,F401
+    create_fracture_network,
+)
+from porepy_tpu.fracs.fracture_network_2d import FractureNetwork2d  # noqa: E402,F401
+from porepy_tpu.fracs.fracture_network_3d import FractureNetwork3d  # noqa: E402,F401
 from porepy_tpu.grids.point_grid import PointGrid  # noqa: E402,F401
 from porepy_tpu.grids.boundary_grid import BoundaryGrid  # noqa: E402,F401
 from porepy_tpu.grids.md_grid import MixedDimensionalGrid  # noqa: E402,F401

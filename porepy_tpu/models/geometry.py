@@ -32,9 +32,14 @@ class ModelGeometry:
     def set_geometry(self) -> None:
         self.set_domain()
         self.set_fractures()
-        # Fracture network creation arrives with the fracs layer; for now an
-        # empty placeholder for unfractured domains.
-        self.fracture_network = None
+        from porepy_tpu.fracs.fracture_network import create_fracture_network
+
+        try:
+            self.fracture_network = create_fracture_network(
+                [f for f in self.fractures if hasattr(f, "pts")], self.domain
+            )
+        except (TypeError, ValueError):
+            self.fracture_network = None
         self.mdg = self.create_mdg()
         self.nd: int = self.mdg.dim_max()
         if self.mdg.subdomains(dim=self.nd - 1):
