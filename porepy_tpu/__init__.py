@@ -78,6 +78,7 @@ from porepy_tpu.fracs.fracture_network import (  # noqa: E402,F401
 )
 from porepy_tpu.fracs.fracture_network_2d import FractureNetwork2d  # noqa: E402,F401
 from porepy_tpu.fracs.fracture_network_3d import FractureNetwork3d  # noqa: E402,F401
+from porepy_tpu.grids.mdg_generation import create_mdg  # noqa: E402,F401
 from porepy_tpu.grids.point_grid import PointGrid  # noqa: E402,F401
 from porepy_tpu.grids.boundary_grid import BoundaryGrid  # noqa: E402,F401
 from porepy_tpu.grids.md_grid import MixedDimensionalGrid  # noqa: E402,F401
