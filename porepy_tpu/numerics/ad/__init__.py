@@ -30,6 +30,7 @@ from porepy_tpu.numerics.ad.discretizations import (  # noqa: F401
     MpfaAd,
     MpsaAd,
     TpfaAd,
+    TpsaAd,
     UpwindAd,
 )
 from porepy_tpu.numerics.ad.operators import concat  # noqa: F401

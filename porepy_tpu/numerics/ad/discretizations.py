@@ -114,6 +114,53 @@ class MpsaAd(_DiscretizationAd):
         return self._op("bound_displacement_face")
 
 
+class TpsaAd(_DiscretizationAd):
+    """AD wrapper for the Tpsa three-field discretization (reference
+    ``ad/discretizations.py:192``)."""
+
+    def stress(self) -> MergedOperator:
+        return self._op("stress")
+
+    def bound_stress(self) -> MergedOperator:
+        return self._op("bound_stress")
+
+    def stress_rotation(self) -> MergedOperator:
+        return self._op("stress_rotation")
+
+    def stress_total_pressure(self) -> MergedOperator:
+        return self._op("stress_total_pressure")
+
+    def rotation_displacement(self) -> MergedOperator:
+        return self._op("rotation_displacement")
+
+    def bound_rotation_displacement(self) -> MergedOperator:
+        return self._op("bound_rotation_displacement")
+
+    def rotation_rotation(self) -> MergedOperator:
+        return self._op("rotation_rotation")
+
+    def solid_mass_displacement(self) -> MergedOperator:
+        return self._op("solid_mass_displacement")
+
+    def bound_mass_displacement(self) -> MergedOperator:
+        return self._op("bound_mass_displacement")
+
+    def solid_mass_total_pressure(self) -> MergedOperator:
+        return self._op("solid_mass_total_pressure")
+
+    def bound_displacement_cell(self) -> MergedOperator:
+        return self._op("bound_displacement_cell")
+
+    def bound_displacement_face(self) -> MergedOperator:
+        return self._op("bound_displacement_face")
+
+    def bound_displacement_rotation_cell(self) -> MergedOperator:
+        return self._op("bound_displacement_rotation_cell")
+
+    def bound_displacement_solid_pressure_cell(self) -> MergedOperator:
+        return self._op("bound_displacement_solid_pressure_cell")
+
+
 class BiotAd(MpsaAd):
     """Reference ``ad/discretizations.py:87`` equivalent: MPSA matrices plus
     the keyword-addressed poromechanical coupling terms."""
