@@ -117,6 +117,14 @@ from porepy_tpu.numerics.nonlinear.nonlinear_solvers import (  # noqa: E402,F401
     NewtonSolver,
 )
 from porepy_tpu.numerics.linear_solvers import LinearSolver  # noqa: E402,F401
+from porepy_tpu.numerics.nonlinear.line_search import (  # noqa: E402,F401
+    ConstraintLineSearch,
+    LineSearchNewtonSolver,
+    SplineInterpolationLineSearch,
+)
+from porepy_tpu.numerics.nonlinear.anderson_acceleration import (  # noqa: E402,F401
+    AndersonAcceleration,
+)
 from porepy_tpu.numerics.time_step_control import TimeManager  # noqa: E402,F401
 
 # -- materials / units -------------------------------------------------------
@@ -141,7 +149,10 @@ from porepy_tpu.models.boundary_condition import (  # noqa: E402,F401
 from porepy_tpu.models.initial_condition import (  # noqa: E402,F401
     InitialConditionMixin,
 )
-from porepy_tpu.models.solution_strategy import SolutionStrategy  # noqa: E402,F401
+from porepy_tpu.models.solution_strategy import (  # noqa: E402,F401
+    ContactIndicators,
+    SolutionStrategy,
+)
 from porepy_tpu.models import constitutive_laws  # noqa: E402,F401
 from porepy_tpu.models.fluid_mass_balance import SinglePhaseFlow  # noqa: E402,F401
 from porepy_tpu.models.mass_and_energy_balance import (  # noqa: E402,F401

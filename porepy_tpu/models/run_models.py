@@ -14,6 +14,8 @@ logger = logging.getLogger(__name__)
 
 
 def _choose_solver(model, params: dict):
+    if "nonlinear_solver" in params:
+        return params["nonlinear_solver"](params)
     if model._is_nonlinear_problem():
         return NewtonSolver(params)
     return LinearSolver(params)

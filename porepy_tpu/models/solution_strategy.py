@@ -28,7 +28,7 @@ from porepy_tpu.numerics import ad
 from porepy_tpu.numerics.time_step_control import TimeManager
 from porepy_tpu.viz.solver_statistics import SolverStatistics
 
-__all__ = ["SolutionStrategy"]
+__all__ = ["SolutionStrategy", "ContactIndicators"]
 
 logger = logging.getLogger(__name__)
 
@@ -348,3 +348,79 @@ class SolutionStrategy:
         if solver not in ("scipy_sparse", "jax_bicgstab", "jax_gmres"):
             raise ValueError(f"Unknown linear solver {solver!r}")
         self.linear_solver: str = solver
+
+
+class ContactIndicators:
+    """Opening/sliding state indicator operators used by the
+    constraint-aware line search (reference ``solution_strategy.py:1027``;
+    algorithm of arXiv:2407.01184). Mix into contact-mechanics models and
+    enable with ``params["local_line_search"]``."""
+
+    def opening_indicator(self, subdomains) -> "ad.Operator":
+        """Difference of the two arguments of the normal complementarity max:
+        negative for open fractures, positive for closed."""
+        from porepy_tpu.numerics import ad
+
+        nd_vec_to_normal = self.normal_component(subdomains)
+        t_n = nd_vec_to_normal @ self.contact_traction(subdomains)
+        u_n = nd_vec_to_normal @ self.displacement_jump(subdomains)
+        c_num = self.contact_mechanics_numerical_constant(subdomains)
+        max_arg_1 = ad.Scalar(-1.0) * t_n
+        max_arg_2 = c_num * (u_n - self.fracture_gap(subdomains))
+        ind = max_arg_1 - max_arg_2
+        if self.params.get("adaptive_indicator_scaling", False):
+            all_subdomains = self.mdg.subdomains(dim=self.nd - 1)
+            scale_op = self.contact_traction_estimate(all_subdomains)
+            scale = self.compute_traction_norm(
+                np.asarray(self.equation_system.evaluate(scale_op))
+            )
+            ind = ind / ad.Scalar(scale)
+        return ind
+
+    def sliding_indicator(self, subdomains) -> "ad.Operator":
+        """``||t_t + c u_t|| - b_p``: negative for sticking, positive for
+        sliding; masked by the heaviside of the opening indicator."""
+        from functools import partial
+
+        from porepy_tpu.numerics import ad
+
+        num_cells = sum(sd.num_cells for sd in subdomains)
+        nd_vec_to_tangential = self.tangential_component(subdomains)
+        tangential_basis = self.basis(subdomains, dim=self.nd - 1)
+        t_t = nd_vec_to_tangential @ self.contact_traction(subdomains)
+        u_t = nd_vec_to_tangential @ self.displacement_jump(subdomains)
+        u_t_increment = ad.time_increment(u_t)
+        zeros_frac = ad.DenseArray(np.zeros(num_cells))
+        c_num = self.contact_mechanics_numerical_constant(subdomains)
+        basis_sum = ad.sum_projection_list(tangential_basis)
+        tangential_sum = t_t + (basis_sum @ c_num) * u_t_increment
+        max_arg_1 = ad.l2_norm(self.nd - 1, tangential_sum)
+        max_arg_1.set_name("norm_tangential")
+        max_arg_2 = ad.maximum(self.friction_bound(subdomains), zeros_frac)
+        max_arg_2.set_name("b_p")
+        h_oi = ad.heaviside(self.opening_indicator(subdomains), 0)
+        ind = max_arg_1 - max_arg_2
+        if self.params.get("adaptive_indicator_scaling", False):
+            all_subdomains = self.mdg.subdomains(dim=self.nd - 1)
+            scale_op = self.contact_traction_estimate(all_subdomains)
+            scale = self.compute_traction_norm(
+                np.asarray(self.equation_system.evaluate(scale_op))
+            )
+            ind = ind / ad.Scalar(scale)
+        return ind * h_oi
+
+    def contact_traction_estimate(self, subdomains) -> "ad.Operator":
+        from porepy_tpu.numerics import ad
+
+        t = self.contact_traction(subdomains)
+        e_n = self.e_i(subdomains, dim=self.nd, i=self.nd - 1)
+        u = self.displacement_jump(subdomains) - e_n @ self.fracture_gap(
+            subdomains
+        )
+        c_num = self.contact_mechanics_numerical_constant(subdomains)
+        return ad.l2_norm(self.nd, t) + ad.l2_norm(self.nd, c_num * u)
+
+    def compute_traction_norm(self, val: np.ndarray) -> float:
+        val = np.asarray(val).clip(1e-8, 1e8)
+        p = self.params.get("traction_estimate_p_mean", 5.0)
+        return float(np.mean(val**p, axis=0) ** (1 / p))

@@ -297,9 +297,13 @@ def _trace_node(node, rec, x, env, env_spec, eq_sys, const_mats):
 # -- user-facing evaluation ---------------------------------------------------
 
 
-def evaluate(op: Operator, eq_sys) -> np.ndarray:
+def evaluate(op: Operator, eq_sys, state=None) -> np.ndarray:
+    """Evaluate an operator at the current iterate, or at an explicitly
+    supplied global state vector (used by line searches)."""
     fn, env_spec = build_function(op, eq_sys)
-    x = jnp.asarray(eq_sys._global_vector())
+    x = jnp.asarray(
+        eq_sys._global_vector() if state is None else np.asarray(state)
+    )
     out = fn(x, *env_spec.fetch(eq_sys))
     return np.asarray(out)
 

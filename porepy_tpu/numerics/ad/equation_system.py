@@ -397,8 +397,8 @@ class EquationSystem:
 
     # -- evaluation / assembly -----------------------------------------------
 
-    def evaluate(self, op: Operator) -> np.ndarray:
-        return compiler.evaluate(op, self)
+    def evaluate(self, op: Operator, state=None) -> np.ndarray:
+        return compiler.evaluate(op, self, state=state)
 
     def assemble(
         self,
