@@ -61,4 +61,8 @@ from porepy_tpu.numerics.ad.functions import (  # noqa: F401
     tanh,
 )
 from porepy_tpu.numerics.ad import compiler  # noqa: F401
-from porepy_tpu.numerics.ad.operator_functions import Function  # noqa: F401
+from porepy_tpu.numerics.ad.operator_functions import (  # noqa: F401
+    DiagonalJacobianFunction,
+    Function,
+    InterpolatedFunction,
+)
