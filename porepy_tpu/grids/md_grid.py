@@ -160,7 +160,10 @@ class MixedDimensionalGrid:
             raise ValueError("Interface subdomains must be added first")
         if sd_pair[0].dim < sd_pair[1].dim:
             sd_pair = (sd_pair[1], sd_pair[0])
-        self._interface_data[intf] = {}
+        self._interface_data[intf] = (
+            {} if primary_secondary_map is None
+            else {"face_cells": primary_secondary_map}
+        )
         self._interface_to_subdomains[intf] = sd_pair
 
     def remove_subdomain(self, sd: Grid) -> None:
