@@ -27,13 +27,12 @@ class DataSavingMixin:
             )
 
     def save_data_time_step(self) -> None:
-        if self.suppress_export:
-            return
         collected = self.collect_data()
         if collected is not None:
             self.results.append(collected)
-        if self.exporter is not None:
-            self.write_vtu()
+        if self.suppress_export or self.exporter is None:
+            return
+        self.write_vtu()
 
     def collect_data(self) -> Any:
         return None
