@@ -1025,6 +1025,20 @@ class PoroMechanicsPorosity:
         return out
 
 
+class BiotPoroMechanicsPorosity(PoroMechanicsPorosity):
+    """Porosity recovering the classical Biot consolidation equations after
+    the chain rule: the pressure contribution is ``S_eps * dp`` (constant
+    fluid density and specific storage assumed; reference
+    ``constitutive_laws.py:4737``)."""
+
+    def porosity_change_from_pressure(self, subdomains: Sequence) -> ad.Operator:
+        specific_storage = self.specific_storage(subdomains)
+        dp = self.perturbation_from_reference("pressure", subdomains)
+        out = specific_storage * dp
+        out.set_name("Biot's porosity change from pressure")
+        return out
+
+
 class ThermoPoroMechanicsPorosity(PoroMechanicsPorosity):
     """Extends the poromechanical porosity with thermal contraction:
     ``beta_phi = -(alpha - phi_ref) * beta_solid * dT`` (Coussy Eq. 4.44;
