@@ -136,6 +136,21 @@ from porepy_tpu.compositional.materials import (  # noqa: E402,F401
     NumericalConstants,
     ReferenceVariableValues,
 )
+from porepy_tpu.compositional._core import PhysicalState  # noqa: E402,F401
+from porepy_tpu.compositional.base import (  # noqa: E402,F401
+    Component,
+    Compound,
+    EquationOfState,
+    Fluid,
+    Phase,
+)
+from porepy_tpu.compositional.compositional_mixins import (  # noqa: E402,F401
+    CompositionalVariables,
+    FluidMixin,
+)
+from porepy_tpu.compositional.flash import Flash  # noqa: E402,F401
+from porepy_tpu.compositional.states import FluidState, PhaseState  # noqa: E402,F401
+from porepy_tpu.compositional import utils as composite_utils  # noqa: E402,F401
 
 # -- model framework ---------------------------------------------------------
 from porepy_tpu.models.geometry import ModelGeometry  # noqa: E402,F401

@@ -33,32 +33,10 @@ __all__ = ["SolutionStrategy", "ContactIndicators"]
 logger = logging.getLogger(__name__)
 
 
-class _FluidFacade:
-    """Minimal single-component fluid exposing the reference's access points
-    (``fluid.density/viscosity/reference_component``) by delegating to the
-    model's constitutive-law methods. The full multiphase compositional
-    layer replaces this for mixtures."""
-
-    def __init__(self, model, component: FluidComponent) -> None:
-        self._model = model
-        self.reference_component = component
-        self.num_components = 1
-        self.num_phases = 1
-
-    def density(self, domains) -> ad.Operator:
-        return self._model.fluid_density(domains)
-
-    def viscosity(self, domains) -> ad.Operator:
-        return self._model.fluid_viscosity(domains)
-
-    def specific_enthalpy(self, domains) -> ad.Operator:
-        return self._model.fluid_specific_enthalpy(domains)
-
-    def thermal_conductivity(self, domains) -> ad.Operator:
-        return self._model.fluid_thermal_conductivity(domains)
+from porepy_tpu.compositional.compositional_mixins import FluidMixin
 
 
-class SolutionStrategy:
+class SolutionStrategy(FluidMixin):
     def __init__(self, params: Optional[dict] = None) -> None:
         if params is None:
             params = {}
@@ -102,12 +80,6 @@ class SolutionStrategy:
         self.solid: SolidConstants = solid.to_units(self.units)
         self.numerical: NumericalConstants = numerical.to_units(self.units)
         self._fluid_component: FluidComponent = fluid.to_units(self.units)
-
-    def create_fluid(self) -> None:
-        self.fluid = _FluidFacade(self, self._fluid_component)
-
-    def assign_thermodynamic_properties_to_phases(self) -> None:
-        pass
 
     # -- lifecycle -----------------------------------------------------------
 

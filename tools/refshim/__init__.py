@@ -30,7 +30,9 @@ def _install_fake_numba():
     nb = types.ModuleType("numba")
 
     def njit(*args, **kwargs):
-        if args and callable(args[0]):
+        # A signature argument (nb.f8[:](...)) is a _FakeNumbaType, which is
+        # callable — distinguish it from direct decoration of a function.
+        if args and callable(args[0]) and not isinstance(args[0], _FakeNumbaType):
             return args[0]
         return lambda f: f
 
