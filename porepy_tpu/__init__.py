@@ -78,6 +78,8 @@ from porepy_tpu.fracs.fracture_network import (  # noqa: E402,F401
 )
 from porepy_tpu.fracs.fracture_network_2d import FractureNetwork2d  # noqa: E402,F401
 from porepy_tpu.fracs.fracture_network_3d import FractureNetwork3d  # noqa: E402,F401
+from porepy_tpu.fracs import fracture_importer  # noqa: E402,F401
+from porepy_tpu.grids import match_grids  # noqa: E402,F401
 from porepy_tpu.grids.mdg_generation import create_mdg  # noqa: E402,F401
 from porepy_tpu.grids.point_grid import PointGrid  # noqa: E402,F401
 from porepy_tpu.grids.boundary_grid import BoundaryGrid  # noqa: E402,F401
@@ -191,3 +193,5 @@ from porepy_tpu.models.run_models import (  # noqa: E402,F401
 )
 from porepy_tpu.viz.data_saving_model_mixin import DataSavingMixin  # noqa: E402,F401
 from porepy_tpu.viz.solver_statistics import SolverStatistics  # noqa: E402,F401
+from porepy_tpu.viz.diagnostics_mixin import DiagnosticsMixin  # noqa: E402,F401
+from porepy_tpu.viz.plot_grid import plot_grid, save_img  # noqa: E402,F401

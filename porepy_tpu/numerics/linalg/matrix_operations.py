@@ -93,8 +93,15 @@ def _block_entry_layout(s: np.ndarray):
 
 
 def _invert_blocks_batched(mat: sps.csr_matrix, s: np.ndarray) -> sps.csr_matrix:
-    """Group blocks by size; one vmapped dense inverse per group."""
+    """Group blocks by size; one vmapped dense inverse per group.
+
+    Runs on the host CPU device: this is f64 assembly-time work, and the TPU
+    backend has no f64 LU decomposition.
+    """
+    import jax
     import jax.numpy as jnp
+
+    cpu = jax.devices("cpu")[0]
 
     coo = mat.tocoo()
     offsets = np.concatenate([[0], np.cumsum(s)])
@@ -115,7 +122,8 @@ def _invert_blocks_batched(mat: sps.csr_matrix, s: np.ndarray) -> sps.csr_matrix
         batch_index_of_block[members] = np.arange(members.size)
         dense = np.zeros((members.size, size, size))
         dense[batch_index_of_block[blk[sel]], lr[sel], lc[sel]] = coo.data[sel]
-        inv = np.asarray(jnp.linalg.inv(jnp.asarray(dense)))
+        with jax.default_device(cpu):
+            inv = np.asarray(jnp.linalg.inv(jnp.asarray(dense)))
         for k, b in enumerate(members):
             inv_data_per_block[b] = inv[k].ravel()
 

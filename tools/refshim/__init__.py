@@ -111,11 +111,25 @@ def _install_fake_shapely():
 
     class Polygon:
         def __init__(self, pts):
-            self._v = _np.array([(float(p[0]), float(p[1])) for p in pts])
-            # Signed area to determine orientation (positive = CCW).
+            pts = list(pts)
+            if pts:
+                self._v = _np.array([(float(p[0]), float(p[1])) for p in pts])
+                # Signed area to determine orientation (positive = CCW).
+                x, y = self._v[:, 0], self._v[:, 1]
+                self._ccw = (
+                    _np.sum(x * _np.roll(y, -1) - _np.roll(x, -1) * y) > 0
+                )
+            else:
+                self._v = _np.zeros((0, 2))
+                self._ccw = True
+
+        @property
+        def area(self):
+            if len(self._v) < 3:
+                return 0.0
             x, y = self._v[:, 0], self._v[:, 1]
-            self._ccw = (
-                _np.sum(x * _np.roll(y, -1) - _np.roll(x, -1) * y) > 0
+            return float(
+                abs(_np.sum(x * _np.roll(y, -1) - _np.roll(x, -1) * y)) / 2.0
             )
 
         def _edges(self):
@@ -138,6 +152,8 @@ def _install_fake_shapely():
             return False
 
         def intersection(self, line):
+            if isinstance(line, Polygon):
+                return self._intersect_polygon(line)
             # Parametric clipping of the segment by each edge half-plane
             # (convex polygon assumed).
             p0 = _np.array(line._pts[0])
@@ -166,6 +182,35 @@ def _install_fake_shapely():
             q0 = p0 + t0 * d
             q1 = p0 + t1 * d
             return LineString([q0, q1])
+
+        def _intersect_polygon(self, other):
+            # Sutherland-Hodgman clipping of the other polygon by this one
+            # (both convex here: the reference only intersects triangles).
+            subject = [tuple(p) for p in other._v]
+            for a, b in self._edges():
+                if not subject:
+                    break
+                clipped = []
+                prev = subject[-1]
+                prev_in = self._inside(a, b, prev)
+                for cur in subject:
+                    cur_in = self._inside(a, b, cur)
+                    if cur_in != prev_in:
+                        # Edge crossing: intersect segment prev-cur with the
+                        # infinite clip line a-b.
+                        p0, d = _np.array(prev), _np.array(cur) - _np.array(prev)
+                        e = _np.array(b) - _np.array(a)
+                        denom = e[0] * d[1] - e[1] * d[0]
+                        if abs(denom) > 1e-300:
+                            t = (
+                                e[0] * (p0[1] - a[1]) - e[1] * (p0[0] - a[0])
+                            ) / -denom
+                            clipped.append(tuple(p0 + t * d))
+                    if cur_in:
+                        clipped.append(cur)
+                    prev, prev_in = cur, cur_in
+                subject = clipped
+            return Polygon(subject)
 
     class Point:
         def __init__(self, *args):
