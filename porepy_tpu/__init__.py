@@ -79,6 +79,12 @@ from porepy_tpu.fracs.fracture_network import (  # noqa: E402,F401
 from porepy_tpu.fracs.fracture_network_2d import FractureNetwork2d  # noqa: E402,F401
 from porepy_tpu.fracs.fracture_network_3d import FractureNetwork3d  # noqa: E402,F401
 from porepy_tpu.fracs import fracture_importer  # noqa: E402,F401
+from porepy_tpu.fracs.wells_3d import (  # noqa: E402,F401
+    Well,
+    WellNetwork3d,
+    compute_well_fracture_intersections,
+    compute_well_rock_matrix_intersections,
+)
 from porepy_tpu.grids import match_grids  # noqa: E402,F401
 from porepy_tpu.grids.mdg_generation import create_mdg  # noqa: E402,F401
 from porepy_tpu.grids.point_grid import PointGrid  # noqa: E402,F401

@@ -38,6 +38,29 @@ class Domain:
             self.dim = 2
         self.is_boxed = True
 
+    def polytope_from_bounding_box(self) -> list[np.ndarray]:
+        """The domain boundary as a list of line segments (2d) or plane
+        polygons (3d), matching reference ``geometry/domain.py:251``."""
+        bb = self.bounding_box
+        x0, x1 = bb["xmin"], bb["xmax"]
+        y0, y1 = bb["ymin"], bb["ymax"]
+        if self.dim == 2:
+            return [
+                np.array([[x0, x0], [y0, y1]]),  # west
+                np.array([[x1, x1], [y1, y0]]),  # east
+                np.array([[x1, x0], [y0, y0]]),  # south
+                np.array([[x0, x1], [y1, y1]]),  # north
+            ]
+        z0, z1 = bb["zmin"], bb["zmax"]
+        return [
+            np.array([[x0, x0, x0, x0], [y0, y1, y1, y0], [z0, z0, z1, z1]]),
+            np.array([[x1, x1, x1, x1], [y0, y1, y1, y0], [z0, z0, z1, z1]]),
+            np.array([[x0, x1, x1, x0], [y0, y0, y0, y0], [z0, z0, z1, z1]]),
+            np.array([[x0, x1, x1, x0], [y1, y1, y1, y1], [z0, z0, z1, z1]]),
+            np.array([[x0, x1, x1, x0], [y0, y0, y1, y1], [z0, z0, z0, z0]]),
+            np.array([[x0, x1, x1, x0], [y0, y0, y1, y1], [z1, z1, z1, z1]]),
+        ]
+
     @property
     def xmin(self) -> float:
         return self.bounding_box["xmin"]

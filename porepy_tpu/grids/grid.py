@@ -143,7 +143,10 @@ class Grid:
             self.name,
             list(self.history),
         )
-        h.tags = {k: v.copy() for k, v in self.tags.items()}
+        h.tags = {
+            k: v.copy() if hasattr(v, "copy") else v
+            for k, v in self.tags.items()
+        }
         h.global_point_ind = self.global_point_ind.copy()
         h.frac_pairs = self.frac_pairs.copy()
         h.frac_num = self.frac_num

@@ -9,6 +9,7 @@ __all__ = [
     "standard_node_tags",
     "all_face_tags",
     "all_node_tags",
+    "add_node_tags_from_face_tags",
 ]
 
 
@@ -33,3 +34,13 @@ def all_face_tags(tags: dict) -> np.ndarray:
 
 def all_node_tags(tags: dict) -> np.ndarray:
     return _any_tag(tags, standard_node_tags())
+
+
+def add_node_tags_from_face_tags(mdg, tag_base: str) -> None:
+    """Tag every node touching a ``<tag_base>_faces``-tagged face with
+    ``<tag_base>_nodes``, on all subdomains (reference ``utils/tags.py:102``)."""
+    for sd in mdg.subdomains():
+        nodes = sd.face_nodes[:, sd.tags[tag_base + "_faces"]].nonzero()[0]
+        t = np.zeros(sd.num_nodes, dtype=bool)
+        t[np.unique(nodes)] = True
+        sd.tags[tag_base + "_nodes"] = t
