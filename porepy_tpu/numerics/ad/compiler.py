@@ -437,27 +437,51 @@ def _pattern_node(node, rec, ndof, eq_sys) -> sps.csr_matrix:
 
 def greedy_color(pattern: sps.csr_matrix) -> tuple[np.ndarray, int]:
     """Distance-2 column coloring: no two columns sharing a row get the same
-    color. Greedy over columns ordered by decreasing degree."""
+    color. Each color class is a *maximal* independent set of the column
+    conflict graph, built Luby-style: every surviving candidate whose random
+    priority is the minimum over all its rows joins the class; candidates
+    sharing a row with a newly admitted column defer to a later color.
+    Fully vectorized (numpy scatter/min-reduce over the nnz entries, no
+    per-column Python work); expected O(nnz * log n) per color."""
     ndof = pattern.shape[1]
+    if ndof == 0:
+        return np.zeros(0, dtype=np.int64), 0
     csc = pattern.tocsc()
-    csr = pattern.tocsr()
-    colors = -np.ones(ndof, dtype=np.int64)
+    nrows = pattern.shape[0]
     degree = np.diff(csc.indptr)
-    order = np.argsort(-degree, kind="stable")
-    for j in order:
-        if degree[j] == 0:
-            colors[j] = 0
-            continue
-        rows = csc.indices[csc.indptr[j] : csc.indptr[j + 1]]
-        forbidden: set[int] = set()
-        for r in rows:
-            cols = csr.indices[csr.indptr[r] : csr.indptr[r + 1]]
-            forbidden.update(colors[c] for c in cols if colors[c] >= 0)
-        color = 0
-        while color in forbidden:
-            color += 1
-        colors[j] = color
-    return colors, int(colors.max()) + 1 if ndof else 0
+    colors = -np.ones(ndof, dtype=np.int64)
+    colors[degree == 0] = 0
+    e_cols = np.repeat(np.arange(ndof), degree)
+    e_rows = csc.indices.astype(np.int64)
+    # Deterministic random priorities (Luby): O(log n) MIS rounds w.h.p.
+    rank = np.random.default_rng(0x5EED).permutation(ndof).astype(np.int64)
+
+    color = 0
+    remaining = colors < 0
+    while remaining.any():
+        cand = remaining.copy()
+        while cand.any():
+            sel = cand[e_cols]
+            rows_s = e_rows[sel]
+            cols_s = e_cols[sel]
+            ranks_s = rank[cols_s]
+            # Min priority claiming each row among current candidates.
+            first = np.full(nrows, ndof, dtype=np.int64)
+            np.minimum.at(first, rows_s, ranks_s)
+            # A candidate wins iff it holds the min claim on every row.
+            n_bad = np.zeros(ndof, dtype=np.int64)
+            np.add.at(n_bad, cols_s[first[rows_s] < ranks_s], 1)
+            winners = cand & (n_bad == 0)
+            colors[winners] = color
+            # Drop winners and anything sharing a row with a winner.
+            row_blocked = np.zeros(nrows, dtype=bool)
+            row_blocked[rows_s[winners[cols_s]]] = True
+            n_blocked = np.zeros(ndof, dtype=np.int64)
+            np.add.at(n_blocked, cols_s[row_blocked[rows_s]], 1)
+            cand &= (n_blocked == 0) & ~winners
+        remaining = colors < 0
+        color += 1
+    return colors, max(int(colors.max()) + 1, 1) if ndof else 0
 
 
 def sparse_jacobian(

@@ -9,6 +9,7 @@ preconditioner. Host scipy remains the default for small/parity runs.
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import Optional
 
@@ -18,7 +19,13 @@ import numpy as np
 import scipy.sparse as sps
 from jax.experimental import sparse as jsparse
 
-__all__ = ["solve_sparse", "jacobi_preconditioner"]
+__all__ = ["solve_sparse", "jacobi_preconditioner", "FALLBACK_COUNTER"]
+
+logger = logging.getLogger(__name__)
+
+#: Number of times a device Krylov solve missed tolerance and fell back to
+#: the host direct solver (observable from SolverStatistics and tests).
+FALLBACK_COUNTER = {"count": 0}
 
 
 def jacobi_preconditioner(A: sps.spmatrix):
@@ -74,5 +81,15 @@ def solve_sparse(
     res = np.linalg.norm(b - A @ x_np)
     b_norm = np.linalg.norm(b)
     if not np.isfinite(res) or res > max(tol * max(b_norm, 1.0) * 1e3, 1e-8):
+        FALLBACK_COUNTER["count"] += 1
+        logger.warning(
+            "Device %s missed tolerance (|r|=%.2e, |b|=%.2e); falling back "
+            "to host spsolve (fallback #%d). Consider a stronger "
+            "preconditioner or the block-preconditioned solver.",
+            method,
+            res,
+            b_norm,
+            FALLBACK_COUNTER["count"],
+        )
         x_np = sps.linalg.spsolve(A, b)
     return x_np
