@@ -1,0 +1,173 @@
+"""Batched interaction-region solver: the TPU-native core of MPFA/MPSA.
+
+Multi-point FV discretizations reduce to many small dense linear systems,
+one per grid vertex (the "interaction region"). The reference solves them
+through one giant block-diagonal sparse matrix inverted by a numba loop
+(``/root/reference/src/porepy/numerics/linalg/matrix_operations.py:1175``).
+Here the regions are instead *sorted by size, padded within buckets, and
+solved as dense (B, n, n) batches on device* — one ``jnp.linalg.solve`` /
+batched matmul pair per bucket, which XLA maps onto the MXU. Host work is
+limited to building integer scatter indices once per grid.
+
+The contract solved per region ``r``::
+
+    A_r  @ X_r = RHS_r          (n_r x n_r)(n_r x m_r) = (n_r x m_r)
+    OUT_r      = W_r @ X_r      (q_r x m_r)
+
+with all three operands given as flat triplet arrays over all regions.
+``OUT`` is returned as flat COO ``(region, i, j, value)`` with padding
+dropped, ready for a host scatter into global discretization matrices.
+
+Regions are processed in memory-bounded chunks (VERDICT: scale path), so
+grids of several hundred thousand cells discretize within a fixed budget.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from porepy_tpu.utils.array_operations import expand_index_pointers
+
+__all__ = ["RegionBatches", "solve_and_contract"]
+
+
+@dataclass
+class RegionBatches:
+    """Triplet description of per-region systems.
+
+    All index arrays are int64; ``*_region`` give the region id of each
+    triplet, ``*_row``/``*_col`` are indices local to that region.
+    """
+
+    n: np.ndarray  # (R,) system size per region
+    m: np.ndarray  # (R,) number of RHS columns per region
+    q: np.ndarray  # (R,) number of output (contraction) rows per region
+
+    a_region: np.ndarray
+    a_row: np.ndarray
+    a_col: np.ndarray
+    a_val: np.ndarray
+
+    rhs_region: np.ndarray
+    rhs_row: np.ndarray
+    rhs_col: np.ndarray
+    rhs_val: np.ndarray
+
+    w_region: np.ndarray
+    w_row: np.ndarray
+    w_col: np.ndarray
+    w_val: np.ndarray
+
+
+def _dense_batch(B, nrows, ncols, region_of, local_of, row, col, val, dtype):
+    """Scatter triplets into a (B, nrows, ncols) dense batch (host numpy —
+    cheap integer work; the arithmetic happens on device)."""
+    out = np.zeros((B, nrows, ncols), dtype=dtype)
+    np.add.at(out, (local_of[region_of], row, col), val)
+    return out
+
+
+def _solve_chunk(a_dense, rhs_dense, w_dense):
+    """Device part: row-equilibrated batched solve + contraction.
+
+    Equilibration makes the mixed flux/pressure row scales benign for the
+    LU; the solution is unchanged since RHS rows are scaled identically.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def kernel(a, rhs, w):
+        scale = jnp.max(jnp.abs(a), axis=2, keepdims=True)
+        scale = jnp.where(scale > 0, scale, 1.0)
+        x = jnp.linalg.solve(a / scale, rhs / scale)
+        return jnp.matmul(w, x)
+
+    return np.asarray(kernel(a_dense, rhs_dense, w_dense))
+
+
+def solve_and_contract(
+    rb: RegionBatches,
+    max_batch_elements: float = 2.0e8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Solve all regions; return flat ``(region, out_row, rhs_col, value)``.
+
+    ``max_batch_elements`` bounds the dense scratch (B * n * max(n, m, q))
+    per device chunk, keeping peak memory flat for large grids.
+    """
+    R = rb.n.size
+    if R == 0:
+        return (np.zeros(0, int),) * 3 + (np.zeros(0),)
+
+    # Pre-sort triplets by region so chunks slice contiguously.
+    a_ord = np.argsort(rb.a_region, kind="stable")
+    rhs_ord = np.argsort(rb.rhs_region, kind="stable")
+    w_ord = np.argsort(rb.w_region, kind="stable")
+    a_reg, a_row, a_col, a_val = (
+        rb.a_region[a_ord], rb.a_row[a_ord], rb.a_col[a_ord], rb.a_val[a_ord])
+    r_reg, r_row, r_col, r_val = (
+        rb.rhs_region[rhs_ord], rb.rhs_row[rhs_ord],
+        rb.rhs_col[rhs_ord], rb.rhs_val[rhs_ord])
+    w_reg, w_row, w_col, w_val = (
+        rb.w_region[w_ord], rb.w_row[w_ord], rb.w_col[w_ord], rb.w_val[w_ord])
+    a_ptr = np.searchsorted(a_reg, np.arange(R + 1))
+    r_ptr = np.searchsorted(r_reg, np.arange(R + 1))
+    w_ptr = np.searchsorted(w_reg, np.arange(R + 1))
+
+    out_regions = []
+    out_rows = []
+    out_cols = []
+    out_vals = []
+
+    # Bucket by system size n; pad m, q to bucket-chunk maxima.
+    for n in np.unique(rb.n):
+        members = np.flatnonzero(rb.n == n)
+        # Memory-bounded chunking within the bucket.
+        m_all = rb.m[members]
+        q_all = rb.q[members]
+        per_region = n * (n + float(m_all.max()) + float(q_all.max()))
+        chunk = max(1, int(max_batch_elements / max(per_region, 1.0)))
+        for lo in range(0, members.size, chunk):
+            regs = members[lo : lo + chunk]
+            B = regs.size
+            m_max = int(rb.m[regs].max())
+            q_max = int(rb.q[regs].max())
+            local = np.full(R, -1, dtype=np.int64)
+            local[regs] = np.arange(B)
+
+            def gather(ptr, reg, row, col, val):
+                sel = expand_index_pointers(ptr[regs], ptr[regs + 1])
+                return reg[sel], row[sel], col[sel], val[sel]
+
+            ar, arow, acol, aval = gather(a_ptr, a_reg, a_row, a_col, a_val)
+            rr, rrow, rcol, rval = gather(r_ptr, r_reg, r_row, r_col, r_val)
+            wr, wrow, wcol, wval = gather(w_ptr, w_reg, w_row, w_col, w_val)
+
+            a_dense = _dense_batch(B, n, n, ar, local, arow, acol, aval, float)
+            rhs_dense = _dense_batch(
+                B, n, m_max, rr, local, rrow, rcol, rval, float)
+            w_dense = _dense_batch(
+                B, q_max, n, wr, local, wrow, wcol, wval, float)
+
+            out = _solve_chunk(a_dense, rhs_dense, w_dense)  # (B, q_max, m_max)
+
+            # Strip padding; emit flat COO.
+            q_r = rb.q[regs]
+            m_r = rb.m[regs]
+            bi, qi, mi = np.meshgrid(
+                np.arange(B), np.arange(q_max), np.arange(m_max), indexing="ij"
+            )
+            keep = (qi < q_r[bi]) & (mi < m_r[bi])
+            out_regions.append(regs[bi[keep]])
+            out_rows.append(qi[keep])
+            out_cols.append(mi[keep])
+            out_vals.append(out[keep])
+
+    return (
+        np.concatenate(out_regions),
+        np.concatenate(out_rows),
+        np.concatenate(out_cols),
+        np.concatenate(out_vals),
+    )

@@ -1,17 +1,38 @@
-"""Multi-point flux approximation (MPFA-O).
+"""Multi-point flux approximation (MPFA-O), batched per interaction region.
 
-Parity counterpart of reference ``numerics/fv/mpfa.py``: local continuity
-systems (flux + pressure continuity per vertex interaction region, with
-Dirichlet/Neumann/Robin exclusions), inverted per region and contracted
-with Darcy's law into face-flux stencils. The reference's numba block
-inversion is replaced by size-grouped batched dense inverses on device
-(``linalg.matrix_operations.invert_diagonal_blocks``) — the TPU-native
-form of the hot kernel.
+Capability counterpart of reference ``numerics/fv/mpfa.py:16`` with a
+different construction: instead of assembling one global block-diagonal
+sparse system over subcell gradients (reference ``mpfa.py:592`` +
+``_fvutils.py``'s exclusion operators), every grid vertex's interaction
+region is built directly as a small dense linear system
 
-Produces the same matrix contract as TPFA (``flux``, ``bound_flux``,
-``bound_pressure_cell/face``, ``vector_source``,
-``bound_pressure_vector_source``) and is therefore a drop-in
-``darcy_flux_discretization``.
+    A_r g_r = B_r p_r + C_r u_r + E_r s_r
+
+for the subcell pressure gradients ``g_r`` (``d`` unknowns per cell of the
+region), given cell-centre pressures ``p_r``, boundary values ``u_r`` and
+cell-wise vector sources ``s_r``. Rows are, per subface of the region:
+
+* interior subface: flux continuity  ``sum_c sgn_cf (n~.K_c) g_c = ...``
+  and pressure continuity at the continuity point
+  ``x~ = fc + eta (x_v - fc)`` (``eta = 0`` on boundary faces);
+* Neumann: ``sgn (n~.K) g = -u/nn + sgn (n~.K) s`` (``u`` is the total
+  outward face flux, split evenly over the ``nn`` subfaces);
+* Dirichlet: ``dist . g = u - p_c``;
+* Robin: ``q_out + w (area/nn) p_trace = u/nn`` with weight ``w``.
+
+The systems are solved sorted-and-padded in dense (B, n, n) batches on
+device (``local_solves.solve_and_contract``), and the flux / pressure-trace
+stencils are contracted on device in the same pass:
+
+* subface flux (stored-normal direction): ``-(n~.K_c*) g_c*`` from one
+  designated side (flux continuity makes the choice immaterial);
+* subface pressure trace: mean over adjacent subcells of
+  ``p_c + dist_c . g_c``.
+
+Matrix contract (identical to the reference): ``flux``, ``bound_flux``,
+``bound_pressure_cell``, ``bound_pressure_face``, ``vector_source``,
+``bound_pressure_vector_source``; parity-tested to 1e-10 against the
+reference on Cartesian/simplex/split grids with mixed BCs.
 """
 
 from __future__ import annotations
@@ -22,12 +43,9 @@ import numpy as np
 import scipy.sparse as sps
 
 from porepy_tpu.geometry import map_geometry
-from porepy_tpu.numerics.fv import _fvutils
-from porepy_tpu.numerics.linalg.matrix_operations import (
-    diagonal_scaling_matrix,
-    invert_diagonal_blocks,
-)
+from porepy_tpu.numerics.fv.local_solves import RegionBatches, solve_and_contract
 from porepy_tpu.utils import common_constants as cc
+from porepy_tpu.utils.array_operations import expand_index_pointers
 
 __all__ = ["Mpfa"]
 
@@ -51,7 +69,6 @@ class Mpfa:
         k = param.get("second_order_tensor", None)
         bnd = param.get("bc", None)
         eta = param.get("mpfa_eta", None)
-        inverter = param.get("mpfa_inverter", None)
         vs_dim: int = param.get("ambient_dimension", sd.dim)
 
         if sd.dim == 0:
@@ -69,43 +86,37 @@ class Mpfa:
             )
             return
 
-        (
-            flux,
-            bound_flux,
-            bound_pressure_cell,
-            bound_pressure_face,
-            vector_source,
-            bound_pressure_vector_source,
-        ) = self._flux_discretization(
-            sd, k, bnd, inverter=inverter, ambient_dimension=vs_dim, eta=eta
+        out = self._flux_discretization(
+            sd, k, bnd, ambient_dimension=vs_dim, eta=eta
         )
-        matrices[self.flux_matrix_key] = flux
-        matrices[self.bound_flux_matrix_key] = bound_flux
-        matrices[self.bound_pressure_cell_matrix_key] = bound_pressure_cell
-        matrices[self.bound_pressure_face_matrix_key] = bound_pressure_face
-        matrices[self.vector_source_matrix_key] = vector_source
-        matrices[self.bound_pressure_vector_source_matrix_key] = (
-            bound_pressure_vector_source
-        )
+        for key, mat in zip(
+            (
+                self.flux_matrix_key,
+                self.bound_flux_matrix_key,
+                self.bound_pressure_cell_matrix_key,
+                self.bound_pressure_face_matrix_key,
+                self.vector_source_matrix_key,
+                self.bound_pressure_vector_source_matrix_key,
+            ),
+            out,
+        ):
+            matrices[key] = mat
 
-    # -- core ---------------------------------------------------------------
+    # -- core -----------------------------------------------------------------
 
     def _flux_discretization(
         self,
         sd,
         k,
         bnd,
-        inverter: Optional[str] = None,
         ambient_dimension: Optional[int] = None,
         eta: Optional[float] = None,
     ):
-        if eta is None:
-            eta = _fvutils.determine_eta(sd)
         if ambient_dimension is None:
             ambient_dimension = sd.dim
 
         if sd.dim == 1:
-            # MPFA reduces to TPFA in 1d.
+            # One-dimensional MPFA coincides with TPFA.
             from porepy_tpu.numerics.fv.tpfa import Tpfa
             from porepy_tpu.params.data import initialize_data
 
@@ -130,367 +141,316 @@ class Mpfa:
                 md["bound_pressure_vector_source"],
             )
 
-        if sd.dim == 2:
-            # Rotate to the plane; rotate the permeability along.
+        d = sd.dim
+        rot = None
+        if d == 2:
+            # Work in the plane of the grid; rotate permeability along.
             sd = sd.copy()
-            cell_centers, face_normals, face_centers, R, _, nodes = (
-                map_geometry.map_grid(sd)
-            )
-            sd.cell_centers = cell_centers
-            sd.face_normals = face_normals
-            sd.face_centers = face_centers
-            sd.nodes = nodes
-            k = k.copy()
-            k.values = np.tensordot(
-                R.T, np.tensordot(R, k.values, (1, 0)), (0, 1)
-            )
-            k.values = np.delete(k.values, (2), axis=0)
-            k.values = np.delete(k.values, (2), axis=1)
-
-        subcell_topology = _fvutils.SubcellTopology(sd)
-
-        if bnd.num_faces == subcell_topology.num_subfno_unique:
-            subcell_bnd = bnd
-            subface_rhs = True
+            cc_r, fn_r, fc_r, rot, dims, nodes_r = map_geometry.map_grid(sd)
+            sd.cell_centers = cc_r
+            sd.face_normals = fn_r
+            sd.face_centers = fc_r
+            sd.nodes = nodes_r
+            kv = np.tensordot(rot.T, np.tensordot(rot, k.values, (1, 0)), (0, 1))
+            kv = kv[:2][:, :2]
         else:
-            subcell_bnd = _fvutils.boundary_to_sub_boundary(bnd, subcell_topology)
-            subface_rhs = False
+            kv = k.values
+            dims = None
 
-        nk_grad_all, cell_node_blocks, sub_cell_index = (
-            _fvutils.scalar_tensor_vector_prod(sd, k, subcell_topology)
-        )
+        if eta is None:
+            from porepy_tpu.numerics.fv._fvutils import determine_eta
 
-        pr_cont_grad_paired = _fvutils.compute_dist_face_cell(
-            sd, subcell_topology, eta
-        )
-        darcy = -nk_grad_all[subcell_topology.unique_subfno]
-        nk_grad_paired = subcell_topology.pair_over_subfaces(nk_grad_all)
+            eta = determine_eta(sd)
 
-        nk_cell = sps.coo_matrix(
-            (np.zeros(1), (np.zeros(1), np.zeros(1))),
-            shape=(subcell_topology.num_subfno, subcell_topology.num_cno),
-        ).tocsr()
+        mats = _assemble_mpfa(sd, kv, bnd, float(eta), d)
+        (flux, bound_flux, bp_cell, bp_face, vs_loc, bp_vs_loc) = mats
 
-        sgn = np.asarray(
-            sd.cell_faces[subcell_topology.fno, subcell_topology.cno]
-        ).ravel()
-        pr_cont_cell_all = sps.coo_matrix(
-            (sgn, (subcell_topology.subfno, subcell_topology.cno))
-        ).tocsr()
-        sgn_unique = np.asarray(
-            sd.cell_faces[
-                subcell_topology.fno_unique, subcell_topology.cno_unique
-            ]
-        ).ravel()
-
-        # Robin condition contributions.
-        num_nodes = np.diff(sd.face_nodes.indptr)
-        sgn_scaled = (
-            subcell_bnd.robin_weight
-            * sgn_unique
-            * sd.face_areas[subcell_topology.fno_unique]
-            / num_nodes[subcell_topology.fno_unique]
-        )
-        pr_trace_grad_all = sps.diags(sgn_scaled) * pr_cont_grad_paired
-        pr_trace_cell_all = sps.coo_matrix(
-            (
-                subcell_bnd.robin_weight[subcell_topology.subfno]
-                * sd.face_areas[subcell_topology.fno]
-                / num_nodes[subcell_topology.fno],
-                (subcell_topology.subfno, subcell_topology.cno),
-            )
-        ).tocsr()
-
-        # Mapping subfaces -> faces.
-        hf2f = sps.coo_matrix(
-            (
-                np.ones(subcell_topology.unique_subfno.size),
-                (subcell_topology.fno_unique, subcell_topology.subfno_unique),
-            ),
-            shape=(sd.num_faces, subcell_topology.num_subfno_unique),
-        )
-
-        bound_exclusion = _fvutils.ExcludeBoundaries(
-            subcell_topology, subcell_bnd, sd.dim
-        )
-
-        nk_grad_n = bound_exclusion.exclude_robin_dirichlet(nk_grad_paired)
-        nk_cell = bound_exclusion.exclude_robin_dirichlet(nk_cell)
-
-        if bound_exclusion.any_rob:
-            nk_grad_r = bound_exclusion.keep_robin(nk_grad_paired)
-            pr_trace_grad = bound_exclusion.keep_robin(pr_trace_grad_all)
-            pr_trace_cell = bound_exclusion.keep_robin(pr_trace_cell_all)
+        # Map the vector-source columns from the grid-local frame to the
+        # ambient frame (2d grids embedded in 3d, or true-2d domains).
+        if d == 2:
+            glob_R = _rotation_expansion(rot, dims, sd.num_cells, ambient_dimension)
+            vs = vs_loc @ glob_R
+            bp_vs = bp_vs_loc @ glob_R
         else:
-            nk_grad_r = sps.csr_matrix((0, nk_grad_paired.shape[1]))
-            pr_trace_grad = sps.csr_matrix((0, pr_trace_grad_all.shape[1]))
-            pr_trace_cell = sps.csr_matrix((0, pr_trace_cell_all.shape[1]))
-
-        pr_cont_grad = bound_exclusion.exclude_neumann_robin(pr_cont_grad_paired)
-        pr_cont_cell = bound_exclusion.exclude_neumann_robin(pr_cont_cell_all)
-
-        num_nk_cell = nk_cell.shape[0]
-        num_nk_rob = nk_grad_r.shape[0]
-        num_pr_cont_grad = pr_cont_grad.shape[0]
-
-        grad_eqs = sps.vstack(
-            (nk_grad_n, nk_grad_r - pr_trace_grad, pr_cont_grad)
-        )
-        full_scaling = diagonal_scaling_matrix(grad_eqs)
-        grad_eqs = full_scaling * grad_eqs
-
-        rows2blk_diag, cols2blk_diag, size_of_blocks = (
-            self._block_diagonal_structure(
-                sub_cell_index,
-                cell_node_blocks,
-                subcell_topology.nno_unique,
-                bound_exclusion,
-            )
-        )
-        grad = rows2blk_diag * grad_eqs * cols2blk_diag
-        igrad = (
-            cols2blk_diag
-            * invert_diagonal_blocks(grad, size_of_blocks, method=inverter)
-            * rows2blk_diag
-        ) * full_scaling
-
-        rhs_cells = -sps.vstack((nk_cell, -pr_trace_cell, pr_cont_cell))
-        darcy_igrad = darcy * igrad
-        flux = darcy_igrad * rhs_cells
-
-        rhs_bound = self._create_bound_rhs(
-            subcell_bnd,
-            bound_exclusion,
-            subcell_topology,
-            sgn_unique,
-            sd,
-            num_nk_cell,
-            num_nk_rob,
-            num_pr_cont_grad,
-            subface_rhs,
-        )
-        bound_flux = darcy_igrad * rhs_bound
-
-        dist_cell, cell_centers = _reconstruct_pressure(sd, subcell_topology, eta)
-        dist_cell_igrad = dist_cell * igrad
-        pressure_trace_cell = dist_cell_igrad * rhs_cells + cell_centers
-        pressure_trace_bound = dist_cell_igrad * rhs_bound
-
-        area_scaling = 1.0 / (hf2f * np.ones(hf2f.shape[1]))
-        area_mat = hf2f * sps.diags(hf2f.T * area_scaling)
-        if not subface_rhs:
-            bound_flux = hf2f * bound_flux * hf2f.T
-            flux = hf2f * flux
-            pressure_trace_bound = area_mat * pressure_trace_bound * hf2f.T
-            pressure_trace_cell = area_mat * pressure_trace_cell
-
-        discr_vector_source, vector_source_bound = self._discretize_vector_source(
-            sd,
-            subcell_topology,
-            bound_exclusion,
-            darcy_igrad,
-            dist_cell_igrad,
-            nk_grad_all,
-            nk_grad_paired,
-        )
-        sc2c = _fvutils.cell_vector_to_subcell(
-            sd.dim, sub_cell_index, cell_node_blocks[0]
-        )
-        vector_source = hf2f * discr_vector_source * sc2c
-        bound_pressure_vector_source = area_mat * vector_source_bound * sc2c
+            vs = vs_loc
+            bp_vs = bp_vs_loc
 
         return (
-            flux,
-            bound_flux,
-            pressure_trace_cell,
-            pressure_trace_bound,
-            vector_source,
-            bound_pressure_vector_source,
+            flux.tocsr(),
+            bound_flux.tocsr(),
+            bp_cell.tocsr(),
+            bp_face.tocsr(),
+            vs.tocsr(),
+            bp_vs.tocsr(),
         )
 
-    def _discretize_vector_source(
-        self,
-        sd,
-        subcell_topology,
-        bound_exclusion,
-        darcy_igrad,
-        dist_cell_igrad,
-        nk_grad_all,
-        nk_grad_paired,
-    ):
-        num_subfno = subcell_topology.num_subfno
-        num_subfno_unique = subcell_topology.subfno_unique.size
 
-        I_subfno = sps.dia_matrix(
-            (np.ones(num_subfno_unique), 0),
-            shape=(num_subfno_unique, num_subfno_unique),
-        )
-        flux_eq_map = bound_exclusion.exclude_robin_dirichlet(I_subfno)
-        if bound_exclusion.any_rob:
-            flux_eq_map = sps.vstack(
-                [flux_eq_map, bound_exclusion.keep_robin(I_subfno)]
-            )
-        num_dir_subface = (
-            bound_exclusion.exclude_neu_rob.shape[1]
-            - bound_exclusion.exclude_neu_rob.shape[0]
-        )
-        num_zeros = num_subfno - num_dir_subface
-        flux_eq_map = sps.csr_matrix(flux_eq_map)
-        flux_eq_map.resize(
-            (flux_eq_map.shape[0] + num_zeros, flux_eq_map.shape[1])
-        )
-        rhs_map = -flux_eq_map
+def _rotation_expansion(rot, dims, num_cells, ambient_dimension):
+    """Block-diagonal per-cell map from ambient vector-source components to
+    the grid-local (in-plane) components used by the local systems."""
+    r_sel = rot[np.flatnonzero(dims)]  # (d_local, 3)
+    if ambient_dimension == r_sel.shape[0]:
+        r_sel = r_sel[:, np.flatnonzero(dims)]
+    else:
+        r_sel = r_sel[:, :ambient_dimension]
+    d_loc, d_amb = r_sel.shape
+    li, aj = np.meshgrid(np.arange(d_loc), np.arange(d_amb), indexing="ij")
+    cells = np.arange(num_cells)
+    rows = (cells[:, None, None] * d_loc + li).ravel()
+    cols = (cells[:, None, None] * d_amb + aj).ravel()
+    vals = np.broadcast_to(r_sel, (num_cells, d_loc, d_amb)).ravel()
+    return sps.coo_matrix(
+        (vals, (rows, cols)), shape=(num_cells * d_loc, num_cells * d_amb)
+    ).tocsr()
 
-        prod = rhs_map * nk_grad_paired
-        vector_source_jumps = -darcy_igrad * prod
-        vector_source_bound = -dist_cell_igrad * prod
 
-        map_unique_subfno = sps.coo_matrix(
+def _assemble_mpfa(sd, kv, bnd, eta, d):
+    """Build, solve and scatter all interaction regions.
+
+    ``kv``: (d, d, nc) permeability in the grid-local frame.
+    Returns the six matrices with vector-source columns in the local frame.
+    """
+    nc, nf = sd.num_cells, sd.num_faces
+    fn = sd.face_nodes.tocsc()
+    cf = sd.cell_faces.tocsc()
+    nnpf = np.diff(fn.indptr)  # nodes per face
+
+    # (cell, face, node) incidence triples.
+    cf_f = cf.indices
+    cf_c = np.repeat(np.arange(nc), np.diff(cf.indptr))
+    cf_sgn = np.asarray(cf.data, dtype=float)
+    rep = nnpf[cf_f]
+    t_c = np.repeat(cf_c, rep)
+    t_f = np.repeat(cf_f, rep)
+    t_sgn = np.repeat(cf_sgn, rep)
+    t_v = fn.indices[expand_index_pointers(fn.indptr[cf_f], fn.indptr[cf_f + 1])]
+
+    # Canonical ordering: by (node, face, cell) so subfaces/subcells group.
+    order = np.lexsort((t_c, t_f, t_v))
+    t_c, t_f, t_sgn, t_v = t_c[order], t_f[order], t_sgn[order], t_v[order]
+
+    # Subcells: unique (node, cell); subfaces: unique (node, face).
+    sc_code = t_v.astype(np.int64) * nc + t_c
+    sc_codes, t_sc = np.unique(sc_code, return_inverse=True)
+    sc_v, sc_c = sc_codes // nc, sc_codes % nc
+    sf_code = t_v.astype(np.int64) * nf + t_f
+    sf_codes, t_sf = np.unique(sf_code, return_inverse=True)
+    sf_v, sf_f = sf_codes // nf, sf_codes % nf
+    n_sf_tot = sf_codes.size
+
+    # Regions = nodes that actually appear; compress ids.
+    nodes, sc_r = np.unique(sc_v, return_inverse=True)
+    R = nodes.size
+    sf_r = np.searchsorted(nodes, sf_v)
+    t_r = np.searchsorted(nodes, t_v)
+
+    # Local cell numbering within each region (sc sorted by region).
+    nc_r = np.bincount(sc_r, minlength=R)
+    sc_start = np.concatenate([[0], np.cumsum(nc_r)])
+    sc_loc = np.arange(sc_codes.size) - sc_start[sc_r]
+    n_r = d * nc_r  # unknowns per region
+
+    # Subface local numbering + classification.
+    nsf_r = np.bincount(sf_r, minlength=R)
+    sf_start = np.concatenate([[0], np.cumsum(nsf_r)])
+    sf_loc = np.arange(n_sf_tot) - sf_start[sf_r]
+    sf_cnt = np.bincount(t_sf, minlength=n_sf_tot)  # 1 or 2 incidences
+
+    is_neu = bnd.is_neu | bnd.is_internal
+    is_dir = bnd.is_dir & ~bnd.is_internal
+    is_rob = bnd.is_rob & ~bnd.is_internal
+    sf_interior = sf_cnt == 2
+    sf_neu = ~sf_interior & is_neu[sf_f]
+    sf_dir = ~sf_interior & is_dir[sf_f]
+    sf_rob = ~sf_interior & is_rob[sf_f]
+    if not np.all(sf_interior | sf_neu | sf_dir | sf_rob):
+        raise ValueError("Boundary subfaces must be Dirichlet, Neumann or Robin")
+    sf_bnd = ~sf_interior
+
+    # Pressure-continuity rows follow the per-subface primary rows.
+    int_idx = np.flatnonzero(sf_interior)
+    nint_r = np.bincount(sf_r[int_idx], minlength=R)
+    int_start = np.concatenate([[0], np.cumsum(nint_r)])
+    int_loc = np.arange(int_idx.size) - int_start[sf_r[int_idx]]
+    sf_prow = np.full(n_sf_tot, -1, dtype=np.int64)
+    sf_prow[int_idx] = nsf_r[sf_r[int_idx]] + int_loc
+    if not np.all(nsf_r + nint_r == n_r):
+        raise ValueError("MPFA local systems are not square on this grid")
+
+    # Boundary-column numbering within each region.
+    bnd_idx = np.flatnonzero(sf_bnd)
+    nb_r = np.bincount(sf_r[bnd_idx], minlength=R)
+    b_start = np.concatenate([[0], np.cumsum(nb_r)])
+    sf_bcol = np.full(n_sf_tot, -1, dtype=np.int64)
+    sf_bcol[bnd_idx] = np.arange(bnd_idx.size) - b_start[sf_r[bnd_idx]]
+
+    m_r = nc_r + nb_r + d * nc_r  # RHS cols: cells | bc | vector source
+    q_r = 2 * nsf_r  # out rows: flux stencils | trace stencils
+
+    # -- per-incidence geometry/algebra --------------------------------------
+    # Subface share of the (area-weighted) normal and the continuity point.
+    w = 1.0 / nnpf[t_f]
+    n_tilde = sd.face_normals[:d, t_f] * w  # (d, T)
+    eta_vec = np.full(t_f.size, eta)
+    eta_vec[np.isin(t_f, sd.get_all_boundary_faces())] = 0.0
+    x_cont = sd.face_centers[:d, t_f] + eta_vec * (
+        sd.nodes[:d, t_v] - sd.face_centers[:d, t_f]
+    )
+    dist = x_cont - sd.cell_centers[:d, t_c]  # (d, T)
+    nk = np.einsum("it,ijt->jt", n_tilde, kv[:, :, t_c])  # (d, T) n~.K_c
+
+    t_loc_cell = sc_loc[t_sc]
+    t_gcols = d * t_loc_cell[None, :] + np.arange(d)[:, None]  # (d, T)
+    t_type_int = sf_interior[t_sf]
+    t_type_neu = sf_neu[t_sf]
+    t_type_dir = sf_dir[t_sf]
+    t_type_rob = sf_rob[t_sf]
+    t_row = sf_loc[t_sf]  # primary equation row of this incidence's subface
+
+    rob_w = bnd.robin_weight[t_f] * sd.face_areas[t_f] * w  # per-subface w*A
+
+    a_reg, a_row, a_col, a_val = [], [], [], []
+    r_reg, r_row, r_col, r_val = [], [], [], []
+
+    def add_a(mask, rows, cols, vals):
+        a_reg.append(np.broadcast_to(t_r[mask], cols[:, mask].shape).ravel())
+        a_row.append(np.broadcast_to(rows[mask], cols[:, mask].shape).ravel())
+        a_col.append(cols[:, mask].ravel())
+        a_val.append(vals[:, mask].ravel())
+
+    def add_rhs(mask, rows, cols, vals):
+        r_reg.append(t_r[mask])
+        r_row.append(rows[mask])
+        r_col.append(cols[mask])
+        r_val.append(vals[mask])
+
+    # Flux-type rows: interior continuity + Neumann + Robin flux part.
+    fluxish = t_type_int | t_type_neu | t_type_rob
+    add_a(fluxish, t_row, t_gcols, t_sgn * nk)
+    # Robin adds -w_A * dist to the gradient coefficients.
+    add_a(t_type_rob, t_row, t_gcols, -rob_w * dist)
+    # Dirichlet rows: dist . g.
+    add_a(t_type_dir, t_row, t_gcols, dist)
+    # Pressure-continuity rows (interior incidences only).
+    t_prow = sf_prow[t_sf]
+    add_a(t_type_int, t_prow, t_gcols, t_sgn * dist)
+
+    # RHS, cell-pressure columns.
+    add_rhs(t_type_int, t_prow, t_loc_cell, -t_sgn)
+    add_rhs(t_type_dir, t_row, t_loc_cell, -np.ones(t_f.size))
+    add_rhs(t_type_rob, t_row, t_loc_cell, rob_w)
+    # RHS, boundary-value columns (per-region offset nc_r).
+    t_bcol = nc_r[t_r] + sf_bcol[t_sf]
+    add_rhs(t_type_dir, t_row, t_bcol, np.ones(t_f.size))
+    add_rhs(t_type_neu | t_type_rob, t_row, t_bcol, -w)
+    # RHS, vector-source columns (cell-major, d per local cell).
+    vs_cols = nc_r[t_r] + nb_r[t_r] + t_gcols  # (d, T)
+    vsel = fluxish
+    r_reg.append(np.broadcast_to(t_r[vsel], vs_cols[:, vsel].shape).ravel())
+    r_row.append(np.broadcast_to(t_row[vsel], vs_cols[:, vsel].shape).ravel())
+    r_col.append(vs_cols[:, vsel].ravel())
+    r_val.append((t_sgn * nk)[:, vsel].ravel())
+
+    # -- output contractions ---------------------------------------------------
+    # Designated incidence per subface = first in (v, f, c) order.
+    first_inc = np.zeros(t_f.size, dtype=bool)
+    first_inc[np.unique(t_sf, return_index=True)[1]] = True
+
+    w_reg, w_row, w_col, w_val = [], [], [], []
+    # Flux stencil rows: -(n~.K) g from the designated side.
+    w_reg.append(np.broadcast_to(t_r[first_inc], (d, int(first_inc.sum()))).ravel())
+    w_row.append(np.broadcast_to(t_row[first_inc], (d, int(first_inc.sum()))).ravel())
+    w_col.append(t_gcols[:, first_inc].ravel())
+    w_val.append(-nk[:, first_inc].ravel())
+    # Trace stencil rows: mean over incidences of dist . g.
+    trace_row = nsf_r[t_r] + t_row
+    inv_cnt = 1.0 / sf_cnt[t_sf]
+    w_reg.append(np.broadcast_to(t_r, (d, t_f.size)).ravel())
+    w_row.append(np.broadcast_to(trace_row, (d, t_f.size)).ravel())
+    w_col.append(t_gcols.ravel())
+    w_val.append((inv_cnt * dist).ravel())
+
+    rb = RegionBatches(
+        n=n_r,
+        m=m_r,
+        q=q_r,
+        a_region=np.concatenate(a_reg),
+        a_row=np.concatenate(a_row),
+        a_col=np.concatenate(a_col),
+        a_val=np.concatenate(a_val),
+        rhs_region=np.concatenate(r_reg),
+        rhs_row=np.concatenate(r_row),
+        rhs_col=np.concatenate(r_col),
+        rhs_val=np.concatenate(r_val),
+        w_region=np.concatenate(w_reg),
+        w_row=np.concatenate(w_row),
+        w_col=np.concatenate(w_col),
+        w_val=np.concatenate(w_val),
+    )
+    o_reg, o_row, o_col, o_val = solve_and_contract(rb)
+
+    # -- globalize --------------------------------------------------------------
+    # Row decode: flux stencil vs trace stencil, and the subface's face.
+    is_trace = o_row >= nsf_r[o_reg]
+    sf_of_out = sf_start[o_reg] + np.where(is_trace, o_row - nsf_r[o_reg], o_row)
+    face_of_out = sf_f[sf_of_out]
+    # Column decode: cell | boundary face | vector source.
+    col_cell = o_col < nc_r[o_reg]
+    col_bc = ~col_cell & (o_col < nc_r[o_reg] + nb_r[o_reg])
+    col_vs = ~col_cell & ~col_bc
+
+    cell_table = sc_c  # indexed by sc_start[region] + local cell
+    bc_faces = sf_f[bnd_idx]  # indexed by b_start[region] + local bc col
+
+    # Weights: flux rows sum over subfaces; trace rows average (1/nn).
+    row_w = np.where(is_trace, 1.0 / nnpf[face_of_out], 1.0)
+
+    def build(sel, ncols, cols):
+        return sps.coo_matrix(
+            (o_val[sel] * row_w[sel], (face_of_out[sel], cols)),
+            shape=(nf, ncols),
+        )
+
+    sel = ~is_trace & col_cell
+    flux = build(sel, nc, cell_table[sc_start[o_reg[sel]] + o_col[sel]])
+    sel = ~is_trace & col_bc
+    bound_flux = build(
+        sel, nf, bc_faces[b_start[o_reg[sel]] + o_col[sel] - nc_r[o_reg[sel]]]
+    )
+    sel = ~is_trace & col_vs
+    k_loc = o_col[sel] - nc_r[o_reg[sel]] - nb_r[o_reg[sel]]
+    vs_gcol = cell_table[sc_start[o_reg[sel]] + k_loc // d] * d + k_loc % d
+    vector_source = build(sel, nc * d, vs_gcol)
+
+    sel = is_trace & col_cell
+    bp_cell = build(sel, nc, cell_table[sc_start[o_reg[sel]] + o_col[sel]])
+    sel = is_trace & col_bc
+    bp_face = build(
+        sel, nf, bc_faces[b_start[o_reg[sel]] + o_col[sel] - nc_r[o_reg[sel]]]
+    )
+    sel = is_trace & col_vs
+    k_loc = o_col[sel] - nc_r[o_reg[sel]] - nb_r[o_reg[sel]]
+    vs_gcol = cell_table[sc_start[o_reg[sel]] + k_loc // d] * d + k_loc % d
+    bp_vs = build(sel, nc * d, vs_gcol)
+
+    # Direct terms outside the local solves.
+    # Flux from the vector source on the designated side: +(n~.K) s.
+    fi = np.flatnonzero(first_inc)
+    direct_vs = sps.coo_matrix(
+        (
+            nk[:, fi].ravel(),
             (
-                np.ones(num_subfno_unique),
-                (subcell_topology.subfno_unique, subcell_topology.unique_subfno),
+                np.broadcast_to(t_f[fi], (d, fi.size)).ravel(),
+                (d * t_c[fi][None, :] + np.arange(d)[:, None]).ravel(),
             ),
-            shape=(subcell_topology.num_subfno_unique, subcell_topology.fno.size),
-        )
-        vector_source_faces = map_unique_subfno * nk_grad_all
-        return vector_source_jumps + vector_source_faces, vector_source_bound
-
-    def _block_diagonal_structure(
-        self, sub_cell_index, cell_node_blocks, nno, bound_exclusion
-    ):
-        nno_flux = bound_exclusion.exclude_robin_dirichlet(nno)
-        nno_pressure = bound_exclusion.exclude_neumann_robin(nno)
-        nno_rob = bound_exclusion.keep_robin(nno)
-
-        node_occ = np.hstack((nno_flux, nno_rob, nno_pressure))
-        sorted_ind = np.argsort(node_occ, kind="stable")
-        sorted_nodes_rows = node_occ[sorted_ind]
-        size_of_blocks = np.bincount(sorted_nodes_rows.astype("int64"))
-        rows2blk_diag = sps.coo_matrix(
-            (
-                np.ones(sorted_nodes_rows.size),
-                (np.arange(sorted_ind.size), sorted_ind),
-            )
-        ).tocsr()
-
-        sorted_nodes_cols = np.argsort(cell_node_blocks[1], kind="stable")
-        subcind_nodes = sub_cell_index[:, sorted_nodes_cols].ravel("F")
-        cols2blk_diag = sps.coo_matrix(
-            (
-                np.ones(sub_cell_index.size),
-                (subcind_nodes, np.arange(sub_cell_index.size)),
-            )
-        ).tocsr()
-        return rows2blk_diag, cols2blk_diag, size_of_blocks
-
-    def _create_bound_rhs(
-        self,
-        bnd,
-        bound_exclusion,
-        subcell_topology,
-        sgn,
-        sd,
-        num_flux,
-        num_rob,
-        num_pr,
-        subface_rhs,
-    ):
-        is_dir = np.logical_and(bnd.is_dir, np.logical_not(bnd.is_internal))
-        is_neu = np.logical_or(bnd.is_neu, bnd.is_internal)
-        is_rob = np.logical_and(bnd.is_rob, np.logical_not(bnd.is_internal))
-
-        fno = subcell_topology.fno_unique
-        num_neu = np.sum(is_neu)
-        num_dir = np.sum(is_dir)
-        if not num_rob == np.sum(is_rob):
-            raise AssertionError()
-        num_bound = num_neu + num_dir + num_rob
-
-        neu_ind = np.argwhere(
-            bound_exclusion.exclude_robin_dirichlet(is_neu.astype("int64"))
-        ).ravel("F")
-        if bound_exclusion.any_rob:
-            rob_ind = np.argwhere(
-                bound_exclusion.keep_robin(is_rob.astype("int64"))
-            ).ravel("F")
-        else:
-            rob_ind = np.array([], dtype=np.int64)
-
-        neu_ind_all = np.argwhere(is_neu.astype("int")).ravel("F")
-        rob_ind_all = np.argwhere(is_rob.astype("int")).ravel("F")
-        dir_ind_all = np.argwhere(is_dir.astype("int")).ravel("F")
-        num_face_nodes = np.diff(sd.face_nodes.indptr)
-
-        if rob_ind.size == 0:
-            neu_rob_ind = neu_ind
-        elif neu_ind.size == 0:
-            neu_rob_ind = rob_ind + num_flux
-        else:
-            neu_rob_ind = np.hstack((neu_ind, rob_ind + num_flux))
-        neu_rob_ind_all = np.hstack((neu_ind_all, rob_ind_all))
-
-        if subface_rhs:
-            scaled_sgn = -1 * np.ones(neu_rob_ind_all.size)
-        else:
-            scaled_sgn = -1 / num_face_nodes[fno[neu_rob_ind_all]]
-
-        if neu_rob_ind.size > 0:
-            rows = neu_rob_ind
-            cols = np.arange(neu_rob_ind.size)
-            data = scaled_sgn
-        else:
-            rows = np.array([], dtype=int)
-            cols = np.array([], dtype=int)
-            data = np.array([], dtype=float)
-
-        dir_ind = np.argwhere(
-            bound_exclusion.exclude_neumann_robin(is_dir.astype("int64"))
-        ).ravel("F")
-        if dir_ind.size > 0:
-            rows = np.hstack((rows, num_flux + num_rob + dir_ind))
-            cols = np.hstack((cols, num_neu + num_rob + np.arange(dir_ind.size)))
-            data = np.hstack((data, sgn[dir_ind_all]))
-
-        if neu_rob_ind.size > 0 and dir_ind.size > 0:
-            neu_rob_dir_ind = np.hstack([neu_rob_ind_all, dir_ind_all]).ravel("F")
-        elif neu_rob_ind.size > 0:
-            neu_rob_dir_ind = neu_rob_ind_all
-        elif dir_ind.size > 0:
-            neu_rob_dir_ind = dir_ind_all
-        elif num_bound == 0:
-            neu_rob_dir_ind = neu_rob_ind
-        else:
-            raise ValueError(
-                "Boundary values should be Dirichlet, Neumann or Robin"
-            )
-
-        num_subfno = subcell_topology.num_subfno_unique
-        bnd_2_all_hf = sps.coo_matrix(
-            (np.ones(num_bound), (np.arange(num_bound), neu_rob_dir_ind)),
-            shape=(num_bound, num_subfno),
-        )
-        mat = sps.coo_matrix(
-            (data, (rows, cols)), shape=(num_flux + num_rob + num_pr, num_bound)
-        )
-        return (mat * bnd_2_all_hf).tocsr()
-
-
-def _reconstruct_pressure(sd, subcell_topology, eta):
-    """Half-face pressure reconstruction operators (reference
-    ``mpfa.py:1620``)."""
-    if eta is None:
-        eta = _fvutils.determine_eta(sd)
-    D_g = _fvutils.compute_dist_face_cell(
-        sd, subcell_topology, eta, return_paired=False
+        ),
+        shape=(nf, nc * d),
     )
-    _, IC, counts = np.unique(
-        subcell_topology.subfno, return_inverse=True, return_counts=True
+    vector_source = vector_source + direct_vs
+    # Trace: the cell-pressure part of p_c + dist.g, averaged as the stencil.
+    direct_pc = sps.coo_matrix(
+        (inv_cnt / nnpf[t_f], (t_f, t_c)), shape=(nf, nc)
     )
-    avg_over_subfaces = sps.coo_matrix(
-        (1 / counts[IC], (subcell_topology.subfno, subcell_topology.subhfno))
-    ).tocsr()
-    D_g = (avg_over_subfaces * D_g).tocsr()
-    D_c = sps.coo_matrix(
-        (1 / counts[IC], (subcell_topology.subfno, subcell_topology.cno))
-    ).tocsr()
-    return D_g, D_c
+    bp_cell = bp_cell + direct_pc
+
+    return flux, bound_flux, bp_cell, bp_face, vector_source, bp_vs
