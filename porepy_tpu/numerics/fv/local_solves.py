@@ -74,15 +74,37 @@ def _solve_chunk(a_dense, rhs_dense, w_dense):
 
     Equilibration makes the mixed flux/pressure row scales benign for the
     LU; the solution is unchanged since RHS rows are scaled identically.
+
+    On TPU (no f64 LU in hardware) the factorization runs in f32 and the
+    solution is polished by iterative refinement with f64 residuals (f64
+    matmul is XLA-emulated on TPU), recovering ~f64 accuracy for the
+    well-equilibrated region systems.
     """
     import jax
     import jax.numpy as jnp
+
+    f64_lu = jax.default_backend() not in ("tpu",)
 
     @jax.jit
     def kernel(a, rhs, w):
         scale = jnp.max(jnp.abs(a), axis=2, keepdims=True)
         scale = jnp.where(scale > 0, scale, 1.0)
-        x = jnp.linalg.solve(a / scale, rhs / scale)
+        a_s = a / scale
+        rhs_s = rhs / scale
+        if f64_lu:
+            x = jnp.linalg.solve(a_s, rhs_s)
+        else:
+            lu, piv = jax.scipy.linalg.lu_factor(a_s.astype(jnp.float32))
+
+            def coarse_solve(r):
+                return jax.vmap(jax.scipy.linalg.lu_solve)(
+                    (lu, piv), r.astype(jnp.float32)
+                ).astype(jnp.float64)
+
+            x = coarse_solve(rhs_s)
+            for _ in range(3):
+                r = rhs_s - jnp.matmul(a_s, x)
+                x = x + coarse_solve(r)
         return jnp.matmul(w, x)
 
     return np.asarray(kernel(a_dense, rhs_dense, w_dense))
