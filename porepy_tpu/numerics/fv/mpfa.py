@@ -44,8 +44,8 @@ import scipy.sparse as sps
 
 from porepy_tpu.geometry import map_geometry
 from porepy_tpu.numerics.fv.local_solves import RegionBatches, solve_and_contract
+from porepy_tpu.numerics.fv.regions import build_regions, continuity_geometry
 from porepy_tpu.utils import common_constants as cc
-from porepy_tpu.utils.array_operations import expand_index_pointers
 
 __all__ = ["Mpfa"]
 
@@ -211,101 +211,39 @@ def _assemble_mpfa(sd, kv, bnd, eta, d):
     Returns the six matrices with vector-source columns in the local frame.
     """
     nc, nf = sd.num_cells, sd.num_faces
-    fn = sd.face_nodes.tocsc()
-    cf = sd.cell_faces.tocsc()
-    nnpf = np.diff(fn.indptr)  # nodes per face
+    rt = build_regions(
+        sd,
+        is_neu=bnd.is_neu | bnd.is_internal,
+        is_dir=bnd.is_dir & ~bnd.is_internal,
+        is_rob=bnd.is_rob & ~bnd.is_internal,
+    )
+    (t_c, t_f, t_sgn, t_r, t_sf, t_loc_cell, t_row, first_inc) = (
+        rt.t_c, rt.t_f, rt.t_sgn, rt.t_r, rt.t_sf, rt.t_loc_cell, rt.t_row,
+        rt.first_inc,
+    )
+    (sf_f, sf_cnt, sf_start, sf_prow, sf_bcol) = (
+        rt.sf_f, rt.sf_cnt, rt.sf_start, rt.sf_prow, rt.sf_bcol,
+    )
+    (R, nc_r, nsf_r, nint_r, nb_r, nnpf) = (
+        rt.R, rt.nc_r, rt.nsf_r, rt.nint_r, rt.nb_r, rt.nnpf,
+    )
+    sc_c, sc_start, bnd_idx, b_start = rt.sc_c, rt.sc_start, rt.bnd_idx, rt.b_start
 
-    # (cell, face, node) incidence triples.
-    cf_f = cf.indices
-    cf_c = np.repeat(np.arange(nc), np.diff(cf.indptr))
-    cf_sgn = np.asarray(cf.data, dtype=float)
-    rep = nnpf[cf_f]
-    t_c = np.repeat(cf_c, rep)
-    t_f = np.repeat(cf_f, rep)
-    t_sgn = np.repeat(cf_sgn, rep)
-    t_v = fn.indices[expand_index_pointers(fn.indptr[cf_f], fn.indptr[cf_f + 1])]
-
-    # Canonical ordering: by (node, face, cell) so subfaces/subcells group.
-    order = np.lexsort((t_c, t_f, t_v))
-    t_c, t_f, t_sgn, t_v = t_c[order], t_f[order], t_sgn[order], t_v[order]
-
-    # Subcells: unique (node, cell); subfaces: unique (node, face).
-    sc_code = t_v.astype(np.int64) * nc + t_c
-    sc_codes, t_sc = np.unique(sc_code, return_inverse=True)
-    sc_v, sc_c = sc_codes // nc, sc_codes % nc
-    sf_code = t_v.astype(np.int64) * nf + t_f
-    sf_codes, t_sf = np.unique(sf_code, return_inverse=True)
-    sf_v, sf_f = sf_codes // nf, sf_codes % nf
-    n_sf_tot = sf_codes.size
-
-    # Regions = nodes that actually appear; compress ids.
-    nodes, sc_r = np.unique(sc_v, return_inverse=True)
-    R = nodes.size
-    sf_r = np.searchsorted(nodes, sf_v)
-    t_r = np.searchsorted(nodes, t_v)
-
-    # Local cell numbering within each region (sc sorted by region).
-    nc_r = np.bincount(sc_r, minlength=R)
-    sc_start = np.concatenate([[0], np.cumsum(nc_r)])
-    sc_loc = np.arange(sc_codes.size) - sc_start[sc_r]
     n_r = d * nc_r  # unknowns per region
-
-    # Subface local numbering + classification.
-    nsf_r = np.bincount(sf_r, minlength=R)
-    sf_start = np.concatenate([[0], np.cumsum(nsf_r)])
-    sf_loc = np.arange(n_sf_tot) - sf_start[sf_r]
-    sf_cnt = np.bincount(t_sf, minlength=n_sf_tot)  # 1 or 2 incidences
-
-    is_neu = bnd.is_neu | bnd.is_internal
-    is_dir = bnd.is_dir & ~bnd.is_internal
-    is_rob = bnd.is_rob & ~bnd.is_internal
-    sf_interior = sf_cnt == 2
-    sf_neu = ~sf_interior & is_neu[sf_f]
-    sf_dir = ~sf_interior & is_dir[sf_f]
-    sf_rob = ~sf_interior & is_rob[sf_f]
-    if not np.all(sf_interior | sf_neu | sf_dir | sf_rob):
-        raise ValueError("Boundary subfaces must be Dirichlet, Neumann or Robin")
-    sf_bnd = ~sf_interior
-
-    # Pressure-continuity rows follow the per-subface primary rows.
-    int_idx = np.flatnonzero(sf_interior)
-    nint_r = np.bincount(sf_r[int_idx], minlength=R)
-    int_start = np.concatenate([[0], np.cumsum(nint_r)])
-    int_loc = np.arange(int_idx.size) - int_start[sf_r[int_idx]]
-    sf_prow = np.full(n_sf_tot, -1, dtype=np.int64)
-    sf_prow[int_idx] = nsf_r[sf_r[int_idx]] + int_loc
     if not np.all(nsf_r + nint_r == n_r):
         raise ValueError("MPFA local systems are not square on this grid")
-
-    # Boundary-column numbering within each region.
-    bnd_idx = np.flatnonzero(sf_bnd)
-    nb_r = np.bincount(sf_r[bnd_idx], minlength=R)
-    b_start = np.concatenate([[0], np.cumsum(nb_r)])
-    sf_bcol = np.full(n_sf_tot, -1, dtype=np.int64)
-    sf_bcol[bnd_idx] = np.arange(bnd_idx.size) - b_start[sf_r[bnd_idx]]
-
     m_r = nc_r + nb_r + d * nc_r  # RHS cols: cells | bc | vector source
     q_r = 2 * nsf_r  # out rows: flux stencils | trace stencils
 
     # -- per-incidence geometry/algebra --------------------------------------
-    # Subface share of the (area-weighted) normal and the continuity point.
-    w = 1.0 / nnpf[t_f]
-    n_tilde = sd.face_normals[:d, t_f] * w  # (d, T)
-    eta_vec = np.full(t_f.size, eta)
-    eta_vec[np.isin(t_f, sd.get_all_boundary_faces())] = 0.0
-    x_cont = sd.face_centers[:d, t_f] + eta_vec * (
-        sd.nodes[:d, t_v] - sd.face_centers[:d, t_f]
-    )
-    dist = x_cont - sd.cell_centers[:d, t_c]  # (d, T)
+    w, n_tilde, dist = continuity_geometry(sd, rt, eta, d)
     nk = np.einsum("it,ijt->jt", n_tilde, kv[:, :, t_c])  # (d, T) n~.K_c
 
-    t_loc_cell = sc_loc[t_sc]
     t_gcols = d * t_loc_cell[None, :] + np.arange(d)[:, None]  # (d, T)
-    t_type_int = sf_interior[t_sf]
-    t_type_neu = sf_neu[t_sf]
-    t_type_dir = sf_dir[t_sf]
-    t_type_rob = sf_rob[t_sf]
-    t_row = sf_loc[t_sf]  # primary equation row of this incidence's subface
+    t_type_int = rt.sf_interior[t_sf]
+    t_type_neu = rt.sf_neu[t_sf]
+    t_type_dir = rt.sf_dir[t_sf]
+    t_type_rob = rt.sf_rob[t_sf]
 
     rob_w = bnd.robin_weight[t_f] * sd.face_areas[t_f] * w  # per-subface w*A
 

@@ -1,14 +1,41 @@
-"""Multi-point stress approximation (MPSA-W) for linear elasticity.
+"""Multi-point stress approximation (MPSA-W), batched per interaction region.
 
-Parity counterpart of reference ``numerics/fv/mpsa.py``: the vector
-analogue of MPFA — local systems enforce stress continuity (via Hooke's law
-split into symmetric/asymmetric parts with nodal averaging of the
-asymmetric part), displacement continuity, and vectorial
-Dirichlet/Neumann/Robin conditions per subface. The per-vertex local
-systems are inverted by the batched device block inverter.
+Capability counterpart of reference ``numerics/fv/mpsa.py:30`` (the weakly
+symmetric method of Keilegavlen 2017), built like this package's MPFA: every
+grid vertex's interaction region is a small dense system assembled directly
+from per-incidence coefficients and solved sorted-and-padded on device
+(``local_solves``), instead of the reference's global block-diagonal sparse
+construction with exclusion operators.
 
-Matrix contract: ``stress`` (nd*nf x nd*nc), ``bound_stress``
-(nd*nf x nd*nf), ``bound_displacement_cell``, ``bound_displacement_face``.
+Unknowns per region: one displacement gradient ``G_c`` (d x d) per subcell,
+plus one *auxiliary averaged gradient* ``Gbar`` carrying the weak-symmetry
+volume average ``Gbar = sum_s w_s G_s`` (``w_s = V_s / sum V``). The
+reference realizes the same average by dense row couplings
+(``mpsa.py:1620``); the auxiliary unknown keeps the local systems sparse and
+is mathematically identical.
+
+Rows per subface and displacement component ``i``:
+
+* interior: traction continuity ``sum_c sgn (n~.Csym_c : G_c)_i = 0``
+  (asymmetric parts cancel in the pairing by construction) and displacement
+  continuity at the continuity point;
+* Neumann: ``sgn (n~.(Csym:G_c + Casym:Gbar))_i = w u_i`` (value = total
+  face traction as seen from outside, split over the ``nn`` subfaces);
+* Dirichlet: ``(u_c + G_c . dist)_i = u_i``;
+* Robin: traction + ``(area w) [W (u_c + G.dist)]_i = w u_i``;
+* the ``Gbar`` defining rows.
+
+Per-component boundary types and per-face basis transforms of the vectorial
+boundary condition are honoured by left-applying the basis to the condition
+rows. The asymmetric (averaged) contribution is dropped on subfaces of
+nodes where Neumann/Robin component counts exceed the gradient count (the
+reference's ``_eliminate_ncasym`` invertibility guard).
+
+Outputs: ``stress``/``bound_stress`` stencils from the designated side of
+each subface (summed to faces) and the displacement-trace reconstruction
+``bound_displacement_cell``/``bound_displacement_face`` (averaged over
+subfaces). The Biot subclass extends the same pass with pressure columns
+and divergence rows (see ``biot.py``).
 """
 
 from __future__ import annotations
@@ -19,16 +46,9 @@ import numpy as np
 import scipy.sparse as sps
 
 from porepy_tpu.geometry import map_geometry
-from porepy_tpu.numerics.fv import _fvutils
-from porepy_tpu.numerics.linalg.matrix_operations import (
-    diagonal_scaling_matrix,
-    invert_diagonal_blocks,
-    rldecode,
-    rlencode,
-    zero_rows,
-)
+from porepy_tpu.numerics.fv.local_solves import RegionBatches, solve_and_contract
+from porepy_tpu.numerics.fv.regions import build_regions, continuity_geometry
 from porepy_tpu.utils import common_constants as cc
-from porepy_tpu.utils.array_operations import expand_indices_nd
 
 __all__ = ["Mpsa"]
 
@@ -50,30 +70,27 @@ class Mpsa:
         constit = param["fourth_order_tensor"]
         bound = param["bc"]
         eta = param.get("mpsa_eta", None)
-        inverter = param.get("mpsa_inverter", None)
-        nd = sd.dim
+        hf_eta = param.get("reconstruction_eta", None)
 
         if sd.dim == 0:
-            matrices[self.stress_matrix_key] = sps.csr_matrix((0, 0))
-            matrices[self.bound_stress_matrix_key] = sps.csr_matrix((0, 0))
-            matrices[self.bound_displacement_cell_matrix_key] = sps.csr_matrix(
-                (0, 0)
-            )
-            matrices[self.bound_displacement_face_matrix_key] = sps.csr_matrix(
-                (0, 0)
-            )
+            for key in (
+                self.stress_matrix_key,
+                self.bound_stress_matrix_key,
+                self.bound_displacement_cell_matrix_key,
+                self.bound_displacement_face_matrix_key,
+            ):
+                matrices[key] = sps.csr_matrix((0, 0))
             return
 
         stress, bound_stress, hf_cell, hf_bound = self._stress_discretization(
-            sd, constit, bound, eta=eta, inverter=inverter
+            sd, constit, bound, eta=eta, hf_eta=hf_eta
         )
         matrices[self.stress_matrix_key] = stress
         matrices[self.bound_stress_matrix_key] = bound_stress
         matrices[self.bound_displacement_cell_matrix_key] = hf_cell
         matrices[self.bound_displacement_face_matrix_key] = hf_bound
-        _ = nd
 
-    # -- core ---------------------------------------------------------------
+    # -- core -----------------------------------------------------------------
 
     def _stress_discretization(
         self,
@@ -81,623 +98,455 @@ class Mpsa:
         constit,
         bound,
         eta: Optional[float] = None,
-        inverter: Optional[str] = None,
-        hf_disp: bool = False,
         hf_eta: Optional[float] = None,
     ):
-        if eta is None:
-            eta = _fvutils.determine_eta(sd)
-        if bound.bc_type != "vectorial":
-            raise AttributeError("MPSA needs a vectorial boundary condition")
-
-        if sd.dim == 2:
-            sd, constit = self._reduce_grid_constit_2d(sd, constit)
-        nd = sd.dim
-
-        subcell_topology = _fvutils.SubcellTopology(sd)
-        if bound.num_faces == subcell_topology.num_subfno_unique:
-            subface_rhs = True
-        else:
-            bound = _fvutils.boundary_to_sub_boundary(bound, subcell_topology)
-            subface_rhs = False
-        bound_exclusion = _fvutils.ExcludeBoundaries(subcell_topology, bound, nd)
-
-        hook, igrad, cell_node_blocks = self._create_inverse_gradient_matrix(
-            sd, constit, subcell_topology, bound_exclusion, eta, inverter
-        )
-        num_sub_cells = cell_node_blocks[0].size
-        rhs_cells = self._create_rhs_cell_center(
-            sd, subcell_topology, eta, num_sub_cells, bound_exclusion
-        )
-
-        hook_igrad = hook @ igrad
-        hf2f = _fvutils.map_hf_2_f(
-            subcell_topology.fno_unique, subcell_topology.subfno_unique, nd
-        )
-
-        stress = hook_igrad @ rhs_cells
-        rhs_bound = self._create_bound_rhs(
-            bound, bound_exclusion, subcell_topology, sd, subface_rhs
-        )
-        bound_stress = hook_igrad @ rhs_bound
-        if not subface_rhs:
-            bound_stress = hf2f @ bound_stress @ hf2f.T
-            stress = hf2f @ stress
-
-        if hf_eta is None:
-            hf_eta = eta
-        dist_grad, cell_centers = self._reconstruct_displacement(
-            sd, subcell_topology, hf_eta
-        )
-        hf_cell = dist_grad @ igrad @ rhs_cells + cell_centers
-        hf_bound = dist_grad @ igrad @ rhs_bound
-
-        if not hf_disp:
-            num_subfaces = np.asarray(hf2f.sum(axis=1)).ravel()
-            scaling = sps.dia_matrix(
-                (1.0 / num_subfaces, 0), shape=(hf2f.shape[0], hf2f.shape[0])
-            )
-            hf_cell = scaling @ hf2f @ hf_cell
-            hf_bound = scaling @ hf2f @ hf_bound
-        if not subface_rhs:
-            hf_bound = hf_bound @ hf2f.T
-        return stress, bound_stress, hf_cell, hf_bound
-
-    def _create_inverse_gradient_matrix(
-        self, sd, constit, subcell_topology, bound_exclusion, eta, inverter
-    ):
-        nd = sd.dim
-        ncsym_all, ncasym, cell_node_blocks, sub_cell_index = (
-            self._tensor_vector_prod(sd, constit, subcell_topology)
-        )
-
-        self._eliminate_ncasym(
-            ncasym, subcell_topology, bound_exclusion, cell_node_blocks, nd,
-            "neumann",
-        )
-        self._eliminate_ncasym(
-            ncasym, subcell_topology, bound_exclusion, cell_node_blocks, nd,
-            "robin",
-        )
-
-        hook = self._unique_hooks_law(ncsym_all, ncasym, subcell_topology, nd)
-
-        ncsym_full = subcell_topology.pair_over_subfaces_nd(ncsym_all + ncasym)
-        ncsym_rob = bound_exclusion.keep_robin(ncsym_full)
-        ncsym_neu = bound_exclusion.keep_neumann(ncsym_full)
-
-        num_sub_cells = cell_node_blocks[0].size
-        rob_grad, rob_cell = self._get_displacement_submatrices_rob(
-            sd, subcell_topology, eta, num_sub_cells, bound_exclusion
-        )
-
-        ncsym = subcell_topology.pair_over_subfaces_nd(ncsym_all)
-        ncsym = bound_exclusion.exclude_boundary(ncsym)
-
-        d_cont_grad, _ = self._get_displacement_submatrices(
-            sd, subcell_topology, eta, num_sub_cells, bound_exclusion
-        )
-
-        grad_eqs = sps.vstack(
-            [ncsym, ncsym_neu, ncsym_rob + rob_grad, d_cont_grad]
-        )
-        full_scaling = diagonal_scaling_matrix(grad_eqs)
-        igrad = (
-            self._inverse_gradient(
-                full_scaling * grad_eqs,
-                sub_cell_index,
-                cell_node_blocks,
-                subcell_topology.nno_unique,
-                bound_exclusion,
-                nd,
-                inverter,
-            )
-            * full_scaling
-        )
-        return hook, igrad, cell_node_blocks
-
-    def _create_rhs_cell_center(
-        self, sd, subcell_topology, eta, num_sub_cells, bound_exclusion
-    ):
-        nd = sd.dim
-        rob_grad, rob_cell = self._get_displacement_submatrices_rob(
-            sd, subcell_topology, eta, num_sub_cells, bound_exclusion
-        )
-        num_subfno = subcell_topology.subfno.max() + 1
-        hook_cell = sps.coo_matrix(
-            (np.zeros(1), (np.zeros(1), np.zeros(1))),
-            shape=(num_subfno * nd, (np.max(subcell_topology.cno) + 1) * nd),
-        ).tocsr()
-        hook_cell = bound_exclusion.exclude_robin_dirichlet(hook_cell)
-
-        _, d_cont_cell = self._get_displacement_submatrices(
-            sd, subcell_topology, eta, num_sub_cells, bound_exclusion
-        )
-        return -sps.vstack([hook_cell, rob_cell, d_cont_cell])
-
-    def _get_displacement_submatrices(
-        self, sd, subcell_topology, eta, num_sub_cells, bound_exclusion
-    ):
-        nd = sd.dim
-        d_cont_grad = _fvutils.compute_dist_face_cell(sd, subcell_topology, eta)
-        d_cont_grad = sps.kron(sps.eye(nd), d_cont_grad)
-        d_cont_cell = self._cell_variable_contribution(sd, subcell_topology)
-        d_cont_grad = bound_exclusion.exclude_neumann_robin(d_cont_grad)
-        d_cont_cell = bound_exclusion.exclude_neumann_robin(d_cont_cell)
-        return self._rearange_columns_displacement_eqs(
-            d_cont_grad, d_cont_cell, num_sub_cells, nd
-        )
-
-    def _get_displacement_submatrices_rob(
-        self, sd, subcell_topology, eta, num_sub_cells, bound_exclusion
-    ):
-        nd = sd.dim
-        rob_grad = _fvutils.compute_dist_face_cell(sd, subcell_topology, eta)
-        num_nodes = np.diff(sd.face_nodes.indptr)
-        sgn = np.asarray(
-            sd.cell_faces[
-                subcell_topology.fno_unique, subcell_topology.cno_unique
-            ]
-        ).ravel()
-        scaled_sgn = (
-            sgn
-            * sd.face_areas[subcell_topology.fno_unique]
-            / num_nodes[subcell_topology.fno_unique]
-        )
-        rob_grad = sps.kron(sps.eye(nd), sps.diags(scaled_sgn) @ rob_grad)
-        rob_cell = sps.coo_matrix(
-            (
-                sd.face_areas[subcell_topology.fno]
-                / num_nodes[subcell_topology.fno],
-                (subcell_topology.subfno, subcell_topology.cno),
-            )
-        ).tocsr()
-        rob_cell = sps.kron(sps.eye(nd), rob_cell)
-
-        rob_grad = bound_exclusion.basis_matrix @ rob_grad
-        rob_cell = bound_exclusion.basis_matrix @ rob_cell
-        rob_grad = bound_exclusion.robin_weight @ rob_grad
-        rob_cell = bound_exclusion.robin_weight @ rob_cell
-        rob_grad = bound_exclusion.keep_robin(rob_grad, transform=False)
-        rob_cell = bound_exclusion.keep_robin(rob_cell, transform=False)
-        return self._rearange_columns_displacement_eqs(
-            rob_grad, rob_cell, num_sub_cells, nd
-        )
-
-    def _split_stiffness_matrix(self, constit):
-        dim = np.sqrt(constit.values.shape[0])
-        csym = 0 * constit.copy().values
-        casym = constit.copy().values
-        if dim == 2 and csym.shape[0] == 9:
-            csym = np.delete(csym, (2, 5, 6, 7, 8), axis=0)
-            csym = np.delete(csym, (2, 5, 6, 7, 8), axis=1)
-            casym = np.delete(casym, (2, 5, 6, 7, 8), axis=0)
-            casym = np.delete(casym, (2, 5, 6, 7, 8), axis=1)
-        if dim == 2:
-            for i, j in [(0, 0), (1, 1), (2, 2), (3, 0), (0, 3), (3, 3)]:
-                csym[i, j] = casym[i, j]
-        else:
-            for i in range(9):
-                csym[i, i] = casym[i, i]
-            for i, j in [(4, 0), (8, 0), (0, 4), (8, 4), (0, 8), (4, 8)]:
-                csym[i, j] = casym[i, j]
-        casym = casym - csym
-        return csym, casym
-
-    def _tensor_vector_prod(self, sd, constit, subcell_topology):
-        cell_node_blocks, blocksz = rlencode(
-            np.vstack((subcell_topology.cno, subcell_topology.nno))
-        )
-        nd = sd.dim
-        if not np.all(blocksz == nd):
-            raise AssertionError()
-
-        _, cn = np.meshgrid(subcell_topology.subhfno, np.arange(nd))
-        sum_blocksz = np.cumsum(blocksz)
-        cn += rldecode(sum_blocksz - blocksz[0], blocksz)
-        ind_ptr_n = np.hstack((np.arange(0, cn.size, nd), cn.size))
-
-        num_nodes = np.diff(sd.face_nodes.indptr)
-        normals = (
-            sd.face_normals[:, subcell_topology.fno]
-            / num_nodes[subcell_topology.fno]
-        )
-        normals_mat = sps.csr_matrix(
-            (normals.ravel("F"), cn.ravel("F"), ind_ptr_n)
-        )
-
-        _, cc_ind = np.meshgrid(subcell_topology.subhfno, np.arange(nd**2))
-        sum_blocksz = np.cumsum(blocksz**2)
-        cc_ind += rldecode(sum_blocksz - blocksz[0] ** 2, blocksz)
-        ind_ptr_c = np.hstack((np.arange(0, cc_ind.size, nd**2), cc_ind.size))
-
-        sym_tensor, asym_tensor = self._split_stiffness_matrix(constit)
-        sym_tensor_swp = np.swapaxes(sym_tensor, 2, 0)
-        asym_tensor_swp = np.swapaxes(asym_tensor, 2, 0)
-
-        rind = np.arange(nd)
-        zr = np.zeros(0)
-        ncsym = sps.coo_matrix(
-            (zr, (zr, zr)), shape=(0, cc_ind.max() + 1)
-        ).tocsr()
-        ncasym = sps.coo_matrix(
-            (zr, (zr, zr)), shape=(0, cc_ind.max() + 1)
-        ).tocsr()
-
-        num_cell_nodes = sd.num_cell_nodes()
-        cell_vol = sd.cell_volumes / num_cell_nodes
-        node_vol = (
-            np.bincount(
-                subcell_topology.nno,
-                weights=cell_vol[subcell_topology.cno],
-            )
-            / sd.dim
-        )
-
-        num_elem = cell_node_blocks.shape[1]
-        map_mat = sps.coo_matrix(
-            (np.ones(num_elem), (np.arange(num_elem), cell_node_blocks[1]))
-        )
-        weight_mat = sps.coo_matrix(
-            (
-                cell_vol[cell_node_blocks[0]] / node_vol[cell_node_blocks[1]],
-                (cell_node_blocks[1], np.arange(num_elem)),
-            )
-        )
-        average = sps.kron(map_mat * weight_mat, sps.identity(nd)).tocsr()
-
-        for _ in range(nd):
-            sym_dim = np.concatenate(
-                sym_tensor_swp[:, :, rind], axis=1
-            ).transpose()
-            asym_dim = np.concatenate(
-                asym_tensor_swp[:, :, rind], axis=1
-            ).transpose()
-
-            sub_cell_ind = expand_indices_nd(cell_node_blocks[0], nd)
-            sym_vals = sym_dim[sub_cell_ind]
-            asym_vals = asym_dim[sub_cell_ind]
-
-            csym_mat = sps.csr_matrix(
-                (sym_vals.ravel("C"), cc_ind.ravel("F"), ind_ptr_c)
-            )
-            casym_mat = sps.csr_matrix(
-                (asym_vals.ravel("C"), cc_ind.ravel("F"), ind_ptr_c)
-            )
-            casym_mat = average * casym_mat
-
-            ncsym = sps.vstack((ncsym, normals_mat * csym_mat))
-            ncasym = sps.vstack((ncasym, normals_mat * casym_mat))
-            rind = rind + nd
-
-        grad_ind = cc_ind[:, ::nd]
-        return ncsym.tocsr(), ncasym.tocsr(), cell_node_blocks, grad_ind
-
-    def _inverse_gradient(
-        self,
-        grad_eqs,
-        sub_cell_index,
-        cell_node_blocks,
-        nno_unique,
-        bound_exclusion,
-        nd,
-        inverter,
-    ):
-        rows2blk_diag, cols2blk_diag, size_of_blocks = (
-            self._block_diagonal_structure(
-                sub_cell_index, cell_node_blocks, nno_unique, bound_exclusion, nd
-            )
-        )
-        grad = rows2blk_diag * grad_eqs * cols2blk_diag
-        return (
-            cols2blk_diag
-            * invert_diagonal_blocks(grad, size_of_blocks, method=inverter)
-            * rows2blk_diag
-        )
-
-    def _block_diagonal_structure(
-        self, sub_cell_index, cell_node_blocks, nno, bound_exclusion, nd
-    ):
-        nno = np.tile(nno, nd)
-        nno_stress = bound_exclusion.exclude_boundary(nno, transform=False)
-        nno_displacement = bound_exclusion.exclude_neumann_robin(
-            nno, transform=False
-        )
-        nno_neu = bound_exclusion.keep_neumann(nno, transform=False)
-        nno_rob = bound_exclusion.keep_robin(nno, transform=False)
-        node_occ = np.hstack((nno_stress, nno_neu, nno_rob, nno_displacement))
-
-        sorted_ind = np.argsort(node_occ, kind="mergesort")
-        rows2blk_diag = sps.coo_matrix(
-            (
-                np.ones(sorted_ind.size),
-                (np.arange(sorted_ind.size), sorted_ind),
-            )
-        ).tocsr()
-        sorted_nodes_rows = node_occ[sorted_ind]
-        size_of_blocks = np.bincount(sorted_nodes_rows.astype("int64"))
-
-        sorted_nodes_cols = np.argsort(cell_node_blocks[1], kind="mergesort")
-        subcind_nodes = sub_cell_index[:, sorted_nodes_cols].ravel("F")
-        cols2blk_diag = sps.coo_matrix(
-            (
-                np.ones(sub_cell_index.size),
-                (subcind_nodes, np.arange(sub_cell_index.size)),
-            )
-        ).tocsr()
-        return rows2blk_diag, cols2blk_diag, size_of_blocks
-
-    def _unique_hooks_law(self, csym, casym, subcell_topology, nd):
-        num_eqs = csym.shape[0] / nd
-        ind_single = np.tile(subcell_topology.unique_subfno, (nd, 1))
-        increments = np.arange(nd) * num_eqs
-        ind_all = np.reshape(ind_single + increments[:, np.newaxis], -1).astype(
-            int
-        )
-        hook_sym = csym[ind_all, :]
-        hook_asym = casym[ind_all, :]
-        comp2face_ind = np.argsort(
-            np.tile(subcell_topology.subfno_unique, nd), kind="mergesort"
-        )
-        comp2face = sps.coo_matrix(
-            (
-                np.ones(comp2face_ind.size),
-                (np.arange(comp2face_ind.size), comp2face_ind),
-            ),
-            shape=(comp2face_ind.size, comp2face_ind.size),
-        )
-        return comp2face * (hook_sym + hook_asym)
-
-    def _cell_variable_contribution(self, sd, subcell_topology):
-        nd = sd.dim
-        sgn = np.asarray(
-            sd.cell_faces[subcell_topology.fno, subcell_topology.cno]
-        ).ravel()
-        d_cont_cell = sps.coo_matrix(
-            (sgn, (subcell_topology.subfno, subcell_topology.cno))
-        ).tocsr()
-        return sps.kron(sps.eye(nd), d_cont_cell)
-
-    def _rearange_columns_displacement_eqs(
-        self, d_cont_grad, d_cont_cell, num_sub_cells, nd
-    ):
-        rep_ci_single_blk = np.tile(
-            np.arange(num_sub_cells), (nd, 1)
-        ).reshape(-1, order="F")
-        d_cont_grad_map = np.argsort(
-            np.tile(rep_ci_single_blk, nd), kind="mergesort"
-        )
-        d_cont_grad = d_cont_grad[:, d_cont_grad_map]
-        num_cells = d_cont_cell.shape[1] / nd
-        d_cont_cell_map = np.argsort(
-            np.tile(np.arange(num_cells), nd), kind="mergesort"
-        )
-        d_cont_cell = d_cont_cell[:, d_cont_cell_map]
-        return d_cont_grad, d_cont_cell
-
-    def _row_major_to_col_major(self, shape, nd, axis):
-        P = sps.diags(np.ones(shape[axis])).tocsr()
-        num_var = shape[axis] / nd
-        mapping = np.argsort(np.tile(np.arange(num_var), nd), kind="mergesort")
-        if axis == 1:
-            P = P[:, mapping]
-        elif axis == 0:
-            P = P[mapping, :]
-        else:
-            raise ValueError("axis must be 0 or 1")
-        return P
-
-    def _eliminate_ncasym(
-        self, ncasym, subcell_topology, bound_exclusion, cell_node_blocks, nd, bc_type
-    ):
-        """Zero the asymmetric Hooke contribution on subfaces where it would
-        make the local system singular (near Neumann/Robin boundaries)."""
-        node_blocks_nd = np.tile(cell_node_blocks[1], (nd, 1))
-        node_blocks_nd += subcell_topology.num_nodes * np.atleast_2d(
-            np.arange(0, nd)
-        ).T
-        nno_nd = np.tile(subcell_topology.nno_unique, (nd, 1))
-        nno_nd += subcell_topology.num_nodes * np.atleast_2d(np.arange(0, nd)).T
-
-        _, num_sub_cells = np.unique(
-            node_blocks_nd.ravel("C"), return_counts=True
-        )
-
-        if bc_type == "neumann":
-            nno = bound_exclusion.keep_neumann(
-                nno_nd.ravel("C"), transform=False
-            )
-            _, indices, count_bc = np.unique(
-                nno, return_inverse=True, return_counts=True
-            )
-            count_bc = bound_exclusion.keep_neu.T * count_bc[indices]
-        elif bc_type == "robin":
-            nno = bound_exclusion.keep_robin(nno_nd.ravel("C"), transform=False)
-            _, indices, count_bc = np.unique(
-                nno, return_inverse=True, return_counts=True
-            )
-            count_bc = bound_exclusion.keep_rob.T * count_bc[indices]
-        else:
-            raise ValueError(bc_type)
-
-        diff_count = num_sub_cells[nno_nd.ravel("C")] - count_bc
-        remove_singular = np.argwhere((diff_count < 0)).ravel()
-
-        subfno_nd = np.tile(subcell_topology.unique_subfno, (nd, 1))
-        subfno_nd += subcell_topology.fno.size * np.atleast_2d(
-            np.arange(0, nd)
-        ).T
-        dof_elim = subfno_nd.ravel("C")[remove_singular]
-        zero_rows(ncasym, dof_elim)
-
-    def _create_bound_rhs(
-        self, bound, bound_exclusion, subcell_topology, sd, subface_rhs
-    ):
-        nd = sd.dim
-        num_stress = bound_exclusion.exclude_bnd.shape[0]
-        num_displ = bound_exclusion.exclude_neu_rob.shape[0]
-        num_rob = bound_exclusion.keep_rob.shape[0]
-        num_neu = bound_exclusion.keep_neu.shape[0]
-
-        fno = subcell_topology.fno_unique
-        subfno = subcell_topology.subfno_unique
-        sgn = np.asarray(
-            sd.cell_faces[
-                subcell_topology.fno_unique, subcell_topology.cno_unique
-            ]
-        ).ravel()
-
-        num_dir = np.sum(bound.is_dir)
-        if not num_rob == np.sum(bound.is_rob):
-            raise AssertionError()
-        if not num_neu == np.sum(bound.is_neu):
-            raise AssertionError()
-        num_bound = num_neu + num_dir + num_rob
-
-        subfno_nd = np.tile(subfno, (nd, 1)) * nd + np.atleast_2d(
-            np.arange(0, nd)
-        ).T
-
-        subfno_neu = bound_exclusion.keep_neumann(
-            subfno_nd.ravel("C"), transform=False
-        ).ravel("F")
-        is_neu_nd = (
-            bound_exclusion.keep_neumann(bound.is_neu.ravel("C"), transform=False)
-            .ravel("F")
-            .astype(bool)
-        )
-        neu_ind = np.argsort(subfno_neu)
-        neu_ind = neu_ind[is_neu_nd[neu_ind]]
-
-        subfno_rob = bound_exclusion.keep_robin(
-            subfno_nd.ravel("C"), transform=False
-        ).ravel("F")
-        is_rob_nd = (
-            bound_exclusion.keep_robin(bound.is_rob.ravel("C"), transform=False)
-            .ravel("F")
-            .astype(bool)
-        )
-        rob_ind = np.argsort(subfno_rob)
-        rob_ind = rob_ind[is_rob_nd[rob_ind]]
-
-        subfno_dir = bound_exclusion.exclude_neumann_robin(
-            subfno_nd.ravel("C"), transform=False
-        ).ravel("F")
-        is_dir_nd = (
-            bound_exclusion.exclude_neumann_robin(
-                bound.is_dir.ravel("C"), transform=False
-            )
-            .ravel("F")
-            .astype(bool)
-        )
-        dir_ind = np.argsort(subfno_dir)
-        dir_ind = dir_ind[is_dir_nd[dir_ind]]
-
-        is_neu_all = bound.is_neu.ravel("C")
-        neu_ind_all = np.argwhere(
-            np.reshape(is_neu_all, (nd, -1), order="C").ravel("F")
-        ).ravel("F")
-        is_dir_all = bound.is_dir.ravel("C")
-        dir_ind_all = np.argwhere(
-            np.reshape(is_dir_all, (nd, -1), order="C").ravel("F")
-        ).ravel("F")
-        is_rob_all = bound.is_rob.ravel("C")
-        rob_ind_all = np.argwhere(
-            np.reshape(is_rob_all, (nd, -1), order="C").ravel("F")
-        ).ravel("F")
-
-        if rob_ind.size == 0:
-            neu_rob_ind = neu_ind + num_stress
-        elif neu_ind.size == 0:
-            neu_rob_ind = rob_ind + num_stress
-        else:
-            neu_rob_ind = np.hstack(
-                (neu_ind + num_stress, rob_ind + num_stress + num_neu)
-            )
-        neu_rob_ind_all = np.hstack((neu_ind_all, rob_ind_all))
-        bnd_ind = np.hstack((neu_rob_ind_all, dir_ind_all))
-
-        fno_ext = np.tile(fno, nd)
-        num_face_nodes = np.asarray(sd.face_nodes.sum(axis=0)).ravel()
-
-        if subface_rhs:
-            neu_val = 1 * np.ones(neu_rob_ind_all.size)
-        else:
-            neu_val = 1 / num_face_nodes[fno_ext[neu_rob_ind_all]]
-
-        if neu_rob_ind.size > 0:
-            neu_cell = sps.coo_matrix(
-                (
-                    neu_val.ravel("F"),
-                    (neu_rob_ind, np.arange(neu_rob_ind.size)),
-                ),
-                shape=(num_stress + num_neu + num_rob, num_bound),
-            ).tocsr()
-        else:
-            neu_cell = sps.coo_matrix(
-                (num_stress + num_rob, num_bound)
-            ).tocsr()
-
-        sgn_nd = np.tile(sgn, (nd, 1)).ravel("F")
-        dir_val = sgn_nd[dir_ind_all]
-        if dir_ind.size > 0:
-            dir_cell = sps.coo_matrix(
-                (
-                    dir_val,
-                    (dir_ind, num_neu + num_rob + np.arange(dir_ind.size)),
-                ),
-                shape=(num_displ, num_bound),
-            ).tocsr()
-        else:
-            dir_cell = sps.coo_matrix((num_displ, num_bound)).tocsr()
-
-        num_subfno = np.max(subfno) + 1
-        bnd_2_all_hf = sps.coo_matrix(
-            (np.ones(num_bound), (np.arange(num_bound), bnd_ind)),
-            shape=(num_bound, num_subfno * nd),
-        )
-        return sps.vstack([neu_cell, dir_cell]) * bnd_2_all_hf
-
-    def _reconstruct_displacement(self, sd, subcell_topology, eta=None):
-        if eta is None:
-            eta = _fvutils.determine_eta(sd)
-        D_g = _fvutils.compute_dist_face_cell(
-            sd, subcell_topology, eta, return_paired=False
-        )
-        _, IC, counts = np.unique(
-            subcell_topology.subfno, return_inverse=True, return_counts=True
-        )
-        avg_over_subfaces = sps.coo_matrix(
-            (1 / counts[IC], (subcell_topology.subfno, subcell_topology.subhfno))
-        )
-        D_g = avg_over_subfaces @ D_g
-        D_g = sps.kron(sps.eye(sd.dim), D_g).tocsr()
-
-        D_c = sps.coo_matrix(
-            (1 / counts[IC], (subcell_topology.subfno, subcell_topology.cno))
-        ).tocsr()
-        D_c = sps.kron(sps.eye(sd.dim), D_c).tocsc()
-
-        cell_node_blocks, _ = rlencode(
-            np.vstack((subcell_topology.cno, subcell_topology.nno))
-        )
-        num_sub_cells = cell_node_blocks[0].size
-        dist_grad, cell_centers = self._rearange_columns_displacement_eqs(
-            D_g, D_c, num_sub_cells, sd.dim
-        )
-        P = self._row_major_to_col_major(cell_centers.shape, sd.dim, 0)
-        return P @ dist_grad, P @ cell_centers
-
-    def _reduce_grid_constit_2d(self, sd, constit):
+        out = _assemble_mpsa_w(sd, constit, bound, eta, hf_eta, alphas=None)
+        return out[:4]
+
+    @staticmethod
+    def _reduce_grid_constit_2d(sd, constit):
+        """Rotate a 2d grid into its plane and reduce the stiffness to the
+        in-plane 4x4 block (flat indices [0, 1, 3, 4] of the 9x9)."""
         sd = sd.copy()
-        cell_centers, face_normals, face_centers, _, _, nodes = (
-            map_geometry.map_grid(sd)
+        cc_r, fn_r, fc_r, rot, _dims, nodes_r = map_geometry.map_grid(sd)
+        sd.cell_centers = cc_r
+        sd.face_normals = fn_r
+        sd.face_centers = fc_r
+        sd.nodes = nodes_r
+        keep = np.array([0, 1, 3, 4])
+        cv = constit.values[np.ix_(keep, keep)]
+        return sd, cv
+
+
+def _split_stiffness(cv: np.ndarray, d: int) -> tuple[np.ndarray, np.ndarray]:
+    """Split the flattened stiffness into the part evaluated with the local
+    gradient (``sym``: diagonal plus couplings among the diagonal-of-G
+    components) and the remainder (``asym``), which the W-method evaluates
+    with the node-averaged gradient (reference ``mpsa.py:1461``)."""
+    diag_idx = np.arange(d) * d + np.arange(d)  # flat indices of G_ii
+    sym = np.zeros_like(cv)
+    m = np.arange(d * d)
+    sym[m, m] = cv[m, m]
+    ii, jj = np.meshgrid(diag_idx, diag_idx, indexing="ij")
+    sym[ii, jj] = cv[ii, jj]
+    return sym, cv - sym
+
+
+def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
+    """Shared MPSA/Biot assembly.
+
+    ``alphas``: optional dict ``{key: (3, 3, nc) coupling tensor values}``
+    adding, per key, pressure RHS columns and divergence output rows.
+    Returns ``(stress, bound_stress, hf_cell, hf_bound, scalar_gradient,
+    displacement_divergence, bound_displacement_divergence, consistency,
+    disp_pressure)`` with the last five as per-key dicts (empty if no
+    alphas).
+    """
+    if bnd.bc_type != "vectorial":
+        raise AttributeError("MPSA needs a vectorial boundary condition")
+    if bnd.num_faces != sd.num_faces:
+        raise NotImplementedError(
+            "Subface-resolved boundary conditions are not supported yet"
         )
-        sd.cell_centers = cell_centers
-        sd.face_normals = face_normals
-        sd.face_centers = face_centers
-        sd.nodes = nodes
-        constit = constit.copy()
-        constit.values = np.delete(constit.values, (2, 5, 6, 7, 8), axis=0)
-        constit.values = np.delete(constit.values, (2, 5, 6, 7, 8), axis=1)
-        return sd, constit
+    if sd.dim == 2:
+        sd, cv = Mpsa._reduce_grid_constit_2d(sd, constit)
+    else:
+        cv = constit.values
+    d = sd.dim
+    if eta is None:
+        from porepy_tpu.numerics.fv._fvutils import determine_eta
+
+        eta = determine_eta(sd)
+    if hf_eta is None:
+        hf_eta = eta
+    alphas = alphas or {}
+    keys = list(alphas)
+
+    nc, nf = sd.num_cells, sd.num_faces
+    rt = build_regions(
+        sd,
+        is_neu=np.ones(nf, dtype=bool),  # per-component types handled below
+        is_dir=np.zeros(nf, dtype=bool),
+        is_rob=np.zeros(nf, dtype=bool),
+    )
+    T = rt.t_f.size
+    d2 = d * d
+
+    # Per-component boundary classification (raw vectorial flags).
+    is_neu = np.asarray(bnd.is_neu[:d], dtype=bool)
+    is_dir = np.asarray(bnd.is_dir[:d], dtype=bool)
+    is_rob = np.asarray(bnd.is_rob[:d], dtype=bool)
+    bnd_inc = ~rt.sf_interior[rt.t_sf]  # boundary incidence mask
+    int_inc = ~bnd_inc
+    if not np.all(
+        (is_neu | is_dir | is_rob)[:, rt.sf_f[rt.bnd_idx]]
+    ):
+        raise ValueError("Boundary subfaces need a condition per component")
+
+    n_r = d2 * (rt.nc_r + 1)  # gradients + auxiliary average
+    m_r = d * rt.nc_r + d * rt.nb_r + len(keys) * rt.nc_r
+    q_r = 2 * d * rt.nsf_r + len(keys) * rt.nc_r
+
+    # -- geometry / constitutive coefficients per incidence --------------------
+    w, n_tilde, dist = continuity_geometry(sd, rt, eta, d)
+    area_w = sd.face_areas[rt.t_f] * w
+
+    sym, asym = _split_stiffness(cv, d)
+    # n~ . Csym : traction coefficients (d, d2) per incidence. The asym part
+    # enters through the auxiliary averaged-stress unknown Hbar (see below),
+    # so its usage coefficient is just the subface normal.
+    nc_sym = np.einsum(
+        "jt,ijmt->imt", n_tilde, sym.reshape(d, d, d2, -1)[:, :, :, rt.t_c]
+    )
+
+    # Invertibility guard: drop the averaged (asym) contribution at nodes
+    # where Neumann or Robin component counts exceed the gradient count.
+    elim = _asym_elimination_mask(rt, is_neu, is_rob, d)  # (d, n_subfaces)
+    keep_asym = ~elim[:, rt.t_sf]  # (d, T)
+
+    basis = np.asarray(bnd.basis[:d, :d], dtype=float)
+    identity_basis = bool(
+        np.allclose(basis, np.eye(d)[:, :, None], atol=0, rtol=0)
+    )
+    rob_w = np.asarray(bnd.robin_weight[:d, :d], dtype=float)
+
+    # Local index helpers.
+    g_col = d2 * rt.t_loc_cell  # first gradient col of the incidence's cell
+    aux_col = d2 * rt.nc_r[rt.t_r]  # first auxiliary col of the region
+    u_col = d * rt.t_loc_cell  # first cell-displacement RHS col
+    b_col0 = d * rt.nc_r[rt.t_r] + d * rt.sf_bcol[rt.t_sf]  # bc RHS col
+    p_col0 = d * (rt.nc_r + rt.nb_r)[rt.t_r]  # first pressure RHS col
+
+    a = _Trip()
+    rhs = _Trip()
+    wout = _Trip()
+
+    m_idx = np.arange(d2)
+    # Pressure-coupling coefficients n~ . alpha per key: (d, T).
+    n_alpha = {
+        k: np.einsum("jt,ijt->it", n_tilde, np.asarray(v)[:d, :d][:, :, rt.t_c])
+        for k, v in alphas.items()
+    }
+
+    for i in range(d):
+        row = (rt.t_row * d + i).astype(np.int64)
+        prow_all = rt.sf_prow[rt.t_sf] * d + i
+
+        # Interior traction continuity: sgn (n~.Csym)_i (sym only).
+        a.add(
+            rt.t_r, row, g_col[None] + m_idx[:, None],
+            rt.t_sgn * nc_sym[i], mask=int_inc,
+        )
+        # Interior displacement continuity: sgn (u_i + (G.dist)_i).
+        a.add(
+            rt.t_r, prow_all, g_col + i * d + np.arange(d)[:, None],
+            rt.t_sgn * dist, mask=int_inc,
+        )
+        rhs.add(rt.t_r, prow_all, u_col + i, -rt.t_sgn, mask=int_inc)
+        # Interior pressure columns: +sgn (n~.alpha)_i p_c.
+        for ki, k in enumerate(keys):
+            rhs.add(
+                rt.t_r, row, p_col0 + ki * rt.nc_r[rt.t_r] + rt.t_loc_cell,
+                rt.t_sgn * n_alpha[k][i], mask=int_inc,
+            )
+
+        # Boundary rows, with the (possibly non-identity) basis applied.
+        neu_m = bnd_inc & is_neu[i, rt.t_f]
+        dir_m = bnd_inc & is_dir[i, rt.t_f]
+        rob_m = bnd_inc & is_rob[i, rt.t_f]
+
+        # Asym usage: n~_j on the aux dofs (m*d + j), per raw component m.
+        # The elimination guard zeroes the raw component before any basis.
+        aux_use_col = aux_col + i * d + np.arange(d)[:, None]  # identity case
+        if identity_basis:
+            tr_sym = nc_sym[i]
+            tr_asym_val = n_tilde * keep_asym[i]  # (d, T) at aux_use_col
+            bw = None
+        else:
+            bvals = basis[i][:, rt.t_f]  # (d, T): B[i, m]
+            tr_sym = np.einsum("mt,mkt->kt", bvals, nc_sym)
+            bw = bvals
+
+        for sel, robin in ((neu_m, False), (rob_m, True)):
+            if not sel.any():
+                continue
+            a.add(rt.t_r, row, g_col[None] + m_idx[:, None],
+                  rt.t_sgn * tr_sym, mask=sel)
+            if identity_basis:
+                a.add(rt.t_r, row, aux_use_col,
+                      rt.t_sgn * tr_asym_val, mask=sel)
+            else:
+                for mm in range(d):
+                    a.add(
+                        rt.t_r, row, aux_col + mm * d + np.arange(d)[:, None],
+                        rt.t_sgn * bw[mm] * keep_asym[mm] * n_tilde,
+                        mask=sel,
+                    )
+            rhs.add(rt.t_r, row, b_col0 + i, w, mask=sel)
+            for ki, k in enumerate(keys):
+                if identity_basis:
+                    na_i = n_alpha[k][i]
+                else:
+                    na_i = np.einsum("mt,mt->t", bw, n_alpha[k])
+                rhs.add(
+                    rt.t_r, row, p_col0 + ki * rt.nc_r[rt.t_r] + rt.t_loc_cell,
+                    rt.t_sgn * na_i, mask=sel,
+                )
+            if robin:
+                # + (area w) [B W (u + G.dist)]_i
+                eff = rob_w[i][:, rt.t_f] if identity_basis else np.einsum(
+                    "mt,mkt->kt", bw, rob_w[:, :, rt.t_f]
+                )  # (d, T): (B W)[i, m]
+                for mm in range(d):
+                    a.add(
+                        rt.t_r, row, g_col + mm * d + np.arange(d)[:, None],
+                        area_w * eff[mm] * dist, mask=sel,
+                    )
+                    rhs.add(rt.t_r, row, u_col + mm,
+                            -area_w * eff[mm], mask=sel)
+
+        if dir_m.any():
+            if identity_basis:
+                a.add(rt.t_r, row, g_col + i * d + np.arange(d)[:, None],
+                      dist, mask=dir_m)
+                rhs.add(rt.t_r, row, u_col + i, -np.ones(T), mask=dir_m)
+            else:
+                for mm in range(d):
+                    a.add(
+                        rt.t_r, row, g_col + mm * d + np.arange(d)[:, None],
+                        bw[mm] * dist, mask=dir_m,
+                    )
+                    rhs.add(rt.t_r, row, u_col + mm, -bw[mm], mask=dir_m)
+            rhs.add(rt.t_r, row, b_col0 + i, np.ones(T), mask=dir_m)
+
+        # Output stress stencils (designated side, no sgn): sym + asym.
+        orow = rt.t_row * d + i
+        wout.add(rt.t_r, orow, g_col[None] + m_idx[:, None],
+                 nc_sym[i], mask=rt.first_inc)
+        wout.add(rt.t_r, orow, aux_col + i * d + np.arange(d)[:, None],
+                 n_tilde * keep_asym[i], mask=rt.first_inc)
+
+    # Displacement-trace output rows (hf_eta continuity points).
+    _, _, dist_rec = continuity_geometry(sd, rt, hf_eta, d)
+    inv_cnt = 1.0 / rt.sf_cnt[rt.t_sf]
+    for i in range(d):
+        orow = (rt.nsf_r[rt.t_r] + rt.t_row) * d + i
+        wout.add(rt.t_r, orow, g_col + i * d + np.arange(d)[:, None],
+                 inv_cnt * dist_rec)
+
+    # Auxiliary defining rows: Hbar = sum_s w_s (Casym_s : G_s), the
+    # volume-averaged asymmetric stress of the region (the reference's
+    # ``average`` operator, mpsa.py:1620 — averaging the *product*, which
+    # differs from Casym : Gbar for heterogeneous stiffness).
+    sc_r = np.repeat(np.arange(rt.R), rt.nc_r)
+    sc_loc = np.arange(rt.sc_c.size) - rt.sc_start[sc_r]
+    num_cell_nodes = sd.num_cell_nodes()
+    vol_sc = sd.cell_volumes[rt.sc_c] / num_cell_nodes[rt.sc_c]
+    vol_node = np.zeros(rt.R)
+    np.add.at(vol_node, sc_r, vol_sc)
+    w_vol = vol_sc / vol_node[sc_r]
+    aux_row0 = d * (rt.nsf_r + rt.nint_r)
+    all_r = np.arange(rt.R)
+    asym_sc = asym.reshape(d2, d2, -1)[:, :, rt.sc_c]  # (d2, d2, S)
+    for m in range(d2):
+        a.add(all_r, aux_row0 + m, d2 * rt.nc_r + m, np.ones(rt.R))
+        a.add(
+            sc_r, aux_row0[sc_r] + m,
+            d2 * sc_loc + np.arange(d2)[:, None],
+            -w_vol * asym_sc[m],
+        )
+
+    # Biot divergence output rows: per subcell, V_s (alpha : G_s).
+    div_row0 = 2 * d * rt.nsf_r
+    for ki, k in enumerate(keys):
+        al = np.asarray(alphas[k])[:d, :d][:, :, rt.sc_c]  # (d, d, S)
+        for i in range(d):
+            wout.add(
+                sc_r, div_row0[sc_r] + ki * rt.nc_r[sc_r] + sc_loc,
+                d2 * sc_loc + i * d + np.arange(d)[:, None],
+                vol_sc * al[i],
+            )
+
+    if not np.all(d * (rt.nsf_r + rt.nint_r) + d2 == n_r):
+        raise ValueError("MPSA local systems are not square on this grid")
+
+    rb = RegionBatches(
+        n=n_r, m=m_r, q=q_r,
+        a_region=a.reg(), a_row=a.row(), a_col=a.col(), a_val=a.val(),
+        rhs_region=rhs.reg(), rhs_row=rhs.row(), rhs_col=rhs.col(),
+        rhs_val=rhs.val(),
+        w_region=wout.reg(), w_row=wout.row(), w_col=wout.col(),
+        w_val=wout.val(),
+    )
+    o_reg, o_row, o_col, o_val = solve_and_contract(rb)
+
+    # -- globalize --------------------------------------------------------------
+    nsf_o = d * rt.nsf_r[o_reg]
+    kind_stress = o_row < nsf_o
+    kind_trace = ~kind_stress & (o_row < 2 * nsf_o)
+    kind_div = ~kind_stress & ~kind_trace
+
+    # Row decode.
+    sf_local_scalar = np.where(kind_trace, o_row - nsf_o, o_row) // d
+    comp = np.where(kind_div, 0, o_row % d)
+    sf_of_out = rt.sf_start[o_reg] + sf_local_scalar
+    face_of_out = rt.sf_f[np.minimum(sf_of_out, rt.sf_f.size - 1)]
+    div_local = o_row - 2 * nsf_o
+    div_key = np.where(kind_div, div_local // np.maximum(rt.nc_r[o_reg], 1), 0)
+    div_cell_loc = np.where(kind_div, div_local % np.maximum(rt.nc_r[o_reg], 1), 0)
+    div_cell = rt.sc_c[rt.sc_start[o_reg] + div_cell_loc]
+
+    # Column decode.
+    ncol_u = d * rt.nc_r[o_reg]
+    ncol_b = d * rt.nb_r[o_reg]
+    col_u = o_col < ncol_u
+    col_b = ~col_u & (o_col < ncol_u + ncol_b)
+    col_p = ~col_u & ~col_b
+    u_cell = rt.sc_c[rt.sc_start[o_reg] + np.where(col_u, o_col, 0) // d]
+    u_gcol = u_cell * d + o_col % d
+    b_loc = np.where(col_b, o_col - ncol_u, 0)
+    if rt.bnd_idx.size:
+        idx = np.minimum(rt.b_start[o_reg] + b_loc // d, rt.bnd_idx.size - 1)
+        b_face = rt.sf_f[rt.bnd_idx[idx]]
+    else:
+        b_face = np.zeros(o_col.size, dtype=int)
+    b_gcol = b_face * d + b_loc % d
+    p_loc = np.where(col_p, o_col - ncol_u - ncol_b, 0)
+    p_key = p_loc // np.maximum(rt.nc_r[o_reg], 1)
+    p_cell = rt.sc_c[rt.sc_start[o_reg] + p_loc % np.maximum(rt.nc_r[o_reg], 1)]
+
+    trace_w = 1.0 / rt.nnpf[face_of_out]
+
+    def build(sel, rows, cols, shape, weight=None):
+        v = o_val[sel]
+        if weight is not None:
+            v = v * weight[sel]
+        return sps.coo_matrix((v, (rows[sel], cols[sel])), shape=shape)
+
+    srow = face_of_out * d + comp
+    stress = build(kind_stress & col_u, srow, u_gcol, (nf * d, nc * d))
+    bound_stress = build(kind_stress & col_b, srow, b_gcol, (nf * d, nf * d))
+    hf_cell = build(kind_trace & col_u, srow, u_gcol, (nf * d, nc * d),
+                    weight=trace_w)
+    hf_bound = build(kind_trace & col_b, srow, b_gcol, (nf * d, nf * d),
+                     weight=trace_w)
+
+    # Direct cell term of the displacement trace.
+    direct_u = sps.coo_matrix(
+        (
+            np.tile(inv_cnt / rt.nnpf[rt.t_f], d),
+            (
+                (rt.t_f[None] * d + np.arange(d)[:, None]).ravel(),
+                (rt.t_c[None] * d + np.arange(d)[:, None]).ravel(),
+            ),
+        ),
+        shape=(nf * d, nc * d),
+    )
+    hf_cell = hf_cell + direct_u
+
+    scalar_gradient = {}
+    displacement_divergence = {}
+    bound_displacement_divergence = {}
+    consistency = {}
+    disp_pressure = {}
+    for ki, k in enumerate(keys):
+        psel = col_p & (p_key == ki)
+        scalar_gradient[k] = build(
+            kind_stress & psel, srow, p_cell, (nf * d, nc)
+        )
+        # Direct term: -(n~.alpha)_i p from the designated side.
+        fi = rt.first_inc
+        direct_p = sps.coo_matrix(
+            (
+                -n_alpha[k][:, fi].ravel(),
+                (
+                    (rt.t_f[fi][None] * d + np.arange(d)[:, None]).ravel(),
+                    np.tile(rt.t_c[fi], d),
+                ),
+            ),
+            shape=(nf * d, nc),
+        )
+        scalar_gradient[k] = scalar_gradient[k] + direct_p
+        disp_pressure[k] = build(
+            kind_trace & psel, srow, p_cell, (nf * d, nc), weight=trace_w
+        )
+        dsel = kind_div & (div_key == ki)
+        displacement_divergence[k] = build(
+            dsel & col_u, div_cell, u_gcol, (nc, nc * d)
+        )
+        bound_displacement_divergence[k] = build(
+            dsel & col_b, div_cell, b_gcol, (nc, nf * d)
+        )
+        consistency[k] = build(
+            dsel & psel, div_cell, p_cell, (nc, nc)
+        )
+
+    return (
+        stress.tocsr(),
+        bound_stress.tocsr(),
+        hf_cell.tocsr(),
+        hf_bound.tocsr(),
+        scalar_gradient,
+        displacement_divergence,
+        bound_displacement_divergence,
+        consistency,
+        disp_pressure,
+    )
+
+
+def _asym_elimination_mask(rt, is_neu, is_rob, d) -> np.ndarray:
+    """(d, n_subfaces) mask: True where the averaged-gradient term must be
+    dropped (more Neumann — or Robin — component conditions at the node than
+    gradients; reference ``mpsa.py:1932``)."""
+    elim = np.zeros((d, rt.sf_f.size), dtype=bool)
+    bnd_sf = rt.bnd_idx
+    for i in range(d):
+        for flags in (is_neu, is_rob):
+            cnt = np.zeros(rt.R, dtype=np.int64)
+            this_type = np.zeros(rt.sf_f.size, dtype=bool)
+            this_type[bnd_sf] = flags[i, rt.sf_f[bnd_sf]]
+            np.add.at(cnt, rt.sf_r[this_type], 1)
+            bad_region = cnt > rt.nc_r
+            # Only the condition's own (component, subface) rows are zeroed.
+            elim[i] |= bad_region[rt.sf_r] & this_type
+    return elim
+
+
+class _Trip:
+    """Triplet accumulator with broadcasting and masking."""
+
+    def __init__(self) -> None:
+        self._reg = []
+        self._row = []
+        self._col = []
+        self._val = []
+
+    def add(self, reg, row, col, val, mask=None):
+        reg = np.asarray(reg)
+        row = np.asarray(row)
+        col = np.atleast_2d(np.asarray(col))
+        val = np.atleast_2d(np.asarray(val))
+        k = max(col.shape[0], val.shape[0])
+        n = reg.shape[0]
+        if mask is None:
+            mask = np.ones(n, dtype=bool)
+        col = np.broadcast_to(col, (k, n))[:, mask]
+        val = np.broadcast_to(val, (k, n))[:, mask]
+        reg = np.broadcast_to(reg, (k, n))[:, mask] if reg.ndim == 1 else reg
+        row = np.broadcast_to(row, (k, n))[:, mask]
+        self._reg.append(reg.ravel())
+        self._row.append(row.ravel())
+        self._col.append(col.ravel())
+        self._val.append(val.ravel())
+
+    def reg(self):
+        return np.concatenate(self._reg) if self._reg else np.zeros(0, int)
+
+    def row(self):
+        return np.concatenate(self._row) if self._row else np.zeros(0, int)
+
+    def col(self):
+        return np.concatenate(self._col) if self._col else np.zeros(0, int)
+
+    def val(self):
+        return np.concatenate(self._val) if self._val else np.zeros(0)
