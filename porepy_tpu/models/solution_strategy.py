@@ -295,7 +295,14 @@ class SolutionStrategy(FluidMixin):
 
     def assemble_linear_system(self) -> None:
         tic = _time.time()
-        self.linear_system = self.equation_system.assemble()
+        if self.linear_solver.startswith("device"):
+            data, b, cs = self.equation_system.assemble_device()
+            self._device_assembly = (data, b, cs)
+            # Host copy of the rhs only (convergence checks); the matrix
+            # stays on device.
+            self.linear_system = (None, np.asarray(b))
+        else:
+            self.linear_system = self.equation_system.assemble()
         logger.info(f"Assembled linear system in {_time.time() - tic:.2e} s")
 
     def solve_linear_system(self) -> np.ndarray:
@@ -310,6 +317,9 @@ class SolutionStrategy(FluidMixin):
             from porepy_tpu.numerics.linalg.krylov import solve_sparse
 
             x = solve_sparse(A, b, method=solver.split("_")[1])
+        elif solver.startswith("device"):
+            data, b_dev, cs = self._device_assembly
+            x = self._device_solver_for(cs).solve(data, b_dev)
         else:
             raise ValueError(f"Unknown linear solver {solver!r}")
         logger.info(f"Solved linear system in {_time.time() - tic:.2e} s")
@@ -317,9 +327,63 @@ class SolutionStrategy(FluidMixin):
 
     def _initialize_linear_solver(self) -> None:
         solver = self.params["linear_solver"]
-        if solver not in ("scipy_sparse", "jax_bicgstab", "jax_gmres"):
+        known = (
+            "scipy_sparse",
+            "jax_bicgstab",
+            "jax_gmres",
+            "device_bicgstab",
+            "device_gmres",
+        )
+        if solver not in known:
             raise ValueError(f"Unknown linear solver {solver!r}")
         self.linear_solver: str = solver
+        self._device_solvers: dict = {}
+
+    # -- device solver configuration ------------------------------------------
+
+    def linear_solver_blocks(self) -> Optional[dict]:
+        """Field-split declaration for the device block preconditioner.
+
+        Override in models to return ``{"blocks": [(equation_names,
+        variable_spec), ...], "stabilization": {i: diag_array}}`` — ordered
+        for the lower Gauss-Seidel sweep. ``None`` -> point Jacobi.
+        """
+        return None
+
+    def _device_solver_for(self, cs):
+        solver = self._device_solvers.get(id(cs))
+        if solver is not None:
+            return solver
+        from porepy_tpu.numerics.linalg.device_solver import DeviceLinearSolver
+
+        spec = self.linear_solver_blocks()
+        blocks = None
+        stab = None
+        if spec is not None:
+            blocks = []
+            for eq_names, var_spec in spec["blocks"]:
+                rows = []
+                for eq in eq_names:
+                    off = cs.row_offsets[eq]
+                    nrows = self.equation_system._get_compiled(eq).pattern.shape[0]
+                    rows.append(np.arange(off, off + nrows))
+                blocks.append(
+                    (
+                        np.concatenate(rows),
+                        self.equation_system.dofs_of(var_spec),
+                    )
+                )
+            stab = spec.get("stabilization")
+        solver = DeviceLinearSolver(
+            cs,
+            method=self.linear_solver.split("_")[1],
+            blocks=blocks,
+            stabilization=stab,
+            tol=self.params.get("linear_solver_tol", 1e-11),
+            maxiter=self.params.get("linear_solver_maxiter"),
+        )
+        self._device_solvers = {id(cs): solver}
+        return solver
 
 
 class ContactIndicators:

@@ -64,6 +64,11 @@ class _EnvSpec:
     def __init__(self) -> None:
         self.fetchers: list[Callable[[Any], np.ndarray]] = []
         self._keys: dict = {}
+        self._scalar_slots: set[int] = set()
+        # Device cache: env arrays keyed on the global stored-state version so
+        # unchanged historic states are not re-uploaded every assembly.
+        self._cache_version: int = -1
+        self._cache: Optional[list[jnp.ndarray]] = None
 
     def slot(self, key, fetcher) -> int:
         if key in self._keys:
@@ -71,10 +76,31 @@ class _EnvSpec:
         idx = len(self.fetchers)
         self.fetchers.append(fetcher)
         self._keys[key] = idx
+        if isinstance(key, tuple) and key and key[0] == "scalar":
+            self._scalar_slots.add(idx)
         return idx
 
     def fetch(self, eq_sys) -> list[jnp.ndarray]:
         return [jnp.asarray(f(eq_sys)) for f in self.fetchers]
+
+    def fetch_device(self, eq_sys) -> list[jnp.ndarray]:
+        """Like :meth:`fetch` but array slots are cached on device until the
+        stored state changes. Scalar slots (e.g. the mutable time step
+        ``ad.Scalar``) are always re-read — they can change without going
+        through ``set_solution_values``."""
+        from porepy_tpu.utils.solution_storage import state_version
+
+        version = state_version()
+        if self._cache is None or self._cache_version != version:
+            self._cache = [
+                None if i in self._scalar_slots else jnp.asarray(f(eq_sys))
+                for i, f in enumerate(self.fetchers)
+            ]
+            self._cache_version = version
+        return [
+            jnp.asarray(self.fetchers[i](eq_sys)) if i in self._scalar_slots else v
+            for i, v in enumerate(self._cache)
+        ]
 
 
 def _var_key(v: Variable):

@@ -79,6 +79,89 @@ class _CompiledEquation:
         return np.asarray(val), jac
 
 
+class _CompiledSystem:
+    """All named equations fused into ONE jitted device function producing the
+    concatenated Jacobian nonzeros (in the static global BCOO layout) and the
+    negated residual — the device-resident Newton assembly. Counterpart of the
+    reference's ``EquationSystem.assemble`` (ref ``equation_system.py:1450``),
+    but with no host scipy matrix in the loop."""
+
+    def __init__(self, eq_sys: "EquationSystem", names: Sequence[str]) -> None:
+        self.names = tuple(names)
+        self.ces = [eq_sys._get_compiled(n) for n in names]
+        ndof = eq_sys.num_dofs()
+        idx_chunks = []
+        row_offset = 0
+        self.row_offsets = {}
+        for name, ce in zip(names, self.ces):
+            self.row_offsets[name] = row_offset
+            idx_chunks.append(
+                np.column_stack([ce.rows + row_offset, ce.cols]).astype(np.int64)
+            )
+            row_offset += ce.pattern.shape[0]
+        self.num_rows = row_offset
+        self.shape = (row_offset, ndof)
+        indices = (
+            np.concatenate(idx_chunks) if idx_chunks else np.zeros((0, 2), np.int64)
+        )
+        self.indices_np = indices
+        self.indices = jnp.asarray(indices.astype(np.int32))
+
+        fns = [ce.fn for ce in self.ces]
+        seeds = [ce.seeds for ce in self.ces]
+        gathers = [
+            (jnp.asarray(ce.gather_color), jnp.asarray(ce.rows)) for ce in self.ces
+        ]
+
+        def sys_fn(x, envs):
+            datas, vals = [], []
+            for fn, seed, (gc, rj), env in zip(fns, seeds, gathers, envs):
+                val, jvp_fn = jax.linearize(
+                    lambda xx, fn=fn, env=env: fn(xx, *env), x
+                )
+                compressed = jax.vmap(jvp_fn)(seed)
+                datas.append(compressed[gc, rj])
+                vals.append(val)
+            data = jnp.concatenate(datas) if datas else jnp.zeros(0)
+            b = -jnp.concatenate(vals) if vals else jnp.zeros(0)
+            return data, b
+
+        self._data_and_rhs = jax.jit(sys_fn)
+
+        def res_fn(x, envs):
+            vals = [fn(x, *env) for fn, env in zip(fns, envs)]
+            return -jnp.concatenate(vals) if vals else jnp.zeros(0)
+
+        self._rhs_only = jax.jit(res_fn)
+
+    def _envs(self, eq_sys) -> tuple:
+        return tuple(
+            tuple(ce.env_spec.fetch_device(eq_sys)) for ce in self.ces
+        )
+
+    def assemble(self, eq_sys) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(Jacobian nonzero data, -residual), both device arrays. Combine the
+        data with the static ``indices``/``shape`` for the global BCOO."""
+        x = jnp.asarray(eq_sys._global_vector())
+        return self._data_and_rhs(x, self._envs(eq_sys))
+
+    def residual(self, eq_sys, x=None) -> jnp.ndarray:
+        """-residual as a device array (``x`` defaults to current iterate)."""
+        if x is None:
+            x = jnp.asarray(eq_sys._global_vector())
+        return self._rhs_only(jnp.asarray(x), self._envs(eq_sys))
+
+    def bcoo(self, data: jnp.ndarray):
+        from jax.experimental import sparse as jsparse
+
+        return jsparse.BCOO(
+            (data, self.indices),
+            shape=self.shape,
+            indices_sorted=True,
+            unique_indices=True,
+        )
+
+
 class EquationSystem:
     def __init__(self, mdg) -> None:
         self.mdg = mdg
@@ -87,6 +170,7 @@ class EquationSystem:
         self._variable_names: list[str] = []
         self._equations: dict[str, Operator] = {}
         self._compiled: dict[str, _CompiledEquation] = {}
+        self._compiled_systems: dict[tuple, _CompiledSystem] = {}
         # Global dof bookkeeping, rebuilt on variable creation.
         self._dof_offsets: dict[tuple[str, int], tuple[int, int]] = {}
         self._num_dofs: int = 0
@@ -136,6 +220,7 @@ class EquationSystem:
         self._variable_names.append(name)
         self._rebuild_dofs()
         self._compiled.clear()
+        self._compiled_systems.clear()
         return MixedDimensionalVariable(new_vars)
 
     def md_variable(
@@ -306,6 +391,8 @@ class EquationSystem:
         self._shift(cc.ITERATE_SOLUTIONS, max_index)
 
     def _shift(self, key: str, max_index: int) -> None:
+        from porepy_tpu.utils.solution_storage import bump_state_version
+
         for v in self._variables:
             ring = self._grid_data(v.domain).get(key, {}).get(v.name)
             if ring is None:
@@ -313,6 +400,7 @@ class EquationSystem:
             for i in range(max_index, 0, -1):
                 if (i - 1) in ring:
                     ring[i] = np.copy(ring[i - 1])
+        bump_state_version()
 
     def _resolve(self, variables: Optional[VariableList]) -> list[Variable]:
         """Expand a variable spec into single-grid Variables in global dof
@@ -373,20 +461,24 @@ class EquationSystem:
         name = equation.name
         self._equations[name] = equation
         self._compiled.pop(name, None)
+        self._compiled_systems.clear()
 
     def remove_equation(self, name: str) -> Optional[Operator]:
         self._compiled.pop(name, None)
+        self._compiled_systems.clear()
         return self._equations.pop(name, None)
 
     def update_equation(self, name: str, equation: Operator) -> None:
         equation.set_name(name)
         self._equations[name] = equation
         self._compiled.pop(name, None)
+        self._compiled_systems.clear()
 
     def clear_compiled(self) -> None:
         """Drop compiled equation kernels (call after rediscretization that
         changes constant matrices baked into operator DAGs)."""
         self._compiled.clear()
+        self._compiled_systems.clear()
 
     def _get_compiled(self, name: str) -> _CompiledEquation:
         ce = self._compiled.get(name)
@@ -436,6 +528,29 @@ class EquationSystem:
         variables: Optional[VariableList] = None,
     ) -> tuple[sps.csr_matrix, np.ndarray]:
         return self.assemble(equations=equations, variables=variables)
+
+    # -- device-resident assembly ---------------------------------------------
+
+    def compiled_system(
+        self, equations: Optional[Sequence[str]] = None
+    ) -> _CompiledSystem:
+        """The fused device assembly of the named equations (all by default):
+        one jitted call yields the global Jacobian's nonzero data (static BCOO
+        layout) and the negated residual, with no host sparse matrix."""
+        names = tuple(equations) if equations is not None else tuple(self._equations)
+        cs = self._compiled_systems.get(names)
+        if cs is None:
+            cs = _CompiledSystem(self, names)
+            self._compiled_systems[names] = cs
+        return cs
+
+    def assemble_device(
+        self, equations: Optional[Sequence[str]] = None
+    ) -> tuple["jax.Array", "jax.Array", _CompiledSystem]:
+        """(Jacobian nonzero data, -residual, system structure) on device."""
+        cs = self.compiled_system(equations)
+        data, b = cs.assemble(self)
+        return data, b, cs
 
     # -- Schur complement ----------------------------------------------------
 

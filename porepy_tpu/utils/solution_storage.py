@@ -14,7 +14,26 @@ import numpy as np
 
 from porepy_tpu.utils import common_constants as cc
 
-__all__ = ["set_solution_values", "get_solution_values", "shift_solution_values"]
+__all__ = [
+    "set_solution_values",
+    "get_solution_values",
+    "shift_solution_values",
+    "state_version",
+    "bump_state_version",
+]
+
+#: Monotone counter bumped on every stored-state mutation. Device-side caches
+#: (the compiler's env arrays) key on this to avoid re-uploading unchanged
+#: state every assembly.
+_STATE_VERSION = [0]
+
+
+def state_version() -> int:
+    return _STATE_VERSION[0]
+
+
+def bump_state_version() -> None:
+    _STATE_VERSION[0] += 1
 
 
 def shift_solution_values(
@@ -28,6 +47,7 @@ def shift_solution_values(
     for i in range(max_index, 0, -1):
         if (i - 1) in ring:
             ring[i] = np.copy(ring[i - 1])
+    bump_state_version()
 
 
 def set_solution_values(
@@ -51,6 +71,7 @@ def set_solution_values(
             ring[index] = ring[index] + values
         else:
             ring[index] = np.array(values, dtype=float, copy=True)
+    bump_state_version()
 
 
 def get_solution_values(
