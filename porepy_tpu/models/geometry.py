@@ -83,6 +83,8 @@ class ModelGeometry:
 
     def create_mdg(self) -> MixedDimensionalGrid:
         gt = self.grid_type()
+        if gt == "simplex":
+            return self._create_simplex_mdg()
         if gt != "cartesian":
             raise NotImplementedError(f"Grid type {gt!r} not yet supported")
         args = self.meshing_arguments()
@@ -112,6 +114,25 @@ class ModelGeometry:
         mdg.add_subdomains(g)
         mdg.compute_geometry()
         return mdg
+
+    def _create_simplex_mdg(self) -> MixedDimensionalGrid:
+        """Simplex md grid via the fracture network's native conforming
+        Delaunay mesher (2d; 3d simplex meshing requires gmsh, reference
+        ``fracs/simplex.py:82``)."""
+        from porepy_tpu.grids.mdg_generation import create_mdg as _create
+
+        if self.domain.dim != 2:
+            raise NotImplementedError(
+                "Native simplex meshing is 2d-only (3d needs gmsh)"
+            )
+        from porepy_tpu.fracs.fracture_network import create_fracture_network
+
+        network = create_fracture_network(
+            [f for f in self.fractures if hasattr(f, "pts")], self.domain
+        )
+        return _create(
+            "simplex", self.meshing_arguments(), network
+        )
 
     # -- grid-set queries ----------------------------------------------------
 

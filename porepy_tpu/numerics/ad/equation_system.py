@@ -107,32 +107,65 @@ class _CompiledSystem:
         self.indices_np = indices
         self.indices = jnp.asarray(indices.astype(np.int32))
 
-        fns = [ce.fn for ce in self.ces]
-        seeds = [ce.seeds for ce in self.ces]
-        gathers = [
-            (jnp.asarray(ce.gather_color), jnp.asarray(ce.rows)) for ce in self.ces
+        # One jitted kernel PER equation (value + colored-jvp compressed
+        # Jacobian + gather into the global nnz layout), concatenated on
+        # device. A single fused all-equations XLA program is avoided: at
+        # ~100k-nnz md systems it hard-faults the TPU runtime, while the
+        # identical per-equation programs run fine. Everything stays
+        # device-resident either way.
+        def make_eq_fn(ce):
+            gc = jnp.asarray(ce.gather_color)
+            rj = jnp.asarray(ce.rows)
+
+            def eq_fn(x, seeds, gc, rj, env):
+                val, jvp_fn = jax.linearize(lambda xx: ce.fn(xx, *env), x)
+                compressed = jax.vmap(jvp_fn)(seeds)
+                return compressed[gc, rj], val
+
+            jitted = jax.jit(eq_fn)
+
+            # Index/seed arrays enter as arguments, not closure constants —
+            # large embedded literals destabilize the TPU compile.
+            def call(x, env, jitted=jitted, seeds=ce.seeds, gc=gc, rj=rj):
+                return jitted(x, seeds, gc, rj, env)
+
+            return call
+
+        self._eq_fns = [make_eq_fn(ce) for ce in self.ces]
+        self._eq_res_fns = [
+            jax.jit(lambda x, env, ce=ce: ce.fn(x, *env)) for ce in self.ces
         ]
 
-        def sys_fn(x, envs):
-            datas, vals = [], []
-            for fn, seed, (gc, rj), env in zip(fns, seeds, gathers, envs):
-                val, jvp_fn = jax.linearize(
-                    lambda xx, fn=fn, env=env: fn(xx, *env), x
-                )
-                compressed = jax.vmap(jvp_fn)(seed)
-                datas.append(compressed[gc, rj])
-                vals.append(val)
-            data = jnp.concatenate(datas) if datas else jnp.zeros(0)
-            b = -jnp.concatenate(vals) if vals else jnp.zeros(0)
+        self._warm = False
+
+        def _data_and_rhs(x, envs):
+            # First call: serialize dispatches so each program's compile
+            # finishes before the next launches (a compile racing in-flight
+            # execution hard-faults the tunneled TPU runtime). Later calls
+            # run fully async. Inside an outer trace there is nothing to
+            # block on, so skip the guard.
+            tracing = isinstance(x, jax.core.Tracer)
+            parts = []
+            for f, env in zip(self._eq_fns, envs):
+                p = f(x, env)
+                if not self._warm and not tracing:
+                    jax.block_until_ready(p[0])
+                parts.append(p)
+            if not tracing:
+                self._warm = True
+            data = (
+                jnp.concatenate([p[0] for p in parts]) if parts else jnp.zeros(0)
+            )
+            b = -jnp.concatenate([p[1] for p in parts]) if parts else jnp.zeros(0)
             return data, b
 
-        self._data_and_rhs = jax.jit(sys_fn)
+        self._data_and_rhs = _data_and_rhs
 
-        def res_fn(x, envs):
-            vals = [fn(x, *env) for fn, env in zip(fns, envs)]
+        def _rhs_only(x, envs):
+            vals = [f(x, env) for f, env in zip(self._eq_res_fns, envs)]
             return -jnp.concatenate(vals) if vals else jnp.zeros(0)
 
-        self._rhs_only = jax.jit(res_fn)
+        self._rhs_only = _rhs_only
 
     def _envs(self, eq_sys) -> tuple:
         return tuple(
@@ -441,13 +474,14 @@ class EquationSystem:
         return get_solution_values(v.name, data, iterate_index=v.iterate_index)
 
     def _stored_time_dependent(self, op: TimeDependentDenseArray) -> np.ndarray:
+        it = getattr(op, "iterate_index", 0)
         chunks = []
         for g in op.domains:
             data = self._grid_data(g)
             if op.prev_time:
                 chunks.append(get_solution_values(op.name, data, time_step_index=0))
             else:
-                chunks.append(get_solution_values(op.name, data, iterate_index=0))
+                chunks.append(get_solution_values(op.name, data, iterate_index=it))
         return np.concatenate(chunks or [np.zeros(0)])
 
     # -- equations -----------------------------------------------------------

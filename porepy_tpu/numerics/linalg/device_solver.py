@@ -253,7 +253,21 @@ class DeviceLinearSolver:
             self._blocks = blist
 
         self._inner_degree = inner_degree
-        self._solve_jit = jax.jit(self._make_solve())
+        self._jit = jax.jit(self._make_solve())
+        self._warm = False
+
+    def _solve_jit(self, data, b):
+        tracing = isinstance(data, jax.core.Tracer)
+        if not self._warm and not tracing:
+            # Let in-flight assembly finish before this program compiles — a
+            # compile racing execution hard-faults the tunneled TPU runtime.
+            jax.block_until_ready(data)
+            jax.block_until_ready(b)
+        out = self._jit(data, b)
+        if not self._warm and not tracing:
+            jax.block_until_ready(out[0])
+            self._warm = True
+        return out
 
     # -- kernel construction ---------------------------------------------------
 

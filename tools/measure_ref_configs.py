@@ -1,0 +1,185 @@
+"""Measure the reference framework's per-Newton-iteration wall-clock on the
+BASELINE.md benchmark configs (run on this machine, via tools.refshim).
+
+Configs (BASELINE.md "Benchmark configs"):
+  2. Mpfa single-phase flow on a 2D md fracture network (6 fractures,
+     cartesian md grid, mortar coupling) — reference SinglePhaseFlow.
+  4. Mpsa/Biot poromechanics (Mandel-family consolidation BCs, no
+     fractures) — reference Poromechanics.
+
+Per-iteration time = assembly (EquationSystem.assemble) + linear solve
+(scipy spsolve; PyPardiso is not in this image — recorded as such), the
+same split the reference logs at ``models/solution_strategy.py:820-877``.
+Results are merged into ``tools/ref_baselines.json``.
+
+Usage: NUMBA_DISABLE_JIT=1 python tools/measure_ref_configs.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from tools.refshim import pp as ref_pp
+
+# Shared benchmark geometry: 6 axis-aligned fractures on the unit square,
+# crossing -> 1d fracture grids, 0d intersection grids, full mortar stack.
+FRACTURES_2D = [
+    np.array([[0.125, 0.875], [0.25, 0.25]]),
+    np.array([[0.125, 0.875], [0.5, 0.5]]),
+    np.array([[0.125, 0.875], [0.75, 0.75]]),
+    np.array([[0.25, 0.25], [0.125, 0.875]]),
+    np.array([[0.5, 0.5], [0.125, 0.875]]),
+    np.array([[0.75, 0.75], [0.125, 0.875]]),
+]
+
+
+def _timing_mixin(base):
+    class Timed(base):
+        def __init__(self, params):
+            super().__init__(params)
+            self.iter_times: list[tuple[float, float]] = []
+            self._t_assembly = 0.0
+
+        def assemble_linear_system(self):
+            t0 = time.perf_counter()
+            super().assemble_linear_system()
+            self._t_assembly = time.perf_counter() - t0
+
+        def solve_linear_system(self):
+            t0 = time.perf_counter()
+            out = super().solve_linear_system()
+            self.iter_times.append((self._t_assembly, time.perf_counter() - t0))
+            return out
+
+        def initialize_data_saving(self):
+            pass
+
+        def save_data_time_step(self):
+            pass
+
+    return Timed
+
+
+def measure_md_flow(cell_size: float) -> dict:
+    class Model(_timing_mixin(ref_pp.SinglePhaseFlow)):
+        def set_fractures(self):
+            self._fractures = [ref_pp.LineFracture(f) for f in FRACTURES_2D]
+
+        def bc_values_pressure(self, bg):
+            return 1.0 - bg.cell_centers[1]
+
+    params = {
+        "grid_type": "cartesian",
+        "meshing_arguments": {"cell_size": cell_size},
+        "material_constants": {
+            "solid": ref_pp.SolidConstants(
+                permeability=1.0,
+                porosity=0.1,
+                residual_aperture=0.01,
+                normal_permeability=1.0,
+            ),
+            "fluid": ref_pp.FluidComponent(
+                compressibility=1e-6, viscosity=1e-3, density=1000.0
+            ),
+        },
+        "time_manager": ref_pp.TimeManager([0, 6.0], 1.0, constant_dt=True),
+        "linear_solver": "scipy_sparse",
+        "progressbars": False,
+    }
+    t0 = time.perf_counter()
+    m = Model(params)
+    ref_pp.run_time_dependent_model(m, params)
+    total = time.perf_counter() - t0
+    times = np.array(m.iter_times)
+    return {
+        "num_cells": int(sum(sd.num_cells for sd in m.mdg.subdomains())),
+        "num_dofs": int(m.equation_system.num_dofs()),
+        "iters_measured": len(times),
+        "assembly_s": float(np.median(times[:, 0])),
+        "solve_s": float(np.median(times[:, 1])),
+        "total_s": float(np.median(times.sum(axis=1))),
+        "wall_total_s": total,
+    }
+
+
+def measure_biot(cell_size: float) -> dict:
+    class Model(_timing_mixin(ref_pp.Poromechanics)):
+        def bc_values_displacement(self, bg):
+            vals = np.zeros((self.nd, bg.num_cells))
+            north = self.domain_boundary_sides(bg).north
+            vals[1, north] = -0.001
+            return vals.ravel("F")
+
+        def bc_values_pressure(self, bg):
+            return np.zeros(bg.num_cells)
+
+    params = {
+        "grid_type": "cartesian",
+        "meshing_arguments": {"cell_size": cell_size},
+        "material_constants": {
+            "solid": ref_pp.SolidConstants(
+                shear_modulus=1.0,
+                lame_lambda=1.0,
+                permeability=1e-2,
+                porosity=0.1,
+                biot_coefficient=0.8,
+                specific_storage=0.1,
+            ),
+            "fluid": ref_pp.FluidComponent(
+                viscosity=1.0, density=1.0, compressibility=1e-2
+            ),
+        },
+        "time_manager": ref_pp.TimeManager([0, 6.0], 1.0, constant_dt=True),
+        "linear_solver": "scipy_sparse",
+        "progressbars": False,
+    }
+    t0 = time.perf_counter()
+    m = Model(params)
+    ref_pp.run_time_dependent_model(m, params)
+    total = time.perf_counter() - t0
+    times = np.array(m.iter_times)
+    return {
+        "num_cells": int(sum(sd.num_cells for sd in m.mdg.subdomains())),
+        "num_dofs": int(m.equation_system.num_dofs()),
+        "iters_measured": len(times),
+        "assembly_s": float(np.median(times[:, 0])),
+        "solve_s": float(np.median(times[:, 1])),
+        "total_s": float(np.median(times.sum(axis=1))),
+        "wall_total_s": total,
+    }
+
+
+def main() -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_baselines.json")
+    with open(path) as f:
+        base = json.load(f)
+
+    print("measuring config 2: md Mpfa flow, 6 fractures, cell_size 1/128 ...")
+    base["cases"]["mdflow_mpfa_2d_128"] = measure_md_flow(1.0 / 128)
+    print(json.dumps(base["cases"]["mdflow_mpfa_2d_128"]))
+
+    print("measuring config 4: Biot poromechanics, cell_size 1/64 ...")
+    base["cases"]["biot_poromech_2d_64"] = measure_biot(1.0 / 64)
+    print(json.dumps(base["cases"]["biot_poromech_2d_64"]))
+
+    base["cases_note"] = (
+        "mdflow_mpfa_2d_128 / biot_poromech_2d_64 measured 2026-08-16 via "
+        "tools.refshim (NUMBA_DISABLE_JIT=1 affects one-time discretization "
+        "only, not the per-iteration assembly+solve recorded here); "
+        "linear_solver=scipy spsolve (PyPardiso not in image); median of 9 "
+        "Newton iterations (3 steps x 3 forced iterations)."
+    )
+    with open(path, "w") as f:
+        json.dump(base, f, indent=2)
+    print("written", path)
+
+
+if __name__ == "__main__":
+    main()
