@@ -164,6 +164,7 @@ from porepy_tpu.compositional import utils as composite_utils  # noqa: E402,F401
 from porepy_tpu.models.geometry import ModelGeometry  # noqa: E402,F401
 from porepy_tpu.models.abstract_equations import (  # noqa: E402,F401
     BalanceEquation,
+    LocalElimination,
     VariableMixin,
 )
 from porepy_tpu.models.boundary_condition import (  # noqa: E402,F401
@@ -193,6 +194,11 @@ from porepy_tpu.numerics.fv.tpsa import Tpsa  # noqa: E402,F401
 from porepy_tpu.numerics.vem.mvem import MVEM  # noqa: E402,F401
 from porepy_tpu.numerics.fem.rt0 import RT0  # noqa: E402,F401
 from porepy_tpu.models import energy_balance  # noqa: E402,F401
+from porepy_tpu.models import compositional_flow  # noqa: E402,F401
+from porepy_tpu.models.compositional_flow import (  # noqa: E402,F401
+    CompositionalFlowTemplate,
+    CompositionalFractionalFlowTemplate,
+)
 from porepy_tpu.models.run_models import (  # noqa: E402,F401
     run_stationary_model,
     run_time_dependent_model,

@@ -77,8 +77,16 @@ class FluidMixin:
             phase = self.fluid.reference_phase
             phase.fraction = one
             phase.saturation = one
-            for comp in phase:
-                phase.partial_fraction_of[comp] = one
+            if self.fluid.num_components == 1:
+                for comp in phase:
+                    phase.partial_fraction_of[comp] = one
+            else:
+                # Single phase, several components: the partial fraction in
+                # the (only) phase IS the overall fraction.
+                for comp in phase:
+                    phase.partial_fraction_of[comp] = (
+                        lambda domains, _c=comp: _c.fraction(domains)
+                    )
 
     def assign_thermodynamic_properties_to_phases(self) -> None:
         for phase in self.fluid.phases:
@@ -132,10 +140,17 @@ class FluidMixin:
         return conductivity
 
 
-class CompositionalVariables:
+from porepy_tpu.models.abstract_equations import VariableMixin
+
+
+class CompositionalVariables(VariableMixin):
     """Creates the fractional variables of multiphase, multicomponent
     fluids and wires the accessors onto components and phases. One
-    arbitrary reference per family is eliminated by unity."""
+    arbitrary reference per family is eliminated by unity.
+
+    Subclasses :class:`VariableMixin` so the cooperative
+    ``create_variables`` super-chain of composed models reaches it (the
+    mixin root's no-op ends the chain)."""
 
     @property
     def overall_fraction_variables(self) -> list[str]:

@@ -224,6 +224,44 @@ class ConstantPermeability:
         return ad.Scalar(self.solid.normal_permeability, "normal_permeability")
 
 
+class MassWeightedPermeability(ConstantPermeability):
+    """Fractional-flow permeability: the total mass mobility enters the
+    diffusive tensor isotropically on top of the constant absolute
+    permeability (reference ``constitutive_laws.py:616``). Combine with
+    ``MassicPressureEquations``; the tensor is lagged and refreshed by the
+    nonlinear-rediscretization machinery."""
+
+    def mass_mobility_weighted_permeability(self, subdomains: Sequence) -> ad.Operator:
+        abs_perm = ad.wrap_as_dense_ad_array(
+            self.solid.permeability,
+            size=sum(sd.num_cells for sd in subdomains),
+            name="absolute_permeability",
+        )
+        # Clamp at a small positive floor: transient Newton iterates can
+        # push saturations (hence relative permeabilities) slightly out of
+        # bounds; the tensor is lagged, so the clamp only guards the
+        # rediscretization against indefiniteness.
+        floor = ad.wrap_as_dense_ad_array(
+            1e-8 * self.solid.permeability,
+            size=sum(sd.num_cells for sd in subdomains),
+        )
+        op = ad.maximum(self.total_mass_mobility(subdomains) * abs_perm, floor)
+        op.set_name("mass_mobility_weighted_permeability")
+        return op
+
+    def permeability(self, subdomains: Sequence) -> ad.Operator:
+        return self.isotropic_second_order_tensor(
+            subdomains, self.mass_mobility_weighted_permeability(subdomains)
+        )
+
+    def normal_permeability(self, interfaces: Sequence) -> ad.Operator:
+        subdomains = self.interfaces_to_subdomains(interfaces)
+        projection = ad.MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+        return projection.secondary_to_mortar_avg() @ (
+            self.mass_mobility_weighted_permeability(subdomains)
+        )
+
+
 class SecondOrderTensorUtils:
     """Reference ``constitutive_laws.py:492-570``."""
 
@@ -1337,17 +1375,85 @@ class ConstantViscosity:
 
 
 class FluidMobility:
-    """Mobility 1/mu and its (in-kernel) upwind discretization holder."""
+    """Mobility laws of general fluid mixtures (reference
+    ``fluid_property_library.py:229-463``). For single-phase single-component
+    fluids all expressions reduce to ``rho / mu`` and ``1 / mu``."""
 
     mobility_keyword: str
 
     def mobility(self, domains: Sequence) -> ad.Operator:
         return ad.Scalar(1.0) / self.fluid_viscosity(domains)
 
+    def phase_mobility(self, phase, domains: Sequence) -> ad.Operator:
+        """``k_r(s_j) / mu_j`` (volumetric; single phase: ``1/mu``)."""
+        if self.fluid.num_phases > 1:
+            mob = self.relative_permeability(phase, domains) / phase.viscosity(
+                domains
+            )
+        else:
+            mob = phase.viscosity(domains) ** ad.Scalar(-1.0)
+        mob.set_name(f"phase_mobility_{phase.name}")
+        return mob
+
     def total_mass_mobility(self, domains: Sequence) -> ad.Operator:
-        out = self.fluid_density(domains) / self.fluid_viscosity(domains)
-        out.set_name("total_mass_mobility")
+        """``sum_j rho_j k_r(s_j) / mu_j`` — the nonlinear weight of the
+        total mass flux (and the diffusive-tensor weight in fractional
+        flow)."""
+        out = ad.sum_operator_list(
+            [
+                phase.density(domains) * self.phase_mobility(phase, domains)
+                for phase in self.fluid.phases
+            ],
+            "total_mass_mobility",
+        )
         return out
+
+    def component_mass_mobility(self, component, domains: Sequence) -> ad.Operator:
+        """``sum_j x_{cj} rho_j k_r(s_j)/mu_j`` over phases containing the
+        component (reference ``fluid_property_library.py:351``)."""
+        if self.fluid.num_phases > 1 or self.fluid.num_components > 1:
+            mob = ad.sum_operator_list(
+                [
+                    phase.partial_fraction_of[component](domains)
+                    * phase.density(domains)
+                    * self.phase_mobility(phase, domains)
+                    for phase in self.fluid.phases
+                    if component in list(phase)
+                ]
+            )
+        else:
+            mob = self.fluid.reference_phase.density(
+                domains
+            ) * self.phase_mobility(self.fluid.reference_phase, domains)
+        mob.set_name(f"component_mass_mobility_{component.name}")
+        return mob
+
+    def fractional_component_mass_mobility(
+        self, component, domains: Sequence
+    ) -> ad.Operator:
+        """``component_mass_mobility / total_mass_mobility`` — the advective
+        weight in fractional-flow component balances where the total mobility
+        sits in the diffusive tensor."""
+        out = self.component_mass_mobility(
+            component, domains
+        ) / self.total_mass_mobility(domains)
+        out.set_name(f"fractional_component_mass_mobility_{component.name}")
+        return out
+
+    def fractional_phase_mass_mobility(self, phase, domains: Sequence) -> ad.Operator:
+        """``rho_j k_r(s_j)/mu_j / total_mass_mobility``."""
+        out = (
+            phase.density(domains)
+            * self.phase_mobility(phase, domains)
+            / self.total_mass_mobility(domains)
+        )
+        out.set_name(f"fractional_phase_mass_mobility_{phase.name}")
+        return out
+
+    def relative_permeability(self, phase, domains: Sequence) -> ad.Operator:
+        """Linear law ``k_r = s_j`` by default (reference
+        ``compositional_flow.py:990``); override for Brooks-Corey etc."""
+        return phase.saturation(domains)
 
     def mobility_discretization(self, subdomains: Sequence) -> UpwindAd:
         return UpwindAd(self.mobility_keyword, subdomains, self.mdg)

@@ -126,7 +126,7 @@ class SolutionStrategyPoromechanics(
         iteration on fractured domains (reference ``poromechanics.py:252``)."""
         super().set_nonlinear_discretizations()
         if self.mdg.dim_min() < self.nd:
-            self.add_nonlinear_discretization("darcy_flux_sub_nd")
+            self.add_nonlinear_discretization(self.darcy_keyword)
 
     def _is_nonlinear_problem(self) -> bool:
         return True

@@ -136,27 +136,31 @@ class SolutionStrategy(FluidMixin):
     def set_nonlinear_discretizations(self) -> None:
         pass
 
-    def add_nonlinear_discretization(self, discretization) -> None:
-        self._nonlinear_discretizations.append(discretization)
+    def add_nonlinear_discretization(
+        self, keyword: str, max_dim: Optional[int] = None
+    ) -> None:
+        """Register a discretization keyword whose matrices depend on the
+        solution and must be recomputed each nonlinear iteration.
+
+        ``max_dim`` limits the rediscretized grids (default: subdimensional
+        grids only, ``nd - 1`` — matching the reference's treatment of
+        aperture-dependent fracture transmissibilities; pass ``self.nd`` for
+        solution-dependent tensors on the matrix, e.g. fractional-flow total
+        mobility). Reference: ``solution_strategy.py:960``.
+        """
+        self._nonlinear_discretizations.append((str(keyword), max_dim))
 
     def rediscretize(self) -> None:
-        """Re-run nonlinear discretizations. The in-kernel upwinding needs no
-        rediscretization. Registered nonlinear fluxes (keyword strings) are
-        re-discretized on sub-dimensional grids only: the reference updates
-        all discretization parameters but re-computes matrices just for the
-        registered fluxes (reference ``solution_strategy.py:960``), so the
-        nd-matrix FV matrices keep their prepare-time values."""
+        """Re-run registered nonlinear discretizations (explicit keyword +
+        dimension scope; the in-kernel upwinding needs no rediscretization)."""
         if self._nonlinear_discretizations:
             self.update_discretization_parameters()
-            keywords = set()
-            for marker in self._nonlinear_discretizations:
-                if "fourier" in marker:
-                    keywords.add(getattr(self, "fourier_keyword", None))
-                if "darcy" in marker:
-                    keywords.add(getattr(self, "darcy_keyword", None))
             for discr, sd, data in getattr(self, "_discretizations", []):
-                if discr.keyword in keywords and sd.dim < self.nd:
-                    discr.discretize(sd, data)
+                for keyword, max_dim in self._nonlinear_discretizations:
+                    lim = max_dim if max_dim is not None else self.nd - 1
+                    if discr.keyword == keyword and sd.dim <= lim:
+                        discr.discretize(sd, data)
+                        break
             self.equation_system.clear_compiled()
 
     # -- discretization ------------------------------------------------------

@@ -145,7 +145,8 @@ class SolutionStrategyThermoporomechanics(
         aperture (displacement jump): re-discretize them every iteration."""
         super().set_nonlinear_discretizations()
         if self.mdg.dim_min() < self.nd:
-            self.add_nonlinear_discretization("darcy_fourier_flux_sub_nd")
+            self.add_nonlinear_discretization(self.darcy_keyword)
+            self.add_nonlinear_discretization(self.fourier_keyword)
 
     def _is_nonlinear_problem(self) -> bool:
         return True

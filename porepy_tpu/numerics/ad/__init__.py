@@ -61,6 +61,10 @@ from porepy_tpu.numerics.ad.functions import (  # noqa: F401
     tanh,
 )
 from porepy_tpu.numerics.ad import compiler  # noqa: F401
+from porepy_tpu.numerics.ad.surrogate_operator import (  # noqa: F401
+    SurrogateFactory,
+    SurrogateOperator,
+)
 from porepy_tpu.numerics.ad.operator_functions import (  # noqa: F401
     DiagonalJacobianFunction,
     Function,

@@ -206,7 +206,10 @@ def _collect_env(
             env_spec.slot(_var_key(op), _fetch_variable(op))
         return
     if isinstance(op, TimeDependentDenseArray):
-        env_spec.slot(("tda", op.name, op.domains, op.prev_time), _fetch_tda(op))
+        env_spec.slot(
+            ("tda", op.name, op.domains, op.prev_time, getattr(op, "iterate_index", 0)),
+            _fetch_tda(op),
+        )
         return
     if isinstance(op, Scalar):
         env_spec.slot(("scalar", id(op)), lambda _es, _op=op: np.float64(_op.value))
@@ -279,7 +282,14 @@ def _trace_node(node, rec, x, env, env_spec, eq_sys, const_mats):
         return env[slot]
     if isinstance(node, TimeDependentDenseArray):
         slot = env_spec.slot(
-            ("tda", node.name, node.domains, node.prev_time), _fetch_tda(node)
+            (
+                "tda",
+                node.name,
+                node.domains,
+                node.prev_time,
+                getattr(node, "iterate_index", 0),
+            ),
+            _fetch_tda(node),
         )
         return env[slot]
 

@@ -120,11 +120,15 @@ class Operator:
         """Operator with every variable leaf replaced by its value at the
         ``steps``-most-recent completed time step (constant under AD).
         Time-dependent arrays shift to their stored time-step ring too."""
-        return _retag(self, lambda v: v.at_time_step(steps - 1), shift_tda=True)
+        return _retag(
+            self, lambda v: v.at_time_step(steps - 1), shift_tda=True, steps=steps
+        )
 
     def previous_iteration(self, steps: int = 1) -> "Operator":
         """Operator with every variable leaf at a previous Newton iterate."""
-        return _retag(self, lambda v: v.at_iterate(steps), shift_tda=False)
+        return _retag(
+            self, lambda v: v.at_iterate(steps), shift_tda=False, steps=steps
+        )
 
     # -- evaluation -----------------------------------------------------------
 
@@ -200,8 +204,17 @@ def _wrap(x: Any) -> Union[Operator, Any]:
 
 
 def _retag(
-    op: Operator, fn: Callable[["Variable"], "Variable"], shift_tda: bool
+    op: Operator,
+    fn: Callable[["Variable"], "Variable"],
+    shift_tda: bool,
+    steps: int = 1,
 ) -> Operator:
+    # Surrogate operators collapse to stored constants at historic states
+    # (their own previous_* methods encode the storage semantics).
+    if type(op).__name__ == "SurrogateOperator":
+        return (
+            op.previous_timestep(steps) if shift_tda else op.previous_iteration(steps)
+        )
     if isinstance(op, MixedDimensionalVariable):
         return MixedDimensionalVariable([fn(v) for v in op.sub_vars])
     if isinstance(op, Variable):
@@ -218,7 +231,7 @@ def _retag(
         name=op._name,
         domains=op._domains,
         operation=op.operation,
-        children=[_retag(c, fn, shift_tda) for c in op.children],
+        children=[_retag(c, fn, shift_tda, steps) for c in op.children],
     )
     new.func = op.func
     if hasattr(op, "func_pattern"):
@@ -266,18 +279,29 @@ class TimeDependentDenseArray(Operator):
     assembly (boundary values, sources updated per time step).
 
     ``previous_timestep=True`` reads from the stored time-step ring instead
-    of the current iterate ring.
+    of the current iterate ring; ``iterate_index`` selects an entry of the
+    iterate ring (0 = current).
     """
 
     def __init__(
-        self, name: str, domains: Sequence, previous_timestep: bool = False
+        self,
+        name: str,
+        domains: Sequence,
+        previous_timestep: bool = False,
+        iterate_index: int = 0,
     ) -> None:
         super().__init__(name=name, domains=domains)
         self.prev_time = previous_timestep
+        self.iterate_index = iterate_index
 
     def previous_timestep(self, steps: int = 1) -> "TimeDependentDenseArray":
         return TimeDependentDenseArray(
             self._name, self._domains, previous_timestep=True
+        )
+
+    def previous_iteration(self, steps: int = 1) -> "TimeDependentDenseArray":
+        return TimeDependentDenseArray(
+            self._name, self._domains, iterate_index=self.iterate_index + steps
         )
 
 
