@@ -124,8 +124,39 @@ class SolutionStrategy(FluidMixin):
         return np.array([0])
 
     def reset_state_from_file(self) -> None:
-        if self.restart_options.get("restart", False):
-            raise NotImplementedError("Restart arrives with the exporter layer")
+        """Restart: overwrite the initial state from exported vtu/pvd files
+        (reference ``solution_strategy.py:333-364``).
+
+        ``params["restart_options"]``: ``{"restart": True, "pvd_file": path}``
+        or ``{"restart": True, "vtu_files": [paths]}``; optional ``"time"``
+        and ``"time_index"`` reposition the time manager at the restart
+        point.
+        """
+        if not self.restart_options.get("restart", False):
+            return
+        if self.restart_options.get("pvd_file") is not None:
+            self.load_data_from_pvd(self.restart_options["pvd_file"])
+        else:
+            vtu_files = self.restart_options.get("vtu_files") or []
+            if isinstance(vtu_files, str):
+                vtu_files = [vtu_files]
+            if not vtu_files:
+                raise ValueError(
+                    "Restart requested but restart_options provides neither "
+                    "'pvd_file' nor non-empty 'vtu_files'"
+                )
+            self.load_data_from_vtu(vtu_files)
+        vals = self.equation_system.get_variable_values(time_step_index=0)
+        self.equation_system.set_variable_values(
+            vals, iterate_index=0, time_step_index=0
+        )
+        if "time" in self.restart_options:
+            self.time_manager.time = float(self.restart_options["time"])
+        if "time_index" in self.restart_options:
+            self.time_manager.time_index = int(
+                self.restart_options["time_index"]
+            )
+        self.update_time_dependent_ad_arrays()
 
     def update_time_dependent_ad_arrays(self) -> None:
         self.update_all_boundary_conditions()

@@ -380,6 +380,10 @@ class Exporter:
             dims = arrays.get("grid_dim")
             if dims is None:
                 continue
+            is_mortar = arrays.get("is_mortar")
+            if is_mortar is not None and is_mortar.size and is_mortar[0]:
+                self._import_mortar_arrays(arrays, dims)
+                continue
             sd_ids = arrays.get("subdomain_id")
             for name, arr in arrays.items():
                 if name in (
@@ -395,10 +399,21 @@ class Exporter:
                     continue
                 n_comp = arr.size // dims.size if dims.size else 1
                 offset = 0
-                for sd in self.mdg.subdomains(dim=int(dims[0])):
-                    if sd_ids is not None:
-                        mask = sd_ids == sd.id
-                        num = int(mask.sum())
+                # Grid ids are process-global counters and differ between
+                # the exporting and the importing run; map id-blocks to the
+                # importer's subdomains positionally (the export order is
+                # the deterministic mdg iteration order).
+                if sd_ids is not None:
+                    _, first_pos, counts = np.unique(
+                        sd_ids, return_index=True, return_counts=True
+                    )
+                    order = np.argsort(first_pos)
+                    block_counts = counts[order]
+                else:
+                    block_counts = None
+                for k, sd in enumerate(self.mdg.subdomains(dim=int(dims[0]))):
+                    if block_counts is not None and k < block_counts.size:
+                        num = int(block_counts[k])
                     else:
                         num = sd.num_cells
                     vals = arr.reshape(-1, n_comp)[offset : offset + num]
@@ -413,6 +428,54 @@ class Exporter:
                     set_solution_values(
                         name, flat, data, time_step_index=0, iterate_index=0
                     )
+
+    def _import_mortar_arrays(self, arrays: dict, dims: np.ndarray) -> None:
+        """Restore interface (mortar) cell fields; id-blocks map to the
+        importer's interfaces positionally, like subdomains."""
+        from porepy_tpu.utils.solution_storage import set_solution_values
+
+        intf_ids = arrays.get("interface_id")
+        intfs = [
+            intf
+            for intf in self.mdg.interfaces()
+            if intf.dim == int(dims[0])
+        ]
+        if intf_ids is not None:
+            _, first_pos, counts = np.unique(
+                intf_ids, return_index=True, return_counts=True
+            )
+            block_counts = counts[np.argsort(first_pos)]
+        else:
+            block_counts = None
+        skip = {
+            "grid_dim",
+            "cell_id",
+            "subdomain_id",
+            "interface_id",
+            "is_mortar",
+            "mortar_side",
+        }
+        for name, arr in arrays.items():
+            if name in skip:
+                continue
+            n_comp = arr.size // dims.size if dims.size else 1
+            offset = 0
+            for k, intf in enumerate(intfs):
+                if block_counts is not None and k < block_counts.size:
+                    num = int(block_counts[k])
+                else:
+                    num = intf.num_cells
+                vals = arr.reshape(-1, n_comp)[offset : offset + num]
+                offset += num
+                if vals.size == 0:
+                    continue
+                set_solution_values(
+                    name,
+                    vals.ravel(),
+                    self.mdg.interface_data(intf),
+                    time_step_index=0,
+                    iterate_index=0,
+                )
 
     # -- internals ---------------------------------------------------------
 
