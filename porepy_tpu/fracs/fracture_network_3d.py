@@ -80,25 +80,19 @@ class FractureNetwork3d:
     def _add_intersection(
         self, first, second, start, end, bound_first, bound_second
     ) -> None:
-        self.intersections["first"] = np.hstack(
-            (self.intersections["first"], first)
-        )
-        self.intersections["second"] = np.hstack(
-            (self.intersections["second"], second)
-        )
         if start.size < 4:
             start = start.reshape((-1, 1))
             end = end.reshape((-1, 1))
-        self.intersections["start"] = np.hstack(
-            (self.intersections["start"], start)
-        )
-        self.intersections["end"] = np.hstack((self.intersections["end"], end))
-        self.intersections["bound_first"] = np.hstack(
-            (self.intersections["bound_first"], bound_first)
-        )
-        self.intersections["bound_second"] = np.hstack(
-            (self.intersections["bound_second"], bound_second)
-        )
+        new = {
+            "first": first,
+            "second": second,
+            "start": start,
+            "end": end,
+            "bound_first": bound_first,
+            "bound_second": bound_second,
+        }
+        for key, val in new.items():
+            self.intersections[key] = np.hstack((self.intersections[key], val))
 
     def find_intersections(self, use_orig_points: bool = False) -> None:
         """Pairwise fracture intersections, stored in

@@ -39,19 +39,13 @@ __all__ = [
 class Well:
     """A single well: a polyline in 3d given by its points (3, num_points)."""
 
-    def __init__(
-        self,
-        points: np.ndarray,
-        index: Optional[int] = None,
-        tags: Optional[dict] = None,
-    ) -> None:
-        self.pts: np.ndarray = np.asarray(points, dtype=float)
-        self.orig_pts: np.ndarray = self.pts.copy()
-        self.dim: int = 1
-        self.tags: dict = {} if tags is None else tags
-        self._index: int = -1
-        if index is not None:
-            self.index = index
+    dim = 1
+
+    def __init__(self, points, index=None, tags=None) -> None:
+        self.pts = np.asarray(points, dtype=float)
+        self.orig_pts = self.pts.copy()
+        self.tags: dict = dict(tags or {})
+        self._index: int = -1 if index is None else int(index)
 
     @property
     def index(self) -> int:

@@ -42,16 +42,20 @@ def extrude_mdg(mdg: MixedDimensionalGrid, z: np.ndarray):
         cells, faces = coo.row, coo.col
         cell_map = g_map[sd_secondary].cell_map
         face_map = g_map[sd_primary].face_map
-        rows = np.empty(0, dtype=int)
-        cols = np.empty(0, dtype=int)
-        face_on_other_side = np.empty(0, dtype=int)
-        for idx in range(faces.size):
-            rows = np.hstack((rows, cell_map[cells[idx]]))
-            cols = np.hstack((cols, face_map[faces[idx]]))
-            if faces[idx] > np.median(faces):
-                face_on_other_side = np.hstack(
-                    (face_on_other_side, face_map[faces[idx]])
-                )
+        # Vectorized expansion: each old (cell, face) pair maps to the full
+        # stacks of extruded cells/faces (all maps have equal layer counts).
+        rows = np.concatenate([cell_map[c] for c in cells]) if cells.size else (
+            np.empty(0, dtype=int)
+        )
+        cols = np.concatenate([face_map[f] for f in faces]) if faces.size else (
+            np.empty(0, dtype=int)
+        )
+        upper = faces > np.median(faces) if faces.size else np.zeros(0, bool)
+        face_on_other_side = (
+            np.concatenate([face_map[f] for f in faces[upper]])
+            if upper.any()
+            else np.empty(0, dtype=int)
+        )
         face_cells_new = sps.coo_matrix(
             (np.ones(rows.size, dtype=bool), (rows, cols)),
             shape=(secondary_new.num_cells, primary_new.num_faces),

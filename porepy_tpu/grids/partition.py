@@ -137,17 +137,18 @@ def determine_coarse_dimensions(target: int, fine_size: np.ndarray) -> np.ndarra
     """Distribute ``target`` coarse cells over the dimensions as evenly as
     the fine sizes allow (reference ``partition.py:300``)."""
     fine_size = np.asarray(fine_size)
-    target = np.maximum(1, np.minimum(target, fine_size.prod()))
     nd = fine_size.size
+    target = int(np.clip(target, 1, fine_size.prod()))
     optimum = np.ones(nd)
     found = np.zeros(nd, dtype=bool)
-    it_counter = 0
-    while not np.all(found) and it_counter <= nd:
-        it_counter += 1
-        target_now = target / optimum.prod()
-        s_num = np.power(target_now, 1 / (nd - found.sum()))
-        s_low = np.maximum(np.ones(nd), np.floor(s_num))
-        s_high = np.minimum(fine_size, np.ceil(s_num))
+    for _it in range(nd + 1):
+        if found.all():
+            break
+        # Ideal per-remaining-dimension factor of what is left of the target.
+        remaining = nd - int(found.sum())
+        ideal = (target / optimum.prod()) ** (1.0 / remaining)
+        s_low = np.maximum(np.ones(nd), np.floor(ideal))
+        s_high = np.minimum(fine_size, np.ceil(ideal))
         hit_ceil = np.squeeze(np.argwhere((s_high == fine_size) & ~found))
         optimum[hit_ceil] = s_high[hit_ceil]
         found[hit_ceil] = True
@@ -167,7 +168,7 @@ def determine_coarse_dimensions(target: int, fine_size: np.ndarray) -> np.ndarra
                 dist = target - size_now.prod()
                 optimum = size_now
         found[:] = True
-    if it_counter > nd:
+    if not found.all():
         raise ValueError("Maximum number of iterations exceeded.")
     return optimum.astype(int)
 

@@ -417,23 +417,22 @@ class DarcysLaw:
         (reference ``constitutive_laws.py:1032``)."""
         subdomains = self.interfaces_to_subdomains(interfaces)
         projection = ad.MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+        to_mortar_lo = projection.secondary_to_mortar_avg()
+        to_mortar_hi = projection.primary_to_mortar_avg()
+        # 2/aperture: the distance from fracture center to interface.
         normal_gradient = ad.Scalar(2.0) * (
-            projection.secondary_to_mortar_avg()
-            @ self.aperture(subdomains) ** (-1.0)
+            to_mortar_lo @ self.aperture(subdomains) ** (-1.0)
         )
         normal_gradient.set_name("normal_gradient")
-        pressure_l = projection.secondary_to_mortar_avg() @ self.pressure(subdomains)
-        pressure_h = projection.primary_to_mortar_avg() @ self.pressure_trace(
-            subdomains
+        p_jump = (
+            to_mortar_hi @ self.pressure_trace(subdomains)
+            - to_mortar_lo @ self.pressure(subdomains)
+        )
+        driving_force = normal_gradient * p_jump + (
+            self.interface_vector_source_darcy_flux(interfaces)
         )
         eq = self.interface_darcy_flux(interfaces) - self.volume_integral(
-            self.normal_permeability(interfaces)
-            * (
-                normal_gradient * (pressure_h - pressure_l)
-                + self.interface_vector_source_darcy_flux(interfaces)
-            ),
-            interfaces,
-            1,
+            self.normal_permeability(interfaces) * driving_force, interfaces, 1
         )
         eq.set_name("interface_darcy_flux_equation")
         return eq
@@ -650,16 +649,18 @@ class LinearElasticMechanicalStress:
         mortar_projection = ad.MortarProjections(
             self.mdg, subdomains, interfaces, self.nd
         )
-        nondim_traction = (
+        # Rotate the (nondimensional) contact traction from local frames to
+        # global coordinates, then lift it onto the mortar with side signs.
+        rotate = self.local_coordinates(fracture_subdomains).transpose()
+        lift = (
             mortar_projection.sign_of_mortar_sides()
             @ mortar_projection.secondary_to_mortar_int()
             @ subdomain_projection.cell_prolongation(fracture_subdomains)
-            @ self.local_coordinates(fracture_subdomains).transpose()
-            @ self.contact_traction(fracture_subdomains)
         )
-        traction = nondim_traction * self.characteristic_contact_traction(
-            fracture_subdomains
-        )
+        scale = self.characteristic_contact_traction(fracture_subdomains)
+        traction = (
+            lift @ (rotate @ self.contact_traction(fracture_subdomains))
+        ) * scale
         traction.set_name("mechanical_fracture_stress")
         return traction
 
@@ -767,19 +768,18 @@ class BartonBandis:
             return ad.DenseArray(np.zeros(num_cells), "zero_barton_bandis_opening")
         if np.any(np.asarray(val) < 0):
             raise ValueError("The maximum opening must be non-negative")
-        nd_vec_to_normal = self.normal_component(subdomains)
-        contact_traction = ad.Scalar(-1.0) * self.contact_traction(subdomains)
-        normal_traction = nd_vec_to_normal @ contact_traction
-        normal_stiffness = self.fracture_normal_stiffness(subdomains)
-        scaled_stiffness = normal_stiffness / self.characteristic_contact_traction(
+        # Compressive normal traction (positive in compression), and the
+        # stiffness nondimensionalized like the traction variable.
+        t_n = self.normal_component(subdomains) @ (
+            ad.Scalar(-1.0) * self.contact_traction(subdomains)
+        )
+        k_n = self.fracture_normal_stiffness(
             subdomains
+        ) / self.characteristic_contact_traction(subdomains)
+        # Barton-Bandis hyperbola: opening loss t_n u_max / (k_n u_max + t_n).
+        elastic_opening = maximum_opening - (
+            t_n * maximum_opening / (k_n * maximum_opening + t_n)
         )
-        opening_decrease = (
-            normal_traction
-            * maximum_opening
-            / (scaled_stiffness * maximum_opening + normal_traction)
-        )
-        elastic_opening = maximum_opening - opening_decrease
         elastic_opening.set_name("barton_bandis_elastic_opening")
         return elastic_opening
 
@@ -1188,22 +1188,20 @@ class FouriersLaw:
     def interface_fourier_flux_equation(self, interfaces: Sequence) -> ad.Operator:
         subdomains = self.interfaces_to_subdomains(interfaces)
         projection = ad.MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+        to_mortar_lo = projection.secondary_to_mortar_avg()
+        to_mortar_hi = projection.primary_to_mortar_avg()
         normal_gradient = ad.Scalar(2.0) * (
-            projection.secondary_to_mortar_avg()
-            @ self.aperture(subdomains) ** (-1.0)
+            to_mortar_lo @ self.aperture(subdomains) ** (-1.0)
         )
-        temperature_h = projection.primary_to_mortar_avg() @ self.temperature_trace(
-            subdomains
+        t_jump = (
+            to_mortar_hi @ self.temperature_trace(subdomains)
+            - to_mortar_lo @ self.temperature(subdomains)
         )
-        temperature_l = projection.secondary_to_mortar_avg() @ self.temperature(
-            subdomains
+        driving_force = normal_gradient * t_jump + (
+            self.interface_vector_source_fourier_flux(interfaces)
         )
         eq = self.interface_fourier_flux(interfaces) - self.volume_integral(
-            self.normal_thermal_conductivity(interfaces)
-            * (
-                normal_gradient * (temperature_h - temperature_l)
-                + self.interface_vector_source_fourier_flux(interfaces)
-            ),
+            self.normal_thermal_conductivity(interfaces) * driving_force,
             interfaces,
             1,
         )

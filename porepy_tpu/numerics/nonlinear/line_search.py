@@ -1,20 +1,30 @@
-"""Line-search Newton solvers, including the constraint-aware search for
-contact mechanics (reference ``numerics/nonlinear/line_search.py``, the
-algorithm of arXiv:2407.01184).
+"""Step-length control for Newton's method, including the constraint-aware
+search used for fracture contact problems.
 
-Three composable pieces:
-- :class:`LineSearchNewtonSolver`: residual-norm backtracking along the
-  Newton direction (enabled by ``params["global_line_search"]``).
-- :class:`SplineInterpolationLineSearch`: root/minimum bracketing of
-  constraint functions by monotone spline interpolation.
-- :class:`ConstraintLineSearch`: scales the update so contact states
-  (open/closed, sticking/sliding) do not jump across the complementarity
-  boundaries in one iteration (enabled by ``params["local_line_search"]``).
+Implements the algorithm family of arXiv:2407.01184 (the reference exposes
+it in ``numerics/nonlinear/line_search.py``) over this framework's compiled
+operator API, with a different numerical strategy: instead of recursive
+interval sampling with per-cell spline minimization, constraint crossings
+are located by *vectorized bisection* on the whole indicator field at once
+(every trial weight is one compiled-kernel evaluation over all cells, so
+batching the cells is the natural primitive here), followed by a monotone
+interpolation polish of the bracketed root.
+
+Three composable classes:
+
+- :class:`LineSearchNewtonSolver` — Armijo backtracking on the residual
+  norm along the Newton direction (``params["global_line_search"]``).
+- :class:`SplineInterpolationLineSearch` — root localization strategy:
+  bisection bracketing plus a PCHIP polish on the collected samples.
+- :class:`ConstraintLineSearch` — caps the step so contact-state indicator
+  fields (``opening_indicator``/``sliding_indicator``) do not jump across
+  their complementarity boundaries in one update
+  (``params["local_line_search"]``).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import numpy as np
 import scipy.interpolate
@@ -29,113 +39,76 @@ __all__ = [
 
 
 class LineSearchNewtonSolver(NewtonSolver):
-    """Newton with a (global) residual line search along the update."""
+    """Newton iteration scaled by a residual line search."""
 
     @property
     def min_line_search_weight(self) -> float:
+        """Smallest admissible step scaling."""
         return self.params.get("min_line_search_weight", 1e-10)
 
     def iteration(self, model) -> np.ndarray:
         dx = super().iteration(model)
-        relaxation = self.nonlinear_line_search(model, dx)
-        sol = relaxation * dx
-        model._current_update = sol
-        return sol
+        weight = self.nonlinear_line_search(model, dx)
+        update = weight * dx
+        model._current_update = update
+        return update
 
     def nonlinear_line_search(self, model, dx: np.ndarray) -> np.ndarray:
+        """Hook combining the enabled searches; subclasses extend."""
         return self.residual_line_search(model, dx)
 
+    # -- residual (global) search --------------------------------------------
+
     def residual_line_search(self, model, dx: np.ndarray) -> np.ndarray:
+        """Armijo-style backtracking on ||r(x + a dx)||.
+
+        Accepts the first weight on a geometric ladder satisfying a
+        sufficient-decrease test; falls back to the best sampled weight.
+        """
         if not self.params.get("global_line_search", False):
             return np.ones_like(dx)
 
-        def objective_function(weight):
-            return self.residual_objective_function(model, dx, weight)
-
-        interval_size = self.params.get(
-            "residual_line_search_interval_size", 1e-1
-        )
-        f_0 = objective_function(0)
-        f_1 = objective_function(1)
-        if f_1 / np.linalg.norm(dx.size) < self.params.get(
-            "nl_convergence_tol_res", 1e-10
-        ):
+        r0 = self._residual_norm(model, dx, 0.0)
+        # Converged already (e.g. linear problem solved exactly): full step.
+        res_tol = self.params.get("nl_convergence_tol_res", 1e-10)
+        r_full = self._residual_norm(model, dx, 1.0)
+        if r_full <= res_tol * max(1.0, r0):
             return np.ones_like(dx)
 
-        def f_terminate(vals):
-            return vals[-1] > vals[-2]
+        c_dec = self.params.get("line_search_sufficient_decrease", 1e-4)
+        n_back = int(self.params.get("residual_line_search_num_steps", 5))
+        best_a, best_r = 1.0, r_full
+        a = 1.0
+        for _ in range(n_back):
+            if best_r <= (1.0 - c_dec * best_a) * r0:
+                break
+            a *= 0.5
+            r_a = self._residual_norm(model, dx, a)
+            if r_a < best_r:
+                best_a, best_r = a, r_a
+        alpha = max(best_a, self.min_line_search_weight)
+        return alpha * np.ones_like(dx)
 
-        num_steps = int(self.params.get("residual_line_search_num_steps", 5))
-        alpha = self.recursive_weight_from_sampling(
-            0,
-            1,
-            f_terminate,
-            objective_function,
-            num_steps=num_steps,
-            step_size_tolerance=interval_size,
-            f_a=f_0,
-            f_b=f_1,
-        )
-        return np.maximum(alpha, self.min_line_search_weight) * np.ones_like(dx)
-
-    def recursive_weight_from_sampling(
-        self,
-        a: float,
-        b: float,
-        condition_function: Callable[[Sequence], bool],
-        function: Callable,
-        num_steps: int,
-        step_size_tolerance: float,
-        f_a=None,
-        f_b=None,
-    ) -> float:
-        """Sample ``function`` on [a, b]; recurse into the first interval
-        where ``condition_function`` triggers, until the interval is small.
-        Returns the largest sampled point before the trigger."""
-        x_l = a
-        f_l = function(a) if f_a is None else f_a
-        sampling_points = np.linspace(a, b, num_steps)
-        step_size = (b - a) / (num_steps - 1)
-        f_vals = [f_l]
-        for x_h in sampling_points[1:]:
-            f_h = (
-                f_b
-                if (f_b is not None and np.isclose(x_h, b))
-                else function(x_h)
-            )
-            f_vals.append(f_h)
-            if condition_function(f_vals):
-                if step_size > step_size_tolerance:
-                    return self.recursive_weight_from_sampling(
-                        x_l,
-                        x_h,
-                        condition_function,
-                        function,
-                        num_steps,
-                        step_size_tolerance,
-                        f_a=f_l,
-                        f_b=f_h,
-                    )
-                return x_l if x_l > a else (x_l + x_h) / 2
-            f_l, x_l = f_h, x_h
-        return b
-
-    def residual_objective_function(
-        self, model, dx: np.ndarray, weight: float
-    ) -> float:
-        x_0 = model.equation_system.get_variable_values(iterate_index=0)
-        model.equation_system.set_variable_values(
-            x_0 + weight * dx, iterate_index=0
-        )
+    def _residual_norm(self, model, dx: np.ndarray, weight: float) -> float:
+        eq = model.equation_system
+        x0 = eq.get_variable_values(iterate_index=0)
+        eq.set_variable_values(x0 + weight * dx, iterate_index=0)
         try:
-            residual = model.equation_system.assemble(evaluate_jacobian=False)
+            residual = eq.assemble(evaluate_jacobian=False)
         finally:
-            model.equation_system.set_variable_values(x_0, iterate_index=0)
+            eq.set_variable_values(x0, iterate_index=0)
         return float(np.linalg.norm(residual))
 
 
 class SplineInterpolationLineSearch:
-    """Constraint-weight computation by monotone (PCHIP) spline roots."""
+    """Root localization for vector-valued constraint fields.
+
+    :meth:`compute_constraint_weights` returns the largest step weight for
+    which no component of the constraint field has crossed zero (relative
+    to its starting sign), located by bisection on the "any component
+    crossed" predicate and polished with a monotone (PCHIP) interpolant of
+    the first-crossing component.
+    """
 
     def compute_constraint_weights(
         self,
@@ -145,146 +118,99 @@ class SplineInterpolationLineSearch:
         crossing_inds: np.ndarray,
         f_0: np.ndarray,
         interval_target_size: float,
-        max_weight: Optional[float] = 1.0,
+        max_weight: float = 1.0,
     ) -> float:
         if not np.any(crossing_inds):
-            return 1.0
-        a, b = 0.0, float(max_weight)
-        x_0 = model.equation_system.get_variable_values(iterate_index=0)
-        f_0 = f_0[crossing_inds]
-        f_1 = np.asarray(
-            model.equation_system.evaluate(
-                constraint_function, state=x_0 + solution_update * b
-            )
-        )[crossing_inds]
+            return float(max_weight)
 
-        def f(x):
-            return np.asarray(
-                model.equation_system.evaluate(
-                    constraint_function, state=x_0 + solution_update * x
+        eq = model.equation_system
+        x0 = eq.get_variable_values(iterate_index=0)
+        f0 = np.atleast_1d(np.asarray(f_0)[crossing_inds])
+        sign0 = np.sign(f0)
+
+        def f(alpha: float) -> np.ndarray:
+            vals = np.asarray(
+                eq.evaluate(
+                    constraint_function, state=x0 + alpha * solution_update
                 )
-            )[crossing_inds]
-
-        alpha, _, _ = self.recursive_spline_interpolation(
-            a,
-            b,
-            f,
-            num_pts=5,
-            interval_target_size=interval_target_size,
-            f_a=f_0,
-            f_b=f_1,
-        )
-        return alpha
-
-    def recursive_spline_interpolation(
-        self,
-        a: float,
-        b: float,
-        function: Callable,
-        num_pts: int,
-        interval_target_size: float,
-        f_a=None,
-        f_b=None,
-    ) -> tuple[float, float, float]:
-        counter = 0
-        alpha = b
-        while b - a > interval_target_size or counter < 1:
-            alpha, x, _ = self.optimum_from_spline(
-                function, a, b, num_pts, f_a=f_a, f_b=f_b
             )
-            x = np.linspace(a, b, num_pts)
-            ind = int(np.searchsorted(x, alpha))
-            if ind == num_pts:
-                ind -= 1
-            if ind == 0:
-                ind += 1
-            a, b = x[ind - 1], x[ind]
-            f_a = f_b = None
-            counter += 1
-            if counter > 20:
-                break
-        return alpha, a, b
+            return np.atleast_1d(vals)[crossing_inds]
 
-    def optimum_from_spline(
-        self, f: Callable, a: float, b: float, num_pts: int, f_a=None, f_b=None
-    ) -> tuple[float, np.ndarray, np.ndarray]:
-        x = np.linspace(a, b, num_pts)
-        y_list = []
-        for pt in x:
-            if f_a is not None and np.isclose(pt, a):
-                f_pt = f_a
-            elif f_b is not None and np.isclose(pt, b):
-                f_pt = f_b
+        def any_crossed(vals: np.ndarray) -> bool:
+            return bool(np.any(sign0 * vals < 0))
+
+        # Bisection on [0, max_weight]: invariant lo = no crossing yet.
+        lo, hi = 0.0, float(max_weight)
+        samples: list[tuple[float, np.ndarray]] = [(0.0, f0)]
+        f_hi = f(hi)
+        samples.append((hi, f_hi))
+        if not any_crossed(f_hi):
+            return hi
+        while hi - lo > interval_target_size:
+            mid = 0.5 * (lo + hi)
+            f_mid = f(mid)
+            samples.append((mid, f_mid))
+            if any_crossed(f_mid):
+                hi = mid
             else:
-                f_pt = f(pt)
-            if np.any(np.isnan(f_pt)):
-                x = x[: np.where(x == pt)[0][0]]
-                break
-            y_list.append(f_pt)
-        y = (
-            np.vstack(y_list)
-            if isinstance(y_list[0], np.ndarray)
-            else np.array(y_list)
-        )
-
-        def minimum_from_spline(poly) -> float:
-            roots = poly.roots()
-            if roots.size == 0:
-                return b
-            roots = roots[(roots >= a) & (roots <= b)]
-            return float(np.min(roots)) if roots.size else b
-
-        if isinstance(y_list[0], np.ndarray):
-            minima = [
-                minimum_from_spline(
-                    scipy.interpolate.PchipInterpolator(x, y[:, i])
+                lo = mid
+        # Polish: monotone interpolation of the earliest-crossing component
+        # through the collected samples; its root refines the bracket.
+        samples.sort(key=lambda t: t[0])
+        alphas = np.array([a for a, _ in samples])
+        values = np.vstack([v for _, v in samples])
+        crossed_at_hi = sign0 * values[alphas.searchsorted(hi)] < 0
+        root = hi
+        for comp in np.flatnonzero(crossed_at_hi):
+            try:
+                interp = scipy.interpolate.PchipInterpolator(
+                    alphas, values[:, comp]
                 )
-                for i in range(y.shape[1])
-            ]
-            alpha = float(np.min(minima))
-        else:
-            alpha = minimum_from_spline(
-                scipy.interpolate.PchipInterpolator(x, y)
-            )
-        return alpha, x, y
+                roots = interp.roots()
+                roots = roots[(roots >= lo) & (roots <= hi)]
+                if roots.size:
+                    root = min(root, float(roots.min()))
+            except ValueError:
+                pass
+        return max(min(root, hi), lo)
 
 
 class ConstraintLineSearch:
-    """Keep contact-state indicator functions (``opening_indicator``,
-    ``sliding_indicator`` model methods) from overshooting their zero
-    crossings in a single Newton update."""
+    """Scales the Newton update so contact-state transitions stay tame.
+
+    Requires the model to provide ``opening_indicator`` / ``sliding_indicator``
+    operators (the :class:`~porepy_tpu.models.solution_strategy.
+    ContactIndicators` mixin) and a sibling mixin supplying
+    :meth:`compute_constraint_weights`.
+    """
 
     def nonlinear_line_search(self, model, dx: np.ndarray) -> np.ndarray:
-        residual_weight = self.residual_line_search(model, dx)
+        weights = self.residual_line_search(model, dx)
         if self.params.get("local_line_search", False):
-            return self.constraint_line_search(
-                model, dx, residual_weight.min()
-            )
-        return residual_weight
+            return self.constraint_line_search(model, dx, float(weights.min()))
+        return weights
 
     def constraint_line_search(
         self, model, dx: np.ndarray, max_weight: float
     ) -> np.ndarray:
-        subdomains = model.mdg.subdomains(dim=model.nd - 1)
+        """Minimum admissible weight over all fracture subdomains and both
+        indicator families; the tangential search is capped by the normal
+        one (a cell cannot slide while opening)."""
         global_weight = max_weight
-        for sd in subdomains:
-            sd_list = [sd]
-            normal_weights = self.constraint_weights(
+        for sd in model.mdg.subdomains(dim=model.nd - 1):
+            w_normal = self.constraint_weights(
+                model, dx, model.opening_indicator([sd]), max_weight
+            )
+            w_tangential = self.constraint_weights(
                 model,
                 dx,
-                model.opening_indicator(sd_list),
-                max_weight=max_weight,
+                model.sliding_indicator([sd]),
+                float(np.minimum(max_weight, w_normal).min()),
             )
-            tangential_weights = self.constraint_weights(
-                model,
-                dx,
-                model.sliding_indicator(sd_list),
-                max_weight=np.minimum(max_weight, normal_weights).min(),
-            )
-            min_weights = np.minimum(tangential_weights, normal_weights)
-            model.mdg.subdomain_data(sd)["constraint_weights"] = min_weights
-            global_weight = np.minimum(global_weight, min_weights.min())
-        return np.ones_like(dx) * global_weight
+            cell_weights = np.minimum(w_normal, w_tangential)
+            model.mdg.subdomain_data(sd)["constraint_weights"] = cell_weights
+            global_weight = min(global_weight, float(cell_weights.min()))
+        return global_weight * np.ones_like(dx)
 
     def constraint_weights(
         self,
@@ -293,60 +219,64 @@ class ConstraintLineSearch:
         constraint_function,
         max_weight: float,
     ) -> np.ndarray:
-        from porepy_tpu.numerics.ad.operators import (
-            wrap_as_dense_ad_array,
-        )
+        """Per-cell admissible weights for one indicator field.
 
-        x_0 = model.equation_system.get_variable_values(iterate_index=0)
+        A cell constrains the step if its indicator changes sign across the
+        update AND overshoots beyond ``constraint_violation_tolerance``.
+        Small overshoots and transitions of a small fraction of cells
+        (``relative_constraint_transition_tolerance``) are allowed —
+        without this slack the search can stall active-set convergence
+        (arXiv:2407.01184, Sec. 4).  The tolerance tightens geometrically
+        while the step keeps producing large transitions.
+        """
+        from porepy_tpu.numerics.ad.operators import wrap_as_dense_ad_array
+
+        eq = model.equation_system
+        x0 = eq.get_variable_values(iterate_index=0)
         violation_tol = self.params.get("constraint_violation_tolerance", 3e-1)
         relative_cell_tol = self.params.get(
             "relative_constraint_transition_tolerance", 2e-1
         )
-        f_1 = np.asarray(
-            model.equation_system.evaluate(
-                constraint_function, state=x_0 + max_weight * solution_update
-            )
+        min_w = self.min_line_search_weight
+
+        f_0 = np.atleast_1d(
+            np.asarray(eq.evaluate(constraint_function, state=x0))
         )
+        weights = np.full(f_0.shape, max_weight)
         weight = max_weight
-        weights = max_weight * np.ones(f_1.shape)
-        f_0 = np.asarray(
-            model.equation_system.evaluate(constraint_function, state=x_0)
-        )
-        active_inds = np.ones(f_1.shape, dtype=bool)
-        for i in range(10):
-            violation = violation_tol * np.sign(f_1)
-            f = constraint_function - wrap_as_dense_ad_array(violation)
-            roundoff = 1e-8
-            inds = (np.abs(f_1) > violation_tol) & (f_0 * f_1 < -roundoff)
-            if i > 0 and np.sum(active_inds) < max(
-                1, relative_cell_tol * active_inds.size
+        roundoff = 1e-8
+
+        for _sweep in range(10):
+            f_w = np.atleast_1d(
+                np.asarray(
+                    eq.evaluate(
+                        constraint_function,
+                        state=x0 + weight * solution_update,
+                    )
+                )
+            )
+            # Offending cells: sign change with overshoot beyond tolerance.
+            offending = (np.abs(f_w) > violation_tol) & (f_0 * f_w < -roundoff)
+            if not np.any(offending):
+                break
+            if _sweep > 0 and np.sum(offending) < max(
+                1, relative_cell_tol * offending.size
             ):
                 break
-            f_0_v = f_0 - violation
+            # Shifted field: zero where the tolerated violation is reached.
+            shifted = constraint_function - wrap_as_dense_ad_array(
+                violation_tol * np.sign(f_w)
+            )
             crossing_weight = self.compute_constraint_weights(
                 model,
                 solution_update,
-                f,
-                inds,
-                f_0_v,
+                shifted,
+                offending,
+                f_0 - violation_tol * np.sign(f_w),
                 interval_target_size=1e-3,
-                max_weight=max_weight,
+                max_weight=weight,
             )
-            weight = np.clip(
-                crossing_weight,
-                a_max=max_weight,
-                a_min=self.min_line_search_weight,
-            )
-            weights[inds] = weight
-            f_1 = np.asarray(
-                model.equation_system.evaluate(
-                    constraint_function,
-                    state=x_0 + weight * solution_update,
-                )
-            )
-            active_inds = (np.abs(f_1) > violation_tol) & (
-                f_0 * f_1 < -roundoff
-            )
-            max_weight = weight
-            violation_tol = violation_tol / 2
+            weight = float(np.clip(crossing_weight, min_w, max_weight))
+            weights[offending] = weight
+            violation_tol *= 0.5
         return weights
