@@ -178,6 +178,11 @@ from porepy_tpu.models.solution_strategy import (  # noqa: E402,F401
     SolutionStrategy,
 )
 from porepy_tpu.models import constitutive_laws  # noqa: E402,F401
+from porepy_tpu.models.darcys_law_ad import (  # noqa: E402,F401
+    AdTpfaFlux,
+    DarcysLawAd,
+    FouriersLawAd,
+)
 from porepy_tpu.models.fluid_mass_balance import SinglePhaseFlow  # noqa: E402,F401
 from porepy_tpu.models.mass_and_energy_balance import (  # noqa: E402,F401
     MassAndEnergyBalance,

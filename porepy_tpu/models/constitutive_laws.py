@@ -224,6 +224,61 @@ class ConstantPermeability:
         return ad.Scalar(self.solid.normal_permeability, "normal_permeability")
 
 
+class DimensionDependentPermeability(ConstantPermeability):
+    """Permeability assembled per subdomain dimension class (reference
+    ``constitutive_laws.py:722``): override the matrix/fracture/intersection
+    sub-methods individually."""
+
+    def permeability(self, subdomains: Sequence) -> ad.Operator:
+        projection = ad.SubdomainProjections(subdomains, dim=9)
+        matrix = [sd for sd in subdomains if sd.dim == self.nd]
+        fractures = [sd for sd in subdomains if sd.dim == self.nd - 1]
+        intersections = [sd for sd in subdomains if sd.dim < self.nd - 1]
+        return (
+            projection.cell_prolongation(matrix)
+            @ self.matrix_permeability(matrix)
+            + projection.cell_prolongation(fractures)
+            @ self.fracture_permeability(fractures)
+            + projection.cell_prolongation(intersections)
+            @ self.intersection_permeability(intersections)
+        )
+
+    def matrix_permeability(self, subdomains: Sequence) -> ad.Operator:
+        return super().permeability(subdomains)
+
+    def fracture_permeability(self, subdomains: Sequence) -> ad.Operator:
+        size = sum(sd.num_cells for sd in subdomains)
+        vals = ad.wrap_as_dense_ad_array(
+            self.solid.permeability, size, name="fracture_permeability"
+        )
+        return self.isotropic_second_order_tensor(subdomains, vals)
+
+    def intersection_permeability(self, subdomains: Sequence) -> ad.Operator:
+        size = sum(sd.num_cells for sd in subdomains)
+        vals = ad.wrap_as_dense_ad_array(
+            self.solid.permeability, size, name="intersection_permeability"
+        )
+        return self.isotropic_second_order_tensor(subdomains, vals)
+
+
+class CubicLawPermeability(DimensionDependentPermeability):
+    """Parallel-plate (cubic-law) permeability of fractures and
+    intersections: ``a^2 / 12`` (reference ``constitutive_laws.py:802``; the
+    aperture factor converting permeability to transmissivity is applied by
+    the dimension-reduction specific-volume scaling)."""
+
+    def cubic_law_permeability(self, subdomains: Sequence) -> ad.Operator:
+        aperture = self.aperture(subdomains)
+        perm = (aperture ** ad.Scalar(2.0)) / ad.Scalar(12.0)
+        return self.isotropic_second_order_tensor(subdomains, perm)
+
+    def fracture_permeability(self, subdomains: Sequence) -> ad.Operator:
+        return self.cubic_law_permeability(subdomains)
+
+    def intersection_permeability(self, subdomains: Sequence) -> ad.Operator:
+        return self.cubic_law_permeability(subdomains)
+
+
 class MassWeightedPermeability(ConstantPermeability):
     """Fractional-flow permeability: the total mass mobility enters the
     diffusive tensor isotropically on top of the constant absolute
