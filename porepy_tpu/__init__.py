@@ -197,6 +197,7 @@ from porepy_tpu.numerics.fv.mpfa import Mpfa  # noqa: E402,F401
 from porepy_tpu.numerics.fv.mpsa import Mpsa  # noqa: E402,F401
 from porepy_tpu.numerics.fv.tpsa import Tpsa  # noqa: E402,F401
 from porepy_tpu.numerics.vem.mvem import MVEM  # noqa: E402,F401
+from porepy_tpu.numerics.vem.hybrid import HybridDualVEM  # noqa: E402,F401
 from porepy_tpu.numerics.fem.rt0 import RT0  # noqa: E402,F401
 from porepy_tpu.models import energy_balance  # noqa: E402,F401
 from porepy_tpu.models import compositional_flow  # noqa: E402,F401

@@ -633,7 +633,46 @@ class EquationSystem:
 
     @staticmethod
     def default_schur_complement_inverter(A: sps.spmatrix) -> sps.spmatrix:
-        return sps.csr_matrix(sps.linalg.inv(A.tocsc()))
+        """Invert the secondary block by independent diagonal sub-blocks.
+
+        Secondary equations eliminated through the Schur complement are
+        local (cell-wise closures, contact conditions), so ``A_ss``
+        decomposes into many small decoupled blocks: find them as connected
+        components of the symmetrized sparsity graph and invert each
+        densely (reference ``equation_system.py:1954`` uses the same
+        block-structure-aware strategy; a dense global inverse is unusable
+        beyond toy sizes)."""
+        from scipy.sparse.csgraph import connected_components
+
+        A = A.tocsr()
+        n = A.shape[0]
+        if n == 0:
+            return A
+        sym = ((A != 0) + (A != 0).T).tocsr()
+        n_comp, labels = connected_components(sym, directed=False)
+        if n_comp == 1:
+            return sps.csr_matrix(sps.linalg.inv(A.tocsc()))
+        order = np.argsort(labels, kind="stable")
+        sizes = np.bincount(labels, minlength=n_comp)
+        rows_out, cols_out, vals_out = [], [], []
+        pos = 0
+        Ad = A.tocsc()
+        for b in range(n_comp):
+            idx = order[pos : pos + sizes[b]]
+            pos += sizes[b]
+            block = Ad[idx][:, idx].toarray()
+            inv = np.linalg.inv(block)
+            rr, cc = np.nonzero(inv)
+            rows_out.append(idx[rr])
+            cols_out.append(idx[cc])
+            vals_out.append(inv[rr, cc])
+        return sps.csr_matrix(
+            (
+                np.concatenate(vals_out),
+                (np.concatenate(rows_out), np.concatenate(cols_out)),
+            ),
+            shape=A.shape,
+        )
 
     def _equation_rows(self, names: Sequence[str], all_names: Sequence[str]) -> np.ndarray:
         offsets = {}
