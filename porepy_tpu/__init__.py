@@ -121,6 +121,9 @@ from porepy_tpu.geometry.domain import Domain, DomainSides  # noqa: E402,F401
 from porepy_tpu.numerics.fv.upwind import Upwind  # noqa: E402,F401
 
 # -- solvers / time stepping -------------------------------------------------
+from porepy_tpu.numerics.fracture_deformation import (  # noqa: E402,F401
+    propagate_fractures,
+)
 from porepy_tpu.numerics.nonlinear.nonlinear_solvers import (  # noqa: E402,F401
     NewtonSolver,
 )

@@ -1,0 +1,6 @@
+"""Fracture deformation and propagation (reference
+``numerics/fracture_deformation/``)."""
+
+from porepy_tpu.numerics.fracture_deformation.propagate_fracture import (  # noqa: F401
+    propagate_fractures,
+)

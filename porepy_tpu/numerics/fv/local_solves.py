@@ -112,7 +112,7 @@ def _solve_chunk(a_dense, rhs_dense, w_dense):
 
 def solve_and_contract(
     rb: RegionBatches,
-    max_batch_elements: float = 2.0e8,
+    max_batch_elements: float = 2.5e7,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Solve all regions; return flat ``(region, out_row, rhs_col, value)``.
 
@@ -175,17 +175,20 @@ def solve_and_contract(
 
             out = _solve_chunk(a_dense, rhs_dense, w_dense)  # (B, q_max, m_max)
 
-            # Strip padding; emit flat COO.
+            # Strip padding; emit flat COO. Only the boolean mask is
+            # materialized at full (B, q, m) size — nonzero() yields the
+            # index triplets directly (a trio of dense int64 meshgrids here
+            # once dominated peak memory at benchmark grid sizes).
             q_r = rb.q[regs]
             m_r = rb.m[regs]
-            bi, qi, mi = np.meshgrid(
-                np.arange(B), np.arange(q_max), np.arange(m_max), indexing="ij"
-            )
-            keep = (qi < q_r[bi]) & (mi < m_r[bi])
-            out_regions.append(regs[bi[keep]])
-            out_rows.append(qi[keep])
-            out_cols.append(mi[keep])
-            out_vals.append(out[keep])
+            keep = (
+                np.arange(q_max)[None, :, None] < q_r[:, None, None]
+            ) & (np.arange(m_max)[None, None, :] < m_r[:, None, None])
+            bi, qi, mi = np.nonzero(keep)
+            out_regions.append(regs[bi])
+            out_rows.append(qi)
+            out_cols.append(mi)
+            out_vals.append(out[bi, qi, mi])
 
     return (
         np.concatenate(out_regions),

@@ -1,0 +1,142 @@
+"""Fracture propagation: extending a fracture through host faces must
+reproduce the mdg that direct meshing of the longer fracture gives
+(reference ``numerics/fracture_deformation/propagate_fracture.py``)."""
+
+import numpy as np
+import pytest
+
+import porepy_tpu as pt
+from porepy_tpu.fracs import meshing
+from porepy_tpu.numerics.fracture_deformation import propagate_fractures
+
+
+def _mdg(frac):
+    return meshing.cart_grid([np.array(frac)], np.array([4, 4]), physdims=[1.0, 1.0])
+
+
+def _face_at(sd, center):
+    d = np.linalg.norm(sd.face_centers[:2] - np.asarray(center)[:, None], axis=0)
+    return int(d.argmin())
+
+
+def test_propagation_matches_direct_meshing():
+    mdg = _mdg([[0.25, 0.5], [0.5, 0.5]])
+    sd_h = mdg.subdomains(dim=2)[0]
+    sd_l = mdg.subdomains(dim=1)[0]
+
+    # Extend through the next host face (x in [0.5, 0.75], y = 0.5).
+    f = _face_at(sd_h, [0.625, 0.5])
+    propagate_fractures(mdg, {sd_l: np.array([f])})
+    mdg.compute_geometry()
+
+    direct = _mdg([[0.25, 0.75], [0.5, 0.5]])
+    dh = direct.subdomains(dim=2)[0]
+    dl = direct.subdomains(dim=1)[0]
+
+    assert sd_l.num_cells == dl.num_cells == 2
+    assert sd_h.num_faces == dh.num_faces
+    assert sd_h.num_nodes == dh.num_nodes
+    assert np.isclose(sd_l.cell_volumes.sum(), dl.cell_volumes.sum())
+    intf = list(mdg.interfaces())[0]
+    dintf = list(direct.interfaces())[0]
+    assert intf.num_cells == dintf.num_cells
+    assert intf.num_sides() == dintf.num_sides()
+
+    # Bookkeeping tags for partial rediscretization.
+    data_h = mdg.subdomain_data(sd_h)
+    assert data_h["split_faces"].size == 1
+    assert data_h["new_faces"].size == 1
+    assert mdg.subdomain_data(sd_l)["new_cells"].tolist() == [1]
+
+
+def test_propagated_mdg_solves_flow_like_direct():
+    mdg = _mdg([[0.25, 0.5], [0.5, 0.5]])
+    sd_l = mdg.subdomains(dim=1)[0]
+    sd_h = mdg.subdomains(dim=2)[0]
+    f = _face_at(sd_h, [0.625, 0.5])
+    propagate_fractures(mdg, {sd_l: np.array([f])})
+    mdg.compute_geometry()
+
+    direct = _mdg([[0.25, 0.75], [0.5, 0.5]])
+
+    def run(grid):
+        class M(pt.SinglePhaseFlow):
+            def set_geometry(self):
+                self.mdg = grid
+                self.nd = 2
+                self._domain = pt.Domain(
+                    {"xmin": 0, "xmax": 1, "ymin": 0, "ymax": 1}
+                )
+                self.set_well_network()
+
+            def set_well_network(self):
+                self.well_network = None
+
+            def bc_values_pressure(self, bg):
+                return 1.0 - bg.cell_centers[1]
+
+            def initialize_data_saving(self):
+                pass
+
+            def save_data_time_step(self):
+                pass
+
+        params = {
+            "material_constants": {
+                "solid": pt.SolidConstants(
+                    permeability=1.0,
+                    porosity=0.1,
+                    residual_aperture=0.01,
+                    normal_permeability=1.0,
+                )
+            },
+        }
+        m = M(params)
+        pt.run_time_dependent_model(m, params)
+        sd2 = grid.subdomains(dim=2)[0]
+        p = m.equation_system.get_variable_values(
+            [m.pressure([sd2])], time_step_index=0
+        )
+        order = np.lexsort(sd2.cell_centers[:2])
+        return p[order]
+
+    p_prop = run(mdg)
+    p_direct = run(direct)
+    assert np.allclose(p_prop, p_direct, atol=1e-10)
+
+
+def test_state_rings_are_remapped():
+    mdg = _mdg([[0.25, 0.5], [0.5, 0.5]])
+    sd_l = mdg.subdomains(dim=1)[0]
+    sd_h = mdg.subdomains(dim=2)[0]
+    intf = list(mdg.interfaces())[0]
+    from porepy_tpu.utils.solution_storage import (
+        get_solution_values,
+        set_solution_values,
+    )
+
+    set_solution_values(
+        "pressure", np.array([7.0]), mdg.subdomain_data(sd_l),
+        time_step_index=0, iterate_index=0,
+    )
+    lam = np.arange(intf.num_cells, dtype=float) + 1.0
+    set_solution_values(
+        "flux", lam, mdg.interface_data(intf),
+        time_step_index=0, iterate_index=0,
+    )
+    n_sides = intf.num_sides()
+    per_side = intf.num_cells // n_sides
+
+    f = _face_at(sd_h, [0.625, 0.5])
+    propagate_fractures(mdg, {sd_l: np.array([f])})
+
+    p = get_solution_values("pressure", mdg.subdomain_data(sd_l), iterate_index=0)
+    assert p.tolist() == [7.0, 0.0]
+    lam_new = get_solution_values("flux", mdg.interface_data(intf), iterate_index=0)
+    assert lam_new.size == intf.num_cells
+    per_new = intf.num_cells // intf.num_sides()
+    for s in range(n_sides):
+        old_side = lam[s * per_side : (s + 1) * per_side]
+        assert np.allclose(
+            lam_new[s * per_new : s * per_new + per_side], old_side
+        )
