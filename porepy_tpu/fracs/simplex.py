@@ -32,7 +32,17 @@ from porepy_tpu.geometry.intersections import split_intersecting_segments_2d
 from porepy_tpu.grids.point_grid import PointGrid
 from porepy_tpu.grids.simplex import TriangleGrid
 
-__all__ = ["triangle_grid_fractured_2d", "ConformingTriangulation2d"]
+__all__ = [
+    "triangle_grid_fractured_2d",
+    "triangle_grid_from_gmsh",
+    "ConformingTriangulation2d",
+]
+
+
+def triangle_grid_from_gmsh(file_name: str):
+    """Read a gmsh ``.msh`` file into per-dimension grid lists (native MSH
+    4.1 parser; reference ``fracs/simplex.py:82`` uses gmsh/meshio)."""
+    return msh_2_grid.create_grids_from_msh(file_name)
 
 
 class ConformingTriangulation2d:
