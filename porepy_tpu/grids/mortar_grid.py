@@ -227,16 +227,110 @@ class MortarGrid:
     # -- updates (grid replacement) ------------------------------------------
 
     def update_mortar(self, new_side_grids, tol: Optional[float] = None) -> None:
-        raise NotImplementedError(
-            "Non-matching mortar updates arrive with grid replacement"
-        )
+        """Replace the mortar side grids (possibly refined/non-matching);
+        both primary- and secondary-side projections are composed with the
+        old-to-new overlap maps (reference ``mortar_grid.py:252``)."""
+        from porepy_tpu.grids import match_grids
+
+        tol = self.tol if tol is None else tol
+        if self.dim == 0:
+            return
+        match = {1: match_grids.match_1d, 2: match_grids.match_2d}[self.dim]
+
+        avg_blocks, int_blocks = [], []
+        for side, g_old in self.side_grids.items():
+            g_new = new_side_grids.get(side)
+            if g_new is None:
+                eye = sps.identity(g_old.num_cells, format="csr")
+                avg_blocks.append(eye)
+                int_blocks.append(eye.copy())
+                continue
+            if g_new.dim != g_old.dim:
+                raise ValueError("Grid dimension has to be the same")
+            avg_blocks.append(match(g_new, g_old, tol, scaling="averaged"))
+            int_blocks.append(match(g_new, g_old, tol, scaling="integrated"))
+        remap_avg = sps.block_diag(avg_blocks, format="csc")
+        remap_int = sps.block_diag(int_blocks, format="csc")
+
+        self._primary_to_mortar_avg = (remap_avg @ self._primary_to_mortar_avg).tocsc()
+        self._primary_to_mortar_int = (remap_int @ self._primary_to_mortar_int).tocsc()
+        self._secondary_to_mortar_avg = (
+            remap_avg @ self._secondary_to_mortar_avg
+        ).tocsc()
+        self._secondary_to_mortar_int = (
+            remap_int @ self._secondary_to_mortar_int
+        ).tocsc()
+        self._set_projections()
+
+        for side, g_new in new_side_grids.items():
+            self.side_grids[side] = g_new.copy()
+        self._refresh_geometry_attrs()
+        self.compute_geometry()
 
     def update_secondary(self, new_g, tol: Optional[float] = None) -> None:
-        raise NotImplementedError(
-            "Non-matching mortar updates arrive with grid replacement"
-        )
+        """Rebuild the secondary-side projections after the secondary grid
+        was replaced (matching or refined; reference
+        ``mortar_grid.py:367``)."""
+        from porepy_tpu.grids import match_grids
+
+        tol = self.tol if tol is None else tol
+        if self.dim != new_g.dim:
+            raise NotImplementedError(
+                "update_secondary needs secondary and mortar of equal dimension"
+            )
+        if self.dim == 0:
+            return
+        match = {1: match_grids.match_1d, 2: match_grids.match_2d}[self.dim]
+        avg_blocks, int_blocks = [], []
+        for _side, g in self.side_grids.items():
+            avg_blocks.append(match(g, new_g, tol, scaling="averaged"))
+            int_blocks.append(match(g, new_g, tol, scaling="integrated"))
+        self._secondary_to_mortar_avg = sps.vstack(avg_blocks).tocsc()
+        self._secondary_to_mortar_int = sps.vstack(int_blocks).tocsc()
+        self._set_projections(primary=False)
 
     def update_primary(self, g_new, g_old, tol: Optional[float] = None) -> None:
-        raise NotImplementedError(
-            "Non-matching mortar updates arrive with grid replacement"
+        """Re-key the primary-side projections after the primary grid was
+        replaced by a geometrically matching grid (possibly renumbered
+        faces). Non-matching primary replacement (refinement across the
+        mortar) requires mortar-line tessellation and is not supported."""
+        tol = self.tol if tol is None else tol
+        # Face correspondence on the faces the mortar touches. Split
+        # fracture faces and their duplicates share centers, so the match
+        # key combines the face center with the adjacent cell's center
+        # (each fracture face borders exactly one cell post-split).
+        touched = np.unique(self._primary_to_mortar_int.tocoo().col)
+
+        def keys(g):
+            cf = g.cell_faces.tocsr()
+            owner = np.zeros(g.num_faces, dtype=int)
+            coo = g.cell_faces.tocoo()
+            owner[coo.row] = coo.col
+            return np.vstack(
+                [g.face_centers, 1e-3 * g.cell_centers[:, owner]]
+            )
+
+        key_old = keys(g_old)[:, touched]
+        key_new = keys(g_new)
+        d = np.linalg.norm(key_new[:, :, None] - key_old[:, None, :], axis=0)
+        nearest = np.argmin(d, axis=0)
+        if np.any(d[nearest, np.arange(touched.size)] > max(tol, 1e-8)):
+            raise NotImplementedError(
+                "update_primary supports geometrically matching primary "
+                "replacements only"
+            )
+        perm_rows = []
+        for f_old, f_new in zip(touched, nearest):
+            perm_rows.append((f_new, f_old))
+        rows, cols = zip(*perm_rows)
+        perm = sps.csr_matrix(
+            (np.ones(len(rows)), (cols, rows)),
+            shape=(g_old.num_faces, g_new.num_faces),
         )
+        self._primary_to_mortar_avg = (
+            self._primary_to_mortar_avg @ perm
+        ).tocsc()
+        self._primary_to_mortar_int = (
+            self._primary_to_mortar_int @ perm
+        ).tocsc()
+        self._set_projections(secondary=False)
