@@ -123,17 +123,28 @@ def solve_and_contract(
     if R == 0:
         return (np.zeros(0, int),) * 3 + (np.zeros(0),)
 
-    # Pre-sort triplets by region so chunks slice contiguously.
-    a_ord = np.argsort(rb.a_region, kind="stable")
-    rhs_ord = np.argsort(rb.rhs_region, kind="stable")
-    w_ord = np.argsort(rb.w_region, kind="stable")
-    a_reg, a_row, a_col, a_val = (
-        rb.a_region[a_ord], rb.a_row[a_ord], rb.a_col[a_ord], rb.a_val[a_ord])
-    r_reg, r_row, r_col, r_val = (
-        rb.rhs_region[rhs_ord], rb.rhs_row[rhs_ord],
-        rb.rhs_col[rhs_ord], rb.rhs_val[rhs_ord])
-    w_reg, w_row, w_col, w_val = (
-        rb.w_region[w_ord], rb.w_row[w_ord], rb.w_col[w_ord], rb.w_val[w_ord])
+    # Pre-sort triplets by region so chunks slice contiguously. Index
+    # arrays are narrowed to int32 and the sort overwrites the input
+    # buffers — at benchmark sizes the triplet arrays are the memory
+    # high-water mark, so no second copy may exist.
+    def _sorted_inplace(reg, row, col, val):
+        ord_ = np.argsort(reg, kind="stable")
+        return (
+            reg[ord_].astype(np.int32, copy=False),
+            row[ord_].astype(np.int32, copy=False),
+            col[ord_].astype(np.int32, copy=False),
+            val[ord_],
+        )
+
+    a_reg, a_row, a_col, a_val = _sorted_inplace(
+        rb.a_region, rb.a_row, rb.a_col, rb.a_val)
+    rb.a_region = rb.a_row = rb.a_col = rb.a_val = np.zeros(0)
+    r_reg, r_row, r_col, r_val = _sorted_inplace(
+        rb.rhs_region, rb.rhs_row, rb.rhs_col, rb.rhs_val)
+    rb.rhs_region = rb.rhs_row = rb.rhs_col = rb.rhs_val = np.zeros(0)
+    w_reg, w_row, w_col, w_val = _sorted_inplace(
+        rb.w_region, rb.w_row, rb.w_col, rb.w_val)
+    rb.w_region = rb.w_row = rb.w_col = rb.w_val = np.zeros(0)
     a_ptr = np.searchsorted(a_reg, np.arange(R + 1))
     r_ptr = np.searchsorted(r_reg, np.arange(R + 1))
     w_ptr = np.searchsorted(w_reg, np.arange(R + 1))
@@ -149,7 +160,11 @@ def solve_and_contract(
         # Memory-bounded chunking within the bucket.
         m_all = rb.m[members]
         q_all = rb.q[members]
-        per_region = n * (n + float(m_all.max()) + float(q_all.max()))
+        # Dense scratch per region: A (n x n), RHS (n x m), W (q x n) and
+        # the contraction output (q x m).
+        m_max_b = float(m_all.max())
+        q_max_b = float(q_all.max())
+        per_region = n * (n + m_max_b + q_max_b) + q_max_b * m_max_b
         chunk = max(1, int(max_batch_elements / max(per_region, 1.0)))
         for lo in range(0, members.size, chunk):
             regs = members[lo : lo + chunk]
@@ -185,9 +200,9 @@ def solve_and_contract(
                 np.arange(q_max)[None, :, None] < q_r[:, None, None]
             ) & (np.arange(m_max)[None, None, :] < m_r[:, None, None])
             bi, qi, mi = np.nonzero(keep)
-            out_regions.append(regs[bi])
-            out_rows.append(qi)
-            out_cols.append(mi)
+            out_regions.append(regs[bi].astype(np.int64))
+            out_rows.append(qi.astype(np.int32))
+            out_cols.append(mi.astype(np.int32))
             out_vals.append(out[bi, qi, mi])
 
     return (

@@ -378,58 +378,111 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
         w_region=wout.reg(), w_row=wout.row(), w_col=wout.col(),
         w_val=wout.val(),
     )
-    o_reg, o_row, o_col, o_val = solve_and_contract(rb)
+    o_reg_all, o_row_all, o_col_all, o_val_all = solve_and_contract(rb)
 
     # -- globalize --------------------------------------------------------------
-    nsf_o = d * rt.nsf_r[o_reg]
-    kind_stress = o_row < nsf_o
-    kind_trace = ~kind_stress & (o_row < 2 * nsf_o)
-    kind_div = ~kind_stress & ~kind_trace
+    # Processed in bounded slices: the row/column decode needs ~20 full-
+    # length work arrays, which at benchmark grid sizes (hundreds of
+    # millions of output triplets) would dominate peak memory if
+    # materialized at once (scale-path memory bound).
+    _parts: dict = {}
 
-    # Row decode.
-    sf_local_scalar = np.where(kind_trace, o_row - nsf_o, o_row) // d
-    comp = np.where(kind_div, 0, o_row % d)
-    sf_of_out = rt.sf_start[o_reg] + sf_local_scalar
-    face_of_out = rt.sf_f[np.minimum(sf_of_out, rt.sf_f.size - 1)]
-    div_local = o_row - 2 * nsf_o
-    div_key = np.where(kind_div, div_local // np.maximum(rt.nc_r[o_reg], 1), 0)
-    div_cell_loc = np.where(kind_div, div_local % np.maximum(rt.nc_r[o_reg], 1), 0)
-    div_cell = rt.sc_c[rt.sc_start[o_reg] + div_cell_loc]
-
-    # Column decode.
-    ncol_u = d * rt.nc_r[o_reg]
-    ncol_b = d * rt.nb_r[o_reg]
-    col_u = o_col < ncol_u
-    col_b = ~col_u & (o_col < ncol_u + ncol_b)
-    col_p = ~col_u & ~col_b
-    u_cell = rt.sc_c[rt.sc_start[o_reg] + np.where(col_u, o_col, 0) // d]
-    u_gcol = u_cell * d + o_col % d
-    b_loc = np.where(col_b, o_col - ncol_u, 0)
-    if rt.bnd_idx.size:
-        idx = np.minimum(rt.b_start[o_reg] + b_loc // d, rt.bnd_idx.size - 1)
-        b_face = rt.sf_f[rt.bnd_idx[idx]]
-    else:
-        b_face = np.zeros(o_col.size, dtype=int)
-    b_gcol = b_face * d + b_loc % d
-    p_loc = np.where(col_p, o_col - ncol_u - ncol_b, 0)
-    p_key = p_loc // np.maximum(rt.nc_r[o_reg], 1)
-    p_cell = rt.sc_c[rt.sc_start[o_reg] + p_loc % np.maximum(rt.nc_r[o_reg], 1)]
-
-    trace_w = 1.0 / rt.nnpf[face_of_out]
-
-    def build(sel, rows, cols, shape, weight=None):
-        v = o_val[sel]
+    def _accumulate(tag, sel, rows, cols, vals, weight=None):
+        v = vals[sel]
         if weight is not None:
             v = v * weight[sel]
-        return sps.coo_matrix((v, (rows[sel], cols[sel])), shape=shape)
+        _parts.setdefault(tag, ([], [], []))
+        _parts[tag][0].append(rows[sel])
+        _parts[tag][1].append(cols[sel])
+        _parts[tag][2].append(v)
 
-    srow = face_of_out * d + comp
-    stress = build(kind_stress & col_u, srow, u_gcol, (nf * d, nc * d))
-    bound_stress = build(kind_stress & col_b, srow, b_gcol, (nf * d, nf * d))
-    hf_cell = build(kind_trace & col_u, srow, u_gcol, (nf * d, nc * d),
-                    weight=trace_w)
-    hf_bound = build(kind_trace & col_b, srow, b_gcol, (nf * d, nf * d),
-                     weight=trace_w)
+    def _globalize_slice(o_reg, o_row, o_col, o_val):
+        nsf_o = d * rt.nsf_r[o_reg]
+        kind_stress = o_row < nsf_o
+        kind_trace = ~kind_stress & (o_row < 2 * nsf_o)
+        kind_div = ~kind_stress & ~kind_trace
+
+        # Row decode.
+        sf_local_scalar = np.where(kind_trace, o_row - nsf_o, o_row) // d
+        comp = np.where(kind_div, 0, o_row % d)
+        sf_of_out = rt.sf_start[o_reg] + sf_local_scalar
+        face_of_out = rt.sf_f[np.minimum(sf_of_out, rt.sf_f.size - 1)]
+        div_local = o_row - 2 * nsf_o
+        div_key = np.where(
+            kind_div, div_local // np.maximum(rt.nc_r[o_reg], 1), 0
+        )
+        div_cell_loc = np.where(
+            kind_div, div_local % np.maximum(rt.nc_r[o_reg], 1), 0
+        )
+        div_cell = rt.sc_c[rt.sc_start[o_reg] + div_cell_loc]
+
+        # Column decode.
+        ncol_u = d * rt.nc_r[o_reg]
+        ncol_b = d * rt.nb_r[o_reg]
+        col_u = o_col < ncol_u
+        col_b = ~col_u & (o_col < ncol_u + ncol_b)
+        col_p = ~col_u & ~col_b
+        u_cell = rt.sc_c[rt.sc_start[o_reg] + np.where(col_u, o_col, 0) // d]
+        u_gcol = u_cell * d + o_col % d
+        b_loc = np.where(col_b, o_col - ncol_u, 0)
+        if rt.bnd_idx.size:
+            idx = np.minimum(
+                rt.b_start[o_reg] + b_loc // d, rt.bnd_idx.size - 1
+            )
+            b_face = rt.sf_f[rt.bnd_idx[idx]]
+        else:
+            b_face = np.zeros(o_col.size, dtype=int)
+        b_gcol = b_face * d + b_loc % d
+        p_loc = np.where(col_p, o_col - ncol_u - ncol_b, 0)
+        p_key = p_loc // np.maximum(rt.nc_r[o_reg], 1)
+        p_cell = rt.sc_c[
+            rt.sc_start[o_reg] + p_loc % np.maximum(rt.nc_r[o_reg], 1)
+        ]
+
+        trace_w = 1.0 / rt.nnpf[face_of_out]
+        srow = face_of_out * d + comp
+
+        _accumulate("stress", kind_stress & col_u, srow, u_gcol, o_val)
+        _accumulate("bound_stress", kind_stress & col_b, srow, b_gcol, o_val)
+        _accumulate("hf_cell", kind_trace & col_u, srow, u_gcol, o_val, trace_w)
+        _accumulate(
+            "hf_bound", kind_trace & col_b, srow, b_gcol, o_val, trace_w
+        )
+        for ki, k in enumerate(keys):
+            psel = col_p & (p_key == ki)
+            _accumulate(("sg", k), kind_stress & psel, srow, p_cell, o_val)
+            _accumulate(
+                ("dp", k), kind_trace & psel, srow, p_cell, o_val, trace_w
+            )
+            dsel = kind_div & (div_key == ki)
+            _accumulate(("dd", k), dsel & col_u, div_cell, u_gcol, o_val)
+            _accumulate(("bdd", k), dsel & col_b, div_cell, b_gcol, o_val)
+            _accumulate(("cons", k), dsel & psel, div_cell, p_cell, o_val)
+
+    _slice_len = 4_000_000
+    for lo in range(0, o_val_all.size, _slice_len):
+        sl = slice(lo, lo + _slice_len)
+        _globalize_slice(
+            o_reg_all[sl], o_row_all[sl], o_col_all[sl], o_val_all[sl]
+        )
+    del o_reg_all, o_row_all, o_col_all, o_val_all
+
+    def build_from_parts(tag, shape):
+        rows_l, cols_l, vals_l = _parts.pop(
+            tag, ([np.zeros(0, int)], [np.zeros(0, int)], [np.zeros(0)])
+        )
+        return sps.coo_matrix(
+            (
+                np.concatenate(vals_l),
+                (np.concatenate(rows_l), np.concatenate(cols_l)),
+            ),
+            shape=shape,
+        )
+
+    stress = build_from_parts("stress", (nf * d, nc * d))
+    bound_stress = build_from_parts("bound_stress", (nf * d, nf * d))
+    hf_cell = build_from_parts("hf_cell", (nf * d, nc * d))
+    hf_bound = build_from_parts("hf_bound", (nf * d, nf * d))
 
     # Direct cell term of the displacement trace.
     direct_u = sps.coo_matrix(
@@ -449,11 +502,8 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
     bound_displacement_divergence = {}
     consistency = {}
     disp_pressure = {}
-    for ki, k in enumerate(keys):
-        psel = col_p & (p_key == ki)
-        scalar_gradient[k] = build(
-            kind_stress & psel, srow, p_cell, (nf * d, nc)
-        )
+    for k in keys:
+        scalar_gradient[k] = build_from_parts(("sg", k), (nf * d, nc))
         # Direct term: -(n~.alpha)_i p from the designated side.
         fi = rt.first_inc
         direct_p = sps.coo_matrix(
@@ -467,19 +517,12 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
             shape=(nf * d, nc),
         )
         scalar_gradient[k] = scalar_gradient[k] + direct_p
-        disp_pressure[k] = build(
-            kind_trace & psel, srow, p_cell, (nf * d, nc), weight=trace_w
+        disp_pressure[k] = build_from_parts(("dp", k), (nf * d, nc))
+        displacement_divergence[k] = build_from_parts(("dd", k), (nc, nc * d))
+        bound_displacement_divergence[k] = build_from_parts(
+            ("bdd", k), (nc, nf * d)
         )
-        dsel = kind_div & (div_key == ki)
-        displacement_divergence[k] = build(
-            dsel & col_u, div_cell, u_gcol, (nc, nc * d)
-        )
-        bound_displacement_divergence[k] = build(
-            dsel & col_b, div_cell, b_gcol, (nc, nf * d)
-        )
-        consistency[k] = build(
-            dsel & psel, div_cell, p_cell, (nc, nc)
-        )
+        consistency[k] = build_from_parts(("cons", k), (nc, nc))
 
     return (
         stress.tocsr(),

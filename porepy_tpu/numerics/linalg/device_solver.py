@@ -37,7 +37,7 @@ __all__ = ["DeviceLinearSolver"]
 logger = logging.getLogger(__name__)
 
 
-def device_gmres(matvec, M, b, tol: float, restart: int, max_cycles: int):
+def device_gmres(matvec, M, b, tol: float, restart: int, max_cycles: int, x0=None):
     """Restarted GMRES, left-preconditioned, written for XLA: modified
     Gram-Schmidt with one reorthogonalization pass (the V-matmul form keeps
     the inner products batched for the MXU), Givens-rotation least squares,
@@ -115,9 +115,66 @@ def device_gmres(matvec, M, b, tol: float, restart: int, max_cycles: int):
         x, res = cycle(x)
         return x, res, k + 1
 
-    x0 = jnp.zeros_like(b)
-    x, res, _ = jax.lax.while_loop(cond, body, (x0, bnorm, 0))
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    r0 = jnp.linalg.norm(M(b - matvec(x0)))
+    x, res, _ = jax.lax.while_loop(cond, body, (x0, r0, 0))
     return x, res
+
+
+def _aggregate_pattern(
+    rows: np.ndarray, cols: np.ndarray, n: int, target_size: int = 32
+) -> tuple[np.ndarray, int]:
+    """Greedy graph aggregation of the dof connectivity for the two-level
+    preconditioner: BFS-grown aggregates of ~``target_size`` dofs; stragglers
+    join a neighboring aggregate. Host-side, runs once per solver."""
+    off = rows != cols
+    adj = sps.coo_matrix(
+        (np.ones(off.sum(), dtype=bool), (rows[off], cols[off])), shape=(n, n)
+    ).tocsr()
+    adj = (adj + adj.T).tocsr()
+    agg = -np.ones(n, dtype=np.int64)
+    n_agg = 0
+    indptr, indices = adj.indptr, adj.indices
+    for seed in range(n):
+        if agg[seed] >= 0:
+            continue
+        members = [seed]
+        agg[seed] = n_agg
+        frontier = [seed]
+        while frontier and len(members) < target_size:
+            nxt = []
+            for u in frontier:
+                for v in indices[indptr[u] : indptr[u + 1]]:
+                    if agg[v] < 0:
+                        agg[v] = n_agg
+                        members.append(v)
+                        nxt.append(v)
+                        if len(members) >= target_size:
+                            break
+                if len(members) >= target_size:
+                    break
+            frontier = nxt
+        # Absorb tiny aggregates into a neighbor when possible.
+        if len(members) < max(2, target_size // 8):
+            for u in members:
+                for v in indices[indptr[u] : indptr[u + 1]]:
+                    if agg[v] >= 0 and agg[v] != n_agg:
+                        for w in members:
+                            agg[w] = agg[v]
+                        members = []
+                        break
+                if not members:
+                    break
+            if not members:
+                continue
+        n_agg += 1
+    if n_agg == 0:
+        agg[:] = 0
+        n_agg = 1
+    # Compact aggregate ids (absorption can leave gaps).
+    uniq, agg = np.unique(agg, return_inverse=True)
+    return agg.astype(np.int64), int(uniq.size)
 
 
 def _segment_matvec(data, sel, lr, lc, n_out, x):
@@ -220,7 +277,14 @@ class DeviceLinearSolver:
         self.tol = tol
         n = system.shape[1]
         self.n = n
-        self.maxiter = maxiter if maxiter is not None else max(300, 6 * int(np.sqrt(n)) * 10)
+        # With the two-level/field-split preconditioners, healthy solves
+        # finish within a few restart cycles; a large budget only delays the
+        # (counted) host fallback on pathological systems.
+        self.maxiter = (
+            maxiter
+            if maxiter is not None
+            else int(np.clip(6 * int(np.sqrt(n)) * 10, 400, 3200))
+        )
         rows = system.indices_np[:, 0]
         cols = system.indices_np[:, 1]
         self._rows = jnp.asarray(rows)
@@ -253,21 +317,87 @@ class DeviceLinearSolver:
             self._blocks = blist
 
         self._inner_degree = inner_degree
+        # Iterations per jitted dispatch: large enough to amortize launch
+        # overhead, small enough that one kernel stays well under the TPU
+        # runtime's execution watchdog.
+        self._chunk_iters = 400
+        # Two-level aggregation hierarchy (point-preconditioner path): the
+        # coarse operator is a per-solve segment-sum over the nonzeros; its
+        # dense factorization and solves run on the MXU.
+        self._agg = None
+        if self._blocks is None and n > 64:
+            agg, n_coarse = _aggregate_pattern(rows, cols, n)
+            self._agg = jnp.asarray(agg)
+            self._n_coarse = int(n_coarse)
+            self._agg_key = jnp.asarray(
+                agg[rows] * n_coarse + agg[cols]
+            )
         self._jit = jax.jit(self._make_solve())
+        if self._agg is not None:
+
+            def coarse(data):
+                r, c = self._equilibrate(data)
+                data_s = data * r[self._rows] * c[self._cols]
+                nc = self._n_coarse
+                return jax.ops.segment_sum(
+                    data_s, self._agg_key, num_segments=nc * nc
+                ).reshape(nc, nc)
+
+            self._jit_coarse = jax.jit(coarse)
         self._warm = False
 
+    def _coarse_inverse(self, data):
+        """Dense inverse of the (equilibrated) Galerkin coarse matrix,
+        factored on host — the small round-trip avoids compiling pivoted LU
+        on the device (crashes the tunneled TPU backend)."""
+        if self._agg is None or self._blocks is not None:
+            return None
+        A_c = np.asarray(self._jit_coarse(data))
+        try:
+            return jnp.asarray(np.linalg.inv(A_c))
+        except np.linalg.LinAlgError:
+            return None
+
     def _solve_jit(self, data, b):
+        """Host-chunked Krylov driver: dispatch bounded chunks until the
+        true residual meets tolerance or the iteration budget is spent.
+        Inside an outer trace (fully jitted callers), fall back to a single
+        Jacobi-preconditioned chunk — the caller owns the iteration policy
+        there and no host factorization is possible."""
         tracing = isinstance(data, jax.core.Tracer)
-        if not self._warm and not tracing:
+        if tracing:
+            x = jnp.zeros(self.n, dtype=b.dtype)
+            return self._jit(data, b, x, None)
+        if not self._warm:
             # Let in-flight assembly finish before this program compiles — a
             # compile racing execution hard-faults the tunneled TPU runtime.
             jax.block_until_ready(data)
             jax.block_until_ready(b)
-        out = self._jit(data, b)
-        if not self._warm and not tracing:
-            jax.block_until_ready(out[0])
-            self._warm = True
-        return out
+        acinv = self._coarse_inverse(data)
+        if not self._warm and acinv is not None:
+            jax.block_until_ready(acinv)
+        b = jnp.asarray(b)
+        b_norm = float(jnp.linalg.norm(b))
+        if b_norm == 0.0 or not np.isfinite(b_norm):
+            return jnp.zeros(self.n, dtype=b.dtype), b_norm
+        # Solve at unit rhs scale: near-converged Newton steps hand in
+        # |b| ~ 1e-7..1e-13, where the TPU's emulated-f64 pipeline has been
+        # observed to produce NaNs; normalizing makes the kernel
+        # scale-invariant.
+        b_unit = b / b_norm
+        target = self.tol
+        x = jnp.zeros(self.n, dtype=b.dtype)
+        res = np.inf
+        n_chunks = max(1, -(-self.maxiter // self._chunk_iters))
+        for _chunk in range(n_chunks):
+            x, res_dev = self._jit(data, b_unit, x, acinv)
+            if not self._warm:
+                jax.block_until_ready(x)
+                self._warm = True
+            res = float(res_dev)
+            if not np.isfinite(res) or res <= target:
+                break
+        return x * b_norm, res * b_norm
 
     # -- kernel construction ---------------------------------------------------
 
@@ -318,10 +448,39 @@ class DeviceLinearSolver:
         w = dinv * matvec(v)
         return jnp.vdot(v, w) * 1.1 + 1e-30
 
-    def _make_preconditioner(self, data):
+    def _make_preconditioner(self, data, acinv=None):
         if self._blocks is None:
             dinv = 1.0 / self._global_diag(data)
-            return lambda r: dinv * r
+            if self._agg is None or acinv is None:
+                return lambda r: dinv * r
+            # Two-level V(1,1): damped l1-Jacobi smoothing + dense coarse
+            # correction. ``acinv`` is the dense inverse of the Galerkin
+            # coarse matrix (factored on host per solve — the tunneled TPU
+            # backend crashes compiling in-kernel LU pivoting); its
+            # application is a dense matvec (MXU work).
+            nc = self._n_coarse
+            agg = self._agg
+            mv = lambda x: self._matvec(data, x)
+            # Damped sign-aware l1-Jacobi smoother: the raw diagonal can be
+            # orders of magnitude below the row scale even after Ruiz
+            # equilibration (md coupling rows), which makes plain Jacobi
+            # smoothing explosively divergent. The row-abs-sum is ~1 after
+            # equilibration, bounding the smoother.
+            row_l1 = jax.ops.segment_sum(
+                jnp.abs(data), self._rows, num_segments=self.n
+            )
+            d_sign = jnp.where(self._global_diag(data) < 0, -1.0, 1.0)
+            sinv = 0.5 * d_sign / jnp.maximum(row_l1, 1e-300)
+
+            def M(r):
+                y = sinv * r
+                r_c = jax.ops.segment_sum(
+                    r - mv(y), agg, num_segments=nc
+                )
+                y = y + (acinv @ r_c)[agg]
+                return y + sinv * (r - mv(y))
+
+            return M
 
         # Precompute per-block spectral bounds + diagonals once per solve.
         prepared = []
@@ -372,31 +531,41 @@ class DeviceLinearSolver:
         return jax.lax.fori_loop(0, iters, body, (r, c))
 
     def _make_solve(self):
-        def solve(data, b):
+        """One bounded *chunk* of the Krylov iteration: at most
+        ``_chunk_iters`` matvecs per dispatch, warm-started from the incoming
+        iterate. The outer loop runs on host (:meth:`_solve_jit`) — a single
+        unbounded while-loop kernel can run for minutes on hard systems and
+        trips the TPU runtime's execution watchdog (observed as
+        ``UNAVAILABLE: TPU device error`` on the tunneled runtime)."""
+        restart = 40
+        cycles = max(self._chunk_iters // restart, 1)
+
+        def solve_chunk(data, b, x_in, acinv):
             r, c = self._equilibrate(data)
             data_s = data * r[self._rows] * c[self._cols]
             b_s = r * b
-            M = self._make_preconditioner(data_s)
+            M = self._make_preconditioner(data_s, acinv)
             mv = lambda x: self._matvec(data_s, x)
+            y0 = x_in / c
             if self.method == "gmres":
-                restart = 40
                 y, _ = device_gmres(
                     mv,
                     M,
                     b_s,
                     tol=self.tol,
                     restart=restart,
-                    max_cycles=max(self.maxiter // restart, 1),
+                    max_cycles=cycles,
+                    x0=y0,
                 )
             else:
                 y, _ = jax.scipy.sparse.linalg.bicgstab(
-                    mv, b_s, M=M, tol=self.tol, maxiter=self.maxiter
+                    mv, b_s, x0=y0, M=M, tol=self.tol, maxiter=self._chunk_iters
                 )
             x = c * y
             res = jnp.linalg.norm(b - self._matvec(data, x))
             return x, res
 
-        return solve
+        return solve_chunk
 
     # -- public API --------------------------------------------------------------
 
