@@ -76,3 +76,49 @@ def test_observed_order_fluxes(errors):
     oif = observed_order([e.error_intf_flux for e in errors])
     assert omf > 0.9, omf
     assert oif > 1.5, oif
+
+
+# -- 3d -----------------------------------------------------------------------
+
+from tests.functional.setups.manu_flow_incomp_frac_3d import (  # noqa: E402
+    ManuIncompFlowModel3d,
+)
+
+
+@pytest.fixture(scope="module")
+def errors_3d() -> list:
+    out = []
+    for cell_size in (1 / 8, 1 / 16):
+        params = {
+            "grid_type": "cartesian",
+            "meshing_arguments": {"cell_size": cell_size},
+            "material_constants": {
+                "solid": pt.SolidConstants(**MANU_INCOMP_SOLID),
+                "fluid": pt.FluidComponent(**MANU_INCOMP_FLUID),
+            },
+        }
+        model = ManuIncompFlowModel3d(params)
+        pt.run_stationary_model(model, params)
+        out.append(model.results[-1])
+    return out
+
+
+def test_3d_error_levels_match_reference(errors_3d):
+    """Level-0 (8^3) errors must match the REFERENCE's own desired values
+    (reference ``test_manu_flow_incomp_frac.py:129-136``)."""
+    e = errors_3d[0]
+    assert np.isclose(
+        e.error_matrix_pressure, 1.3822466693314728, rtol=1e-6
+    ), e.error_matrix_pressure
+    assert np.isclose(
+        e.error_frac_pressure, 6.272401337799361, rtol=1e-6
+    ), e.error_frac_pressure
+    assert np.isclose(
+        e.error_intf_flux, 5.291360607983224, rtol=1e-5
+    ), e.error_intf_flux
+
+
+def test_3d_errors_decrease(errors_3d):
+    assert errors_3d[1].error_matrix_pressure < errors_3d[0].error_matrix_pressure
+    assert errors_3d[1].error_frac_pressure < errors_3d[0].error_frac_pressure
+    assert errors_3d[1].error_intf_flux < errors_3d[0].error_intf_flux
