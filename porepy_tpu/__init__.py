@@ -159,7 +159,10 @@ from porepy_tpu.compositional.compositional_mixins import (  # noqa: E402,F401
     CompositionalVariables,
     FluidMixin,
 )
-from porepy_tpu.compositional.flash import Flash  # noqa: E402,F401
+from porepy_tpu.compositional.flash import (  # noqa: E402,F401
+    ConstantKFlash,
+    Flash,
+)
 from porepy_tpu.compositional.states import FluidState, PhaseState  # noqa: E402,F401
 from porepy_tpu.compositional import utils as composite_utils  # noqa: E402,F401
 
