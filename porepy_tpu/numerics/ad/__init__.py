@@ -32,6 +32,7 @@ from porepy_tpu.numerics.ad.discretizations import (  # noqa: F401
     TpfaAd,
     TpsaAd,
     UpwindAd,
+    UpwindCouplingAd,
 )
 from porepy_tpu.numerics.ad.operators import concat  # noqa: F401
 from porepy_tpu.numerics.ad.operators import (  # noqa: F401

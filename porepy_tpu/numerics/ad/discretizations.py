@@ -44,9 +44,14 @@ class MergedOperator(Operator):
         self.sub_key = sub_key
 
     def fetch(self) -> sps.csr_matrix:
+        from porepy_tpu.grids.mortar_grid import MortarGrid
+
         mats = []
         for g in self.domains:
-            data = self.mdg.subdomain_data(g)
+            if isinstance(g, MortarGrid):
+                data = self.mdg.interface_data(g)
+            else:
+                data = self.mdg.subdomain_data(g)
             mat = data[cc.DISCRETIZATION_MATRICES][self.keyword][self.matrix_key]
             if self.sub_key is not None:
                 mat = mat[self.sub_key]
@@ -184,6 +189,29 @@ class BiotAd(MpsaAd):
 
     def bound_pressure(self, sub_key: str) -> MergedOperator:
         return self._keyed("bound_displacement_pressure", sub_key)
+
+
+class UpwindCouplingAd(_DiscretizationAd):
+    """Interface upwind matrices (reference ``ad/discretizations.py:226``);
+    domains are mortar grids."""
+
+    def upwind_primary(self) -> MergedOperator:
+        return self._op("upwind_primary")
+
+    def upwind_secondary(self) -> MergedOperator:
+        return self._op("upwind_secondary")
+
+    def trace(self) -> MergedOperator:
+        return self._op("trace")
+
+    def inv_trace(self) -> MergedOperator:
+        return self._op("inv_trace")
+
+    def flux(self) -> MergedOperator:
+        return self._op("flux")
+
+    def mortar_discr(self) -> MergedOperator:
+        return self._op("mortar_discr")
 
 
 class UpwindAd(_DiscretizationAd):

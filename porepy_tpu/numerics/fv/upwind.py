@@ -26,7 +26,7 @@ import scipy.sparse as sps
 
 from porepy_tpu.utils import common_constants as cc
 
-__all__ = ["Upwind", "UpwindGeometry", "upwind_apply"]
+__all__ = ["Upwind", "UpwindGeometry", "upwind_apply", "UpwindCoupling"]
 
 
 class UpwindGeometry:
@@ -175,3 +175,63 @@ class Upwind:
                 shape=(sd.num_faces, sd.num_faces),
             )
         )
+
+
+class UpwindCoupling:
+    """Interface upstream weighting keyed on the sign of a stored mortar
+    flux (reference ``numerics/fv/upwind.py:377``).
+
+    Matrix contract (stored under the keyword in the interface data dict):
+    ``trace``/``inv_trace`` (primary cells <-> faces), ``upwind_primary`` /
+    ``upwind_secondary`` (diagonal masks selecting the upstream side per
+    mortar cell), ``flux`` (diagonal signs) and ``mortar_discr``
+    (identity). The runtime upwinding in this framework happens inside the
+    jitted kernels (``constitutive_laws.AdvectiveFlux``); these matrices
+    serve API/golden parity and host-side assembly.
+    """
+
+    def __init__(self, keyword: str) -> None:
+        self.keyword = keyword
+        self.trace_primary_matrix_key = "trace"
+        self.inv_trace_primary_matrix_key = "inv_trace"
+        self.upwind_primary_matrix_key = "upwind_primary"
+        self.upwind_secondary_matrix_key = "upwind_secondary"
+        self.flux_matrix_key = "flux"
+        self.mortar_discr_matrix_key = "mortar_discr"
+        self._flux_array_key = "darcy_flux"
+
+    @property
+    def flux_array_key(self) -> str:
+        return self._flux_array_key
+
+    @flux_array_key.setter
+    def flux_array_key(self, value: str) -> None:
+        self._flux_array_key = value
+
+    def ndof(self, intf) -> int:
+        return intf.num_cells
+
+    def discretize(
+        self, sd_primary, sd_secondary, intf, data_primary, data_secondary,
+        data_intf,
+    ) -> None:
+        if sd_primary.dim - sd_secondary.dim not in (1, 2):
+            raise ValueError(
+                "Implementation is only valid for grids one dimension apart."
+            )
+        matrices = data_intf[cc.DISCRETIZATION_MATRICES].setdefault(
+            self.keyword, {}
+        )
+        lam_sign = np.sign(
+            data_intf[cc.PARAMETERS][self.keyword][self._flux_array_key]
+        )
+        inv_trace = abs(sd_primary.divergence(dim=1))
+        matrices[self.inv_trace_primary_matrix_key] = inv_trace
+        matrices[self.trace_primary_matrix_key] = inv_trace.T
+        take_primary = (lam_sign > 0).astype(float)
+        matrices[self.upwind_primary_matrix_key] = sps.diags(take_primary)
+        matrices[self.upwind_secondary_matrix_key] = sps.diags(
+            1.0 - take_primary
+        )
+        matrices[self.flux_matrix_key] = sps.diags(lam_sign)
+        matrices[self.mortar_discr_matrix_key] = sps.eye(intf.num_cells)
