@@ -1,0 +1,79 @@
+"""Model mixin wiring fracture propagation into the simulation loop.
+
+Counterpart of reference
+``numerics/fracture_deformation/propagation_model.py:32``
+(``FracturePropagation``): after each converged time step the model
+evaluates its propagation criterion, extends the fractures through the
+selected host faces, and rebuilds the compiled machinery.
+
+TPU-first note: topology growth is a re-setup event — the equation system's
+dof layout is rebuilt from the grown grids (the propagation surgery already
+remapped stored solution rings), every compiled kernel is dropped, the
+model's equations are re-created, and geometry-derived caches are cleared.
+The first Newton iteration after propagation therefore recompiles; all
+subsequent iterations run at full compiled speed on the new static shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from porepy_tpu.numerics.fracture_deformation.propagate_fracture import (
+    propagate_fractures,
+)
+
+__all__ = ["FracturePropagation"]
+
+
+class FracturePropagation:
+    """Mix into a model above the solution strategy. Override
+    :meth:`propagation_faces` with the propagation criterion."""
+
+    def propagation_faces(self) -> dict:
+        """``{fracture_grid: host face indices to split}`` based on the
+        current solution; empty arrays mean no growth. The default returns
+        no propagation — override with a criterion (stress intensity,
+        user-prescribed schedule, ...)."""
+        return {
+            sd: np.empty(0, dtype=int)
+            for sd in self.mdg.subdomains(dim=self.nd - 1)
+        }
+
+    def has_propagated(self) -> bool:
+        return bool(getattr(self, "_propagated_last_step", False))
+
+    def evaluate_propagation(self) -> None:
+        """Evaluate the criterion and, if any fracture grows, perform the
+        topological update and rebuild the model machinery."""
+        faces = self.propagation_faces()
+        total = sum(np.asarray(f).size for f in faces.values())
+        self._propagated_last_step = total > 0
+        if total == 0:
+            return
+        propagate_fractures(self.mdg, faces)
+        self.mdg.compute_geometry()
+        self._rebuild_after_propagation()
+
+    def after_nonlinear_convergence(self) -> None:
+        super().after_nonlinear_convergence()
+        self.evaluate_propagation()
+
+    def _rebuild_after_propagation(self) -> None:
+        """Re-setup on the new topology: dof layout, equations, compiled
+        kernels, discretizations and geometry caches."""
+        eq = self.equation_system
+        eq._rebuild_dofs()
+        eq.clear_compiled()
+        # Equation DAGs hold projections/discretizations of the old
+        # topology; rebuild them all.
+        eq._equations.clear()
+        for cache_name in ("_upwind_geom_cache", "_adtpfa_cache"):
+            if hasattr(self, cache_name):
+                getattr(self, cache_name).clear()
+        if hasattr(self, "_device_solvers"):
+            self._device_solvers = {}
+        self.set_equations()
+        self.update_discretization_parameters()
+        self.discretize()
+        self.update_time_dependent_ad_arrays()
+        self.update_derived_quantities()

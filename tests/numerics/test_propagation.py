@@ -140,3 +140,58 @@ def test_state_rings_are_remapped():
         assert np.allclose(
             lam_new[s * per_new : s * per_new + per_side], old_side
         )
+
+
+def test_propagation_model_mixin():
+    """A flow model with scheduled propagation grows its fracture after the
+    first step and keeps solving on the new topology (reference
+    ``numerics/fracture_deformation/propagation_model.py``)."""
+    from porepy_tpu.numerics.fracture_deformation import FracturePropagation
+
+    class Grower(FracturePropagation, pt.SinglePhaseFlow):
+        def set_geometry(self):
+            self.mdg = _mdg([[0.25, 0.5], [0.5, 0.5]])
+            self.nd = 2
+            self._domain = pt.Domain(
+                {"xmin": 0, "xmax": 1, "ymin": 0, "ymax": 1}
+            )
+            self.well_network = None
+
+        def set_well_network(self):
+            self.well_network = None
+
+        def bc_values_pressure(self, bg):
+            return 1.0 - bg.cell_centers[1]
+
+        def propagation_faces(self):
+            sd_l = self.mdg.subdomains(dim=1)[0]
+            sd_h = self.mdg.subdomains(dim=2)[0]
+            if sd_l.num_cells >= 2 or self.time_manager.time < 1.0:
+                return {sd_l: np.empty(0, dtype=int)}
+            return {sd_l: np.array([_face_at(sd_h, [0.625, 0.5])])}
+
+        def initialize_data_saving(self):
+            pass
+
+        def save_data_time_step(self):
+            pass
+
+    params = {
+        "material_constants": {
+            "solid": pt.SolidConstants(
+                permeability=1.0,
+                porosity=0.1,
+                residual_aperture=0.01,
+                normal_permeability=1.0,
+            )
+        },
+        "time_manager": pt.TimeManager([0, 3.0], 1.0, constant_dt=True),
+    }
+    m = Grower(params)
+    pt.run_time_dependent_model(m, params)
+    assert m.mdg.subdomains(dim=1)[0].num_cells == 2
+    assert m.has_propagated() in (True, False)
+    ndof = m.equation_system.num_dofs()
+    p = m.equation_system.get_variable_values(time_step_index=0)
+    assert p.size == ndof
+    assert np.all(np.isfinite(p))
