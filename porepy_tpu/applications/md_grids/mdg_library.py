@@ -86,3 +86,52 @@ def benchmark_regular_2d(meshing_args: dict, is_coarse: bool = False, **kwargs):
     mdg = create_mdg("simplex", meshing_args, network, **kwargs)
     mdg.compute_geometry()
     return mdg, network
+
+
+def benchmark_3d_case_2(
+    refinement_level: int = 0, msh_file: Optional[str] = None
+):
+    """Geometry of case 2 of the 3d flow benchmark (Berre et al. 2021).
+
+    The fracture network (9 fractures, published benchmark data under
+    ``file_library/benchmark_3d_case_2``) loads natively. Meshing the
+    checked-in ``.geo`` files requires gmsh, which is not available here:
+    mesh offline (``gmsh -3 mesh4k.geo -o case2.msh``) and pass the
+    resulting MSH 4.1 file as ``msh_file`` — it is read by the native
+    parser (``fracs/msh_2_grid.py``). Returns ``(mdg, network)``;
+    without ``msh_file`` raises with these instructions.
+    """
+    return _benchmark_3d("benchmark_3d_case_2", refinement_level, msh_file)
+
+
+def benchmark_3d_case_3(
+    refinement_level: int = 0, msh_file: Optional[str] = None
+):
+    """Geometry of case 3 of the 3d flow benchmark (Berre et al. 2021);
+    refinement levels 0-3 are ~30k/140k/350k/500k 3d cells. See
+    :func:`benchmark_3d_case_2` for the offline meshing workflow."""
+    return _benchmark_3d("benchmark_3d_case_3", refinement_level, msh_file)
+
+
+def _benchmark_3d(case: str, refinement_level: int, msh_file):
+    from pathlib import Path
+
+    from porepy_tpu.fracs import fracture_importer, meshing
+    from porepy_tpu.fracs.msh_2_grid import create_grids_from_msh
+
+    lib = Path(__file__).parent / "file_library" / case
+    network = fracture_importer.network_3d_from_csv(
+        str(lib / "fracture_network.csv")
+    )
+    if msh_file is None:
+        geos = sorted(g.name for g in lib.glob("mesh*.geo"))
+        raise RuntimeError(
+            f"Meshing {case} requires gmsh (not installable in this image). "
+            f"Mesh one of the checked-in geometries offline, e.g. "
+            f"'gmsh -3 {lib}/{geos[min(refinement_level, len(geos) - 1)]} "
+            f"-o case.msh -format msh41', and pass msh_file='case.msh'."
+        )
+    grids = create_grids_from_msh(msh_file)
+    mdg = meshing.subdomains_to_mdg(grids)
+    mdg.compute_geometry()
+    return mdg, network

@@ -142,7 +142,8 @@ def parse_msh(file_name: str) -> dict:
 
 
 def create_grids_from_msh(file_name: str) -> list[list]:
-    """Per-dimension grid lists ``[[g_2d], g_1d, g_0d]`` from a gmsh 2d
+    """Per-dimension grid lists from a gmsh ``.msh`` file: 2d
+    (``[[g_2d], g_1d, g_0d]``) or 3d (``[[g_3d], g_2d, g_1d, g_0d]``)
     ``.msh`` file with porepy-style physical names (DOMAIN, FRACTURE_k,
     FRACTURE_INTERSECTION_POINT_k), for
     ``fracs.meshing.subdomains_to_mdg``. The reader is native — no gmsh or
@@ -153,6 +154,8 @@ def create_grids_from_msh(file_name: str) -> list[list]:
     from porepy_tpu.grids.simplex import TriangleGrid
 
     parsed = parse_msh(file_name)
+    if any(etype == 4 for _d, _n, etype, _c in parsed["elements"]):
+        return _create_3d_grids_from_parsed(parsed)
     p = parsed["nodes"]
 
     tris = [
@@ -211,3 +214,81 @@ def create_grids_from_msh(file_name: str) -> list[list]:
         g_0d.append(pg)
 
     return [[g_2d], g_1d, g_0d]
+
+
+def _create_3d_grids_from_parsed(parsed: dict) -> list[list]:
+    """3d branch of :func:`create_grids_from_msh`: tetrahedral matrix,
+    triangle fracture surfaces, line intersection grids, point grids."""
+    from porepy_tpu.fracs.gmsh_interface import PhysicalNames
+    from porepy_tpu.grids.point_grid import PointGrid
+    from porepy_tpu.grids.simplex import TetrahedralGrid, TriangleGrid
+
+    p = parsed["nodes"]
+
+    tets = [
+        conn
+        for dim, names, etype, conn in parsed["elements"]
+        if etype == 4
+        and (not names or any(n.startswith("DOMAIN") for n in names))
+    ]
+    if not tets:
+        raise ValueError("No domain tetrahedra found in the msh file")
+    g_3d = TetrahedralGrid(p, np.vstack(tets).T)
+    g_3d.global_point_ind = np.arange(g_3d.num_nodes)
+    g_3d.compute_geometry()
+
+    def compress(conn):
+        """Local point set + connectivity + global ids for a sub-grid."""
+        glob = np.unique(conn.ravel())
+        local = -np.ones(p.shape[1], dtype=int)
+        local[glob] = np.arange(glob.size)
+        return p[:, glob], local[conn], glob
+
+    frac_prefix = PhysicalNames.FRACTURE.value
+    frac_tris: dict[int, list] = {}
+    for dim, names, etype, conn in parsed["elements"]:
+        if etype != 2:
+            continue
+        for n in names:
+            if n.startswith(frac_prefix) and n[len(frac_prefix) :].isdigit():
+                frac_tris.setdefault(int(n[len(frac_prefix) :]), []).append(conn)
+    g_2d = []
+    for fi in sorted(frac_tris):
+        conn = np.vstack(frac_tris[fi])
+        pts_loc, tri_loc, glob = compress(conn)
+        g = TriangleGrid(pts_loc, tri_loc.T)
+        g.global_point_ind = glob
+        g.frac_num = fi
+        g.compute_geometry()
+        g_2d.append(g)
+
+    line_prefix = PhysicalNames.FRACTURE_INTERSECTION_LINE.value
+    line_nodes: dict[int, set] = {}
+    for dim, names, etype, conn in parsed["elements"]:
+        if etype != 1:
+            continue
+        for n in names:
+            if n.startswith(line_prefix):
+                key = n[len(line_prefix) :]
+                li = int(key) if key.isdigit() else len(line_nodes)
+                line_nodes.setdefault(li, set()).update(conn.ravel().tolist())
+    g_1d = []
+    for li in sorted(line_nodes):
+        nodes_i = np.array(sorted(line_nodes[li]), dtype=int)
+        if nodes_i.size < 2:
+            continue
+        g = create_embedded_line_grid(p[:, nodes_i], nodes_i)
+        g_1d.append(g)
+
+    g_0d = []
+    for dim, names, etype, conn in parsed["elements"]:
+        if etype == 15 and any(
+            n.startswith(PhysicalNames.FRACTURE_INTERSECTION_POINT.value)
+            for n in names
+        ):
+            for node in conn.ravel():
+                pg = PointGrid(p[:, node])
+                pg.global_point_ind = np.atleast_1d(node)
+                g_0d.append(pg)
+
+    return [[g_3d], g_2d, g_1d, g_0d]

@@ -132,3 +132,112 @@ def test_msh_reader_builds_working_mdg(msh_file):
     assert len(mdg.subdomains(dim=1)) == 2
     assert len(list(mdg.interfaces())) >= 4
     mdg.compute_geometry()
+
+
+def _write_msh41_3d(path, g3, frac_tris):
+    """Minimal 3d MSH 4.1 fixture: tets (DOMAIN) + fracture triangles."""
+    p = g3.nodes
+    cn = g3.cell_nodes()
+    tets = np.vstack(
+        [cn.indices[cn.indptr[c] : cn.indptr[c + 1]] for c in range(g3.num_cells)]
+    )
+    nn = p.shape[1]
+    lines = ["$MeshFormat", "4.1 0 8", "$EndMeshFormat"]
+    lines += [
+        "$PhysicalNames", "2", '3 1 "DOMAIN"', '2 10 "FRACTURE_0"',
+        "$EndPhysicalNames",
+    ]
+    lines += [
+        "$Entities", "0 0 1 1",
+        "1 0 0 0 1 1 1 1 10 0",
+        "1 0 0 0 1 1 1 1 1 0",
+        "$EndEntities",
+    ]
+    nd = ["$Nodes", f"1 {nn} 1 {nn}", f"3 1 0 {nn}"]
+    nd += [str(i + 1) for i in range(nn)]
+    nd += [f"{p[0, i]} {p[1, i]} {p[2, i]}" for i in range(nn)]
+    nd.append("$EndNodes")
+    lines += nd
+    blocks = []
+    eid = 1
+    blocks.append(f"2 1 2 {len(frac_tris)}")
+    for t in frac_tris:
+        blocks.append(f"{eid} {t[0] + 1} {t[1] + 1} {t[2] + 1}")
+        eid += 1
+    blocks.append(f"3 1 4 {tets.shape[0]}")
+    for t in tets:
+        blocks.append(
+            f"{eid} {t[0] + 1} {t[1] + 1} {t[2] + 1} {t[3] + 1}"
+        )
+        eid += 1
+    n_elem = len(frac_tris) + tets.shape[0]
+    lines += ["$Elements", f"2 {n_elem} 1 {n_elem}", *blocks, "$EndElements"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+def test_msh_reader_3d_builds_working_mdg(tmp_path):
+    g3 = pt.StructuredTetrahedralGrid([4, 4, 4], [1.0, 1.0, 1.0])
+    g3.compute_geometry()
+    fn = g3.face_nodes.tocsc()
+    fc = g3.face_centers
+    on_plane = (
+        np.isclose(fc[0], 0.5)
+        & (fc[1] > 0.25) & (fc[1] < 0.75)
+        & (fc[2] > 0.25) & (fc[2] < 0.75)
+    )
+    tris = [
+        fn.indices[fn.indptr[f] : fn.indptr[f + 1]]
+        for f in np.flatnonzero(on_plane)
+    ]
+    assert len(tris) > 0
+    path = _write_msh41_3d(str(tmp_path / "cube.msh"), g3, tris)
+
+    grids = create_grids_from_msh(path)
+    assert len(grids) == 4
+    g3_read = grids[0][0]
+    assert g3_read.num_cells == g3.num_cells
+    assert len(grids[1]) == 1  # one fracture surface
+    g2 = grids[1][0]
+    assert g2.num_cells == len(tris)
+    assert np.isclose(g3_read.cell_volumes.sum(), 1.0)
+    mdg = meshing.subdomains_to_mdg(grids)
+    assert mdg.dim_max() == 3
+    assert len(list(mdg.interfaces())) == 1
+    mdg.compute_geometry()
+    # The fractured cube solves an md flow problem.
+    class M(pt.SinglePhaseFlow):
+        def set_geometry(self):
+            self.mdg = mdg
+            self.nd = 3
+            self._domain = pt.Domain(
+                {"xmin": 0, "xmax": 1, "ymin": 0, "ymax": 1,
+                 "zmin": 0, "zmax": 1}
+            )
+            self.well_network = None
+
+        def set_well_network(self):
+            self.well_network = None
+
+        def bc_values_pressure(self, bg):
+            return 1.0 - bg.cell_centers[0]
+
+        def initialize_data_saving(self):
+            pass
+
+        def save_data_time_step(self):
+            pass
+
+    params = {
+        "material_constants": {
+            "solid": pt.SolidConstants(
+                permeability=1.0, porosity=0.1,
+                residual_aperture=1e-2, normal_permeability=1.0,
+            )
+        },
+    }
+    m = M(params)
+    pt.run_time_dependent_model(m, params)
+    p = m.equation_system.get_variable_values(["pressure"], time_step_index=0)
+    assert np.all(np.isfinite(p)) and p.min() > -1e-8 and p.max() < 1 + 1e-8
