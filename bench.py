@@ -81,7 +81,7 @@ def _summarize(m, skip: int) -> dict:
     for cs in m.equation_system._compiled_systems.values():
         nnz = max(nnz, cs.indices_np.shape[0])
     solve_s = float(np.median(times[:, 1]))
-    return {
+    out = {
         "num_dofs": int(m.equation_system.num_dofs()),
         "nnz": int(nnz),
         "iters_measured": len(times),
@@ -89,6 +89,20 @@ def _summarize(m, skip: int) -> dict:
         "solve_ms": round(solve_s * 1000.0, 3),
         "total_ms": round(float(np.median(times.sum(axis=1))) * 1000.0, 3),
     }
+    # Effective solve bandwidth: bytes the Krylov kernel must move per
+    # iteration (matvec data+index streams plus the preconditioner's two
+    # smoothing matvecs and ~12 length-n vector ops), over the measured
+    # wall — an upper-bound-iterations, lower-bound-bandwidth figure.
+    stats = None
+    for solver in getattr(m, "_device_solvers", {}).values():
+        stats = getattr(solver, "last_stats", None)
+    if stats is not None:
+        bytes_per_iter = 3 * (stats["nnz"] * 20.0) + 12 * stats["n"] * 8.0
+        out["krylov_iters_upper_bound"] = stats["max_iters"]
+        out["effective_solve_gbps_lower_bound"] = round(
+            stats["max_iters"] * bytes_per_iter / max(solve_s, 1e-12) / 1e9, 2
+        )
+    return out
 
 
 def run_md_flow() -> dict:

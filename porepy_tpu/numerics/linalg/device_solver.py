@@ -389,14 +389,24 @@ class DeviceLinearSolver:
         x = jnp.zeros(self.n, dtype=b.dtype)
         res = np.inf
         n_chunks = max(1, -(-self.maxiter // self._chunk_iters))
+        used = 0
         for _chunk in range(n_chunks):
             x, res_dev = self._jit(data, b_unit, x, acinv)
+            used += 1
             if not self._warm:
                 jax.block_until_ready(x)
                 self._warm = True
             res = float(res_dev)
             if not np.isfinite(res) or res <= target:
                 break
+        # Bookkeeping for benchmark reporting (upper bound on Krylov
+        # iterations actually run; the final chunk may exit early).
+        self.last_stats = {
+            "chunks": used,
+            "max_iters": used * self._chunk_iters,
+            "nnz": int(self.system.indices_np.shape[0]),
+            "n": self.n,
+        }
         return x * b_norm, res * b_norm
 
     # -- kernel construction ---------------------------------------------------
