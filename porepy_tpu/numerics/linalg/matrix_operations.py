@@ -22,6 +22,16 @@ __all__ = [
     "diagonal_scaling_matrix",
     "invert_diagonal_blocks",
     "sparse_array_to_row_col_data",
+    "zero_rows",
+    "zero_columns",
+    "slice_indices",
+    "slice_sparse_matrix",
+    "merge_matrices",
+    "stack_mat",
+    "stack_diag",
+    "optimized_compressed_storage",
+    "sparse_kronecker_product",
+    "csr_matrix_from_dense_blocks",
 ]
 
 
@@ -153,3 +163,110 @@ def zero_rows(A: sps.csr_matrix, rows: np.ndarray) -> None:
     indptr = A.indptr
     row_indptr = expand_index_pointers(indptr[rows], indptr[rows + 1])
     A.data[row_indptr] = 0
+
+
+def zero_columns(A: sps.csc_matrix, cols) -> None:
+    """In-place zeroing of columns of a CSC matrix (reference
+    ``matrix_operations.py:24``)."""
+    if not sps.issparse(A) or A.getformat() != "csc":
+        raise ValueError("Need a csc matrix to zero columns in place")
+    cols = np.atleast_1d(np.asarray(cols, dtype=int))
+    for c in cols:
+        A.data[A.indptr[c] : A.indptr[c + 1]] = 0.0
+
+
+def slice_indices(A, slice_ind, return_array_ind: bool = False):
+    """Row/column indices of the nonzeros in the given columns (csc) or
+    rows (csr) — without forming a sub-matrix (reference
+    ``matrix_operations.py:253``)."""
+    fmt = A.getformat()
+    if fmt not in ("csc", "csr"):
+        raise ValueError("slice_indices needs a csc or csr matrix")
+    slice_ind = np.atleast_1d(np.asarray(slice_ind, dtype=int))
+    from porepy_tpu.utils.array_operations import expand_index_pointers
+
+    sel = expand_index_pointers(A.indptr[slice_ind], A.indptr[slice_ind + 1])
+    indices = A.indices[sel]
+    if return_array_ind:
+        return indices, sel
+    return indices
+
+
+def slice_sparse_matrix(A, ind):
+    """Columns (csc) or rows (csr) of a sparse matrix as a new matrix."""
+    fmt = A.getformat()
+    if fmt == "csc":
+        return A[:, np.atleast_1d(ind)]
+    if fmt == "csr":
+        return A[np.atleast_1d(ind)]
+    raise ValueError("slice_sparse_matrix needs a csc or csr matrix")
+
+
+def merge_matrices(A, B, lines, matrix_format: str) -> None:
+    """Replace columns (csc) or rows (csr) of ``A`` by those of ``B``
+    in place (reference ``matrix_operations.py:71``)."""
+    lines = np.atleast_1d(np.asarray(lines, dtype=int))
+    if matrix_format == "csc":
+        A_lil = A.tolil()
+        B_csc = B.tocsc()
+        for k, c in enumerate(lines):
+            col = B_csc[:, k].toarray().ravel()
+            A_lil[:, c] = col.reshape(-1, 1)
+        out = A_lil.tocsc()
+    elif matrix_format == "csr":
+        A_lil = A.tolil()
+        B_csr = B.tocsr()
+        for k, r in enumerate(lines):
+            A_lil[r] = B_csr[k].toarray().ravel()
+        out = A_lil.tocsr()
+    else:
+        raise ValueError("merge_matrices supports csc or csr")
+    A.data = out.data
+    A.indices = out.indices
+    A.indptr = out.indptr
+
+
+def stack_mat(A, B) -> None:
+    """Append the columns (csc) or rows (csr) of ``B`` to ``A`` in place."""
+    fmt = A.getformat()
+    if fmt == "csc":
+        out = sps.hstack([A, B.tocsc()]).tocsc()
+    elif fmt == "csr":
+        out = sps.vstack([A, B.tocsr()]).tocsr()
+    else:
+        raise ValueError("stack_mat supports csc or csr")
+    A.data = out.data
+    A.indices = out.indices
+    A.indptr = out.indptr
+    A._shape = out.shape
+
+
+def stack_diag(A, B):
+    """Block-diagonal stacking preserving the format of ``A``."""
+    return sps.block_diag([A, B], format=A.getformat())
+
+
+def optimized_compressed_storage(A):
+    """Store in the compressed format matching the matrix's aspect ratio
+    (csr for wide, csc for tall; reference ``matrix_operations.py:824``)."""
+    return A.tocsr() if A.shape[0] <= A.shape[1] else A.tocsc()
+
+
+def sparse_kronecker_product(matrix, nd: int):
+    """Expand a scalar-dof mapping to ``nd`` vector dofs:
+    ``kron(matrix, I_nd)`` (reference ``matrix_operations.py:1653``)."""
+    if nd == 1:
+        return matrix.tocsr()
+    return sps.kron(matrix, sps.identity(nd), format="csr")
+
+
+def csr_matrix_from_dense_blocks(data, block_size: int, num_blocks=None):
+    """Block-diagonal CSR from stacked equal-size dense blocks: ``data`` is
+    either a flat array of ``num_blocks * block_size**2`` entries (row-major
+    per block) or a ``(num_blocks, block_size, block_size)`` array."""
+    data = np.asarray(data, dtype=float)
+    if data.ndim == 3:
+        blocks = data
+    else:
+        blocks = data.reshape(-1, block_size, block_size)
+    return sps.block_diag(list(blocks), format="csr")
