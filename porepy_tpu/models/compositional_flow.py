@@ -66,6 +66,7 @@ __all__ = [
     "ConstitutiveLawsCF",
     "ConstitutiveLawsCFF",
     "BoundaryConditionsMulticomponent",
+    "BoundaryConditionsPhaseProperties",
     "BoundaryConditionsFractionalFlow",
     "BoundaryConditionsCF",
     "InitialConditionsFractions",
@@ -538,7 +539,48 @@ class BoundaryConditionsFractionalFlow(BoundaryConditionMixin):
         return np.zeros(bg.num_cells)
 
 
+class BoundaryConditionsPhaseProperties(BoundaryConditionMixin):
+    """Boundary values for surrogate-backed phase properties, evaluated
+    through each phase's EoS from the boundary values of the declared
+    dependencies (reference ``compositional_flow.py:1221``)."""
+
+    def update_all_boundary_conditions(self) -> None:
+        super().update_all_boundary_conditions()
+        for phase in self.fluid.phases:
+            deps = self.dependencies_of_phase_properties(phase)
+            if not deps or phase.eos is None:
+                continue
+            for bg in self.mdg.boundaries():
+                dep_vals = [
+                    np.asarray(self.equation_system.evaluate(d([bg])))
+                    for d in deps
+                ]
+                props = phase.eos.compute_phase_properties(
+                    phase.state, *dep_vals
+                )
+                from porepy_tpu.utils.solution_storage import (
+                    set_solution_values,
+                )
+
+                data = self.mdg.boundary_grid_data(bg)
+                for attr, vals in (
+                    ("density", props.rho),
+                    ("specific_enthalpy", props.h),
+                    ("viscosity", props.mu),
+                    ("thermal_conductivity", props.kappa),
+                ):
+                    factory = getattr(phase, attr, None)
+                    if isinstance(factory, ad.SurrogateFactory):
+                        set_solution_values(
+                            factory.name,
+                            np.asarray(vals),
+                            data,
+                            iterate_index=0,
+                        )
+
+
 class BoundaryConditionsCF(
+    BoundaryConditionsPhaseProperties,
     BoundaryConditionsMulticomponent,
     BoundaryConditionsEnergyBalance,
     BoundaryConditionsSinglePhaseFlow,
