@@ -595,6 +595,21 @@ class DeviceLinearSolver:
                 b_norm,
                 FALLBACK_COUNTER["count"],
             )
+            import os
+
+            dump_dir = os.environ.get("PPT_DUMP_FALLBACK_DIR")
+            if dump_dir:
+                path = os.path.join(
+                    dump_dir, f"fallback_{FALLBACK_COUNTER['count']}.npz"
+                )
+                np.savez(
+                    path,
+                    data=np.asarray(data),
+                    b=np.asarray(b),
+                    indices=self.system.indices_np,
+                    shape=np.asarray(self.system.shape),
+                )
+                logger.warning("Dumped failing system to %s", path)
             A = sps.csr_matrix(
                 (np.asarray(data), (self.system.indices_np[:, 0], self.system.indices_np[:, 1])),
                 shape=self.system.shape,
