@@ -294,6 +294,99 @@ class DeviceLinearSolver:
         self._diag_sel = jnp.asarray(diag_sel)
         self._diag_rows = jnp.asarray(rows[diag_sel])
 
+        # Padded-row (ELL) layout of the sparsity: the matvec becomes K
+        # gathers + a dense sum instead of a scatter-add. TPU scatter is
+        # near-serial (~10 ms per 90k-nnz segment-sum on the bench system);
+        # the gather form is orders of magnitude faster and is used for
+        # every per-iteration kernel. K is the max row population; FV md
+        # systems have narrow, balanced rows so padding waste is small.
+        order = np.lexsort((cols, rows))
+        r_sorted = rows[order]
+        counts = np.bincount(r_sorted, minlength=n)
+        K = int(counts.max()) if counts.size else 1
+        pos_in_row = np.arange(rows.size) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        ell_sel = np.full((n, K), rows.size, dtype=np.int64)
+        ell_col = np.full((n, K), n, dtype=np.int64)
+        ell_sel[r_sorted, pos_in_row] = order
+        ell_col[r_sorted, pos_in_row] = cols[order]
+        self._ell_sel = jnp.asarray(ell_sel)
+        self._ell_col = jnp.asarray(ell_col)
+
+        # Hybrid DIA + remainder layout for the per-iteration matvec: on
+        # TPU, arbitrary-index gathers/scatters are near-serial, but the
+        # bulk of an FV matrix on structured/semi-structured grids lies on
+        # a handful of diagonals, where the matvec is contiguous
+        # multiply-shift-add. Offsets covering >= 1/32 of the rows become
+        # dense diagonals (values scattered once per solve chunk); the
+        # irregular remainder (fracture/mortar couplings) stays as a small
+        # COO scatter.
+        self._dia_offsets: list[int] = []
+        self._num_dia = 0
+        self._rem_nr = 0
+        offs = cols.astype(np.int64) - rows.astype(np.int64)
+        uniq, counts_o = np.unique(offs, return_counts=True)
+        dia_offsets = uniq[counts_o >= max(n // 32, 8)]
+        if dia_offsets.size > 48:
+            dia_offsets = dia_offsets[
+                np.argsort(-counts_o[np.isin(uniq, dia_offsets)])[:48]
+            ]
+        on_dia = np.isin(offs, dia_offsets)
+        # Only worthwhile when the diagonals dominate (structured core +
+        # thin irregular coupling); on fully unstructured patterns fall
+        # back to the ELL matvec wholesale.
+        if n >= 256 and dia_offsets.size and on_dia.sum() >= 0.5 * offs.size:
+            off_to_k = {int(o): k for k, o in enumerate(dia_offsets)}
+            dia_k = np.array(
+                [off_to_k[int(o)] for o in offs[on_dia]], dtype=np.int64
+            )
+            self._dia_offsets = [int(o) for o in dia_offsets]
+            self._dia_scatter = (
+                jnp.asarray(dia_k * n + rows[on_dia]),
+                jnp.asarray(np.flatnonzero(on_dia)),
+            )
+            self._num_dia = int(dia_offsets.size)
+            # Remainder entries as a compact ELL over only the rows that
+            # have any, closed by one small unique-index scatter-add.
+            rem = np.flatnonzero(~on_dia)
+            if rem.size:
+                rrows = rows[rem]
+                rcols = cols[rem]
+                order_r = np.lexsort((rcols, rrows))
+                rs = rrows[order_r]
+                urows, rinv = np.unique(rs, return_inverse=True)
+                counts_r = np.bincount(rinv)
+                Kr = int(counts_r.max())
+                pos_r = np.arange(rem.size) - np.repeat(
+                    np.concatenate([[0], np.cumsum(counts_r)[:-1]]), counts_r
+                )
+                rem_sel = np.full((urows.size, Kr), rows.size, dtype=np.int64)
+                rem_col = np.full((urows.size, Kr), n, dtype=np.int64)
+                rem_sel[rinv, pos_r] = rem[order_r]
+                rem_col[rinv, pos_r] = rcols[order_r]
+                self._rem_ell_sel = jnp.asarray(rem_sel)
+                self._rem_ell_col = jnp.asarray(rem_col)
+                self._rem_urows = jnp.asarray(urows)
+                self._rem_nr = int(urows.size)
+
+        # Column-wise ELL (for the Ruiz column norms).
+        n_c = system.shape[1]
+        order_c = np.lexsort((rows, cols))
+        c_sorted = cols[order_c]
+        counts_c = np.bincount(c_sorted, minlength=n_c)
+        Kc = int(counts_c.max()) if counts_c.size else 1
+        pos_in_col = np.arange(cols.size) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts_c)[:-1]]), counts_c
+        )
+        ell_sel_c = np.full((n_c, Kc), cols.size, dtype=np.int64)
+        ell_sel_c[c_sorted, pos_in_col] = order_c
+        self._ell_sel_c = jnp.asarray(ell_sel_c)
+        # Diagonal positions in the nnz array per row (sentinel: nnz).
+        dpos = np.full(n, rows.size, dtype=np.int64)
+        dpos[rows[diag_sel]] = diag_sel
+        self._diag_pos = jnp.asarray(dpos)
+
         self._blocks: Optional[list[_Block]] = None
         if blocks is not None:
             stabilization = stabilization or {}
@@ -332,6 +425,12 @@ class DeviceLinearSolver:
             self._agg_key = jnp.asarray(
                 agg[rows] * n_coarse + agg[cols]
             )
+            # Scatter-free restriction: dofs permuted aggregate-contiguous,
+            # per-aggregate sums via cumulative-sum differences.
+            perm = np.argsort(agg, kind="stable")
+            ends = np.cumsum(np.bincount(agg, minlength=n_coarse))
+            self._agg_perm = jnp.asarray(perm)
+            self._agg_ends = jnp.asarray(ends - 1)
         self._jit = jax.jit(self._make_solve())
         if self._agg is not None:
 
@@ -412,17 +511,56 @@ class DeviceLinearSolver:
     # -- kernel construction ---------------------------------------------------
 
     def _matvec(self, data, x):
-        return jax.ops.segment_sum(
-            data * x[self._cols],
-            self._rows,
-            num_segments=self.n,
-            indices_are_sorted=True,
+        """ELL matvec: K gathers + dense reduce (no scatter)."""
+        data_p = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+        x_p = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        return jnp.sum(data_p[self._ell_sel] * x_p[self._ell_col], axis=1)
+
+    def _pack(self, data):
+        """Pre-arrange the nnz values for the fast per-iteration matvec:
+        scatter the dominant diagonals into a dense ``(D, n)`` band array
+        (one unique-index scatter, amortized over a whole Krylov chunk).
+        Returns ``(data, bands_or_None)``."""
+        if not self._num_dia:
+            return (data, None)
+        flat_idx, nnz_sel = self._dia_scatter
+        bands = (
+            jnp.zeros(self._num_dia * self.n, data.dtype)
+            .at[flat_idx]
+            .set(data[nnz_sel])
+            .reshape(self._num_dia, self.n)
         )
+        return (data, bands)
+
+    def _matvec_packed(self, packed, x):
+        """Hybrid DIA matvec: each dominant diagonal is a contiguous
+        multiply of a rolled copy of ``x`` (wrapped lanes hit stored zeros),
+        the irregular remainder goes through a compact per-row gather and
+        one small scatter-add. On TPU this replaces the arbitrary-index
+        ``(n, K)`` gather of the ELL form — the dominant cost of a Krylov
+        iteration on the tunneled runtime — with ~D streaming ops."""
+        data, bands = packed
+        if bands is None:
+            return self._matvec(data, x)
+        y = jnp.zeros_like(x)
+        for k, o in enumerate(self._dia_offsets):
+            y = y + bands[k] * jnp.roll(x, -o)
+        if self._rem_nr:
+            data_p = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+            x_p = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+            contrib = jnp.sum(
+                data_p[self._rem_ell_sel] * x_p[self._rem_ell_col], axis=1
+            )
+            y = y.at[self._rem_urows].add(contrib)
+        return y
+
+    def _row_reduce_abs(self, data):
+        data_p = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+        return jnp.sum(jnp.abs(data_p[self._ell_sel]), axis=1)
 
     def _global_diag(self, data):
-        d = jax.ops.segment_sum(
-            data[self._diag_sel], self._diag_rows, num_segments=self.n
-        )
+        data_p = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+        d = data_p[self._diag_pos]
         return jnp.where(jnp.abs(d) > 1e-300, d, 1.0)
 
     def _chebyshev_apply(self, matvec, dinv, r, lam_max, degree):
@@ -458,7 +596,9 @@ class DeviceLinearSolver:
         w = dinv * matvec(v)
         return jnp.vdot(v, w) * 1.1 + 1e-30
 
-    def _make_preconditioner(self, data, acinv=None):
+    def _make_preconditioner(self, data, acinv=None, packed=None):
+        if packed is None:
+            packed = self._pack(data)
         if self._blocks is None:
             dinv = 1.0 / self._global_diag(data)
             if self._agg is None or acinv is None:
@@ -470,24 +610,31 @@ class DeviceLinearSolver:
             # application is a dense matvec (MXU work).
             nc = self._n_coarse
             agg = self._agg
-            mv = lambda x: self._matvec(data, x)
+            mv = lambda x: self._matvec_packed(packed, x)
             # Damped sign-aware l1-Jacobi smoother: the raw diagonal can be
             # orders of magnitude below the row scale even after Ruiz
             # equilibration (md coupling rows), which makes plain Jacobi
             # smoothing explosively divergent. The row-abs-sum is ~1 after
             # equilibration, bounding the smoother.
-            row_l1 = jax.ops.segment_sum(
-                jnp.abs(data), self._rows, num_segments=self.n
-            )
+            row_l1 = self._row_reduce_abs(data)
             d_sign = jnp.where(self._global_diag(data) < 0, -1.0, 1.0)
             sinv = 0.5 * d_sign / jnp.maximum(row_l1, 1e-300)
 
+            perm = self._agg_perm
+            ends = self._agg_ends
+
+            def restrict(v):
+                cs = jnp.cumsum(v[perm])
+                tail = cs[ends]
+                return tail - jnp.concatenate([jnp.zeros(1), tail[:-1]])
+
+            def prolong(y_c):
+                return y_c[agg]
+
             def M(r):
                 y = sinv * r
-                r_c = jax.ops.segment_sum(
-                    r - mv(y), agg, num_segments=nc
-                )
-                y = y + (acinv @ r_c)[agg]
+                r_c = restrict(r - mv(y))
+                y = y + prolong(acinv @ r_c)
                 return y + sinv * (r - mv(y))
 
             return M
@@ -527,13 +674,19 @@ class DeviceLinearSolver:
         c = jnp.ones(n_c)
 
         def body(_i, rc):
+            # Row/column max norms through the padded-row/column gather
+            # layouts (scatter-free; see the ELL construction in __init__).
             r, c = rc
-            a = ad * r[self._rows] * c[self._cols]
-            rn = jax.ops.segment_max(a, self._rows, num_segments=n_r)
+            a_p = jnp.concatenate(
+                [ad * r[self._rows] * c[self._cols], jnp.zeros(1)]
+            )
+            rn = jnp.max(a_p[self._ell_sel], axis=1)
             rn = jnp.where(rn > 0, rn, 1.0)
             r = r / jnp.sqrt(rn)
-            a = ad * r[self._rows] * c[self._cols]
-            cn = jax.ops.segment_max(a, self._cols, num_segments=n_c)
+            a_p = jnp.concatenate(
+                [ad * r[self._rows] * c[self._cols], jnp.zeros(1)]
+            )
+            cn = jnp.max(a_p[self._ell_sel_c], axis=1)
             cn = jnp.where(cn > 0, cn, 1.0)
             c = c / jnp.sqrt(cn)
             return r, c
@@ -554,8 +707,9 @@ class DeviceLinearSolver:
             r, c = self._equilibrate(data)
             data_s = data * r[self._rows] * c[self._cols]
             b_s = r * b
-            M = self._make_preconditioner(data_s, acinv)
-            mv = lambda x: self._matvec(data_s, x)
+            packed_s = self._pack(data_s)
+            M = self._make_preconditioner(data_s, acinv, packed=packed_s)
+            mv = lambda x: self._matvec_packed(packed_s, x)
             y0 = x_in / c
             if self.method == "gmres":
                 y, _ = device_gmres(
