@@ -221,34 +221,53 @@ def run_structured() -> dict:
 
 
 def main() -> None:
+    import sys
+
     import porepy_tpu  # noqa: F401  (enables x64)
     from porepy_tpu.numerics.linalg.krylov import FALLBACK_COUNTER
 
     with open(os.path.join(os.path.dirname(__file__), "tools/ref_baselines.json")) as f:
         base = json.load(f)["cases"]
 
+    # BENCH_CASES selects a subset (comma separated: md,biot,structured);
+    # per-case progress lines go to stderr so a killed run still leaves
+    # usable partial numbers.
+    selected = os.environ.get("BENCH_CASES", "md,biot,structured").split(",")
     cases = {}
-    md = run_md_flow()
-    md["vs_baseline"] = round(
-        base["mdflow_mpfa_2d_128"]["total_s"] * 1000.0 / md["total_ms"], 1
-    )
-    md["ref_total_ms"] = round(base["mdflow_mpfa_2d_128"]["total_s"] * 1000.0, 1)
-    cases["mdflow_mpfa_2d_128"] = md
+    md = None
+    if "md" in selected:
+        md = run_md_flow()
+        md["vs_baseline"] = round(
+            base["mdflow_mpfa_2d_128"]["total_s"] * 1000.0 / md["total_ms"], 1
+        )
+        md["ref_total_ms"] = round(
+            base["mdflow_mpfa_2d_128"]["total_s"] * 1000.0, 1
+        )
+        cases["mdflow_mpfa_2d_128"] = md
+        print("# md:", json.dumps(md), file=sys.stderr, flush=True)
 
-    biot = run_biot()
-    biot["vs_baseline"] = round(
-        base["biot_poromech_2d_64"]["total_s"] * 1000.0 / biot["total_ms"], 1
-    )
-    biot["ref_total_ms"] = round(base["biot_poromech_2d_64"]["total_s"] * 1000.0, 1)
-    cases["biot_poromech_2d_64"] = biot
+    if "biot" in selected:
+        biot = run_biot()
+        biot["vs_baseline"] = round(
+            base["biot_poromech_2d_64"]["total_s"] * 1000.0 / biot["total_ms"], 1
+        )
+        biot["ref_total_ms"] = round(
+            base["biot_poromech_2d_64"]["total_s"] * 1000.0, 1
+        )
+        cases["biot_poromech_2d_64"] = biot
+        print("# biot:", json.dumps(biot), file=sys.stderr, flush=True)
 
-    st = run_structured()
-    st["vs_baseline"] = round(
-        base["tpfa_flow_3d_32cubed"]["total_s"] * 1000.0 / st["total_ms"], 1
-    )
-    cases["tpfa_structured_3d_32cubed"] = st
+    if "structured" in selected:
+        st = run_structured()
+        st["vs_baseline"] = round(
+            base["tpfa_flow_3d_32cubed"]["total_s"] * 1000.0 / st["total_ms"], 1
+        )
+        cases["tpfa_structured_3d_32cubed"] = st
+        print("# structured:", json.dumps(st), file=sys.stderr, flush=True)
 
     cases["device_fallbacks"] = FALLBACK_COUNTER["count"]
+    if md is None:
+        md = {"total_ms": float("nan"), "vs_baseline": float("nan")}
 
     print(
         json.dumps(

@@ -230,17 +230,37 @@ class CompositionalVariables(VariableMixin):
                 for p in self.fluid.phases
                 if p is not self.fluid.reference_phase
             ]
+            # Phase (molar) fractions are independent variables only when a
+            # local equilibrium condition is part of the model (reference
+            # ``compositional_mixins.py:484-492``); without equilibrium the
+            # formulation must be saturation-based and evaluating a phase
+            # fraction is a modelling error (reference
+            # ``compositional_mixins.py:776-783``).
+            has_equilibrium = (
+                self.params.get("equilibrium_condition", None) is not None
+            )
             for phase in independent_phases:
                 s_name = self._saturation_variable(phase)
                 self.equation_system.create_variables(
                     s_name, dof_info={"cells": 1}, subdomains=subdomains
                 )
                 phase.saturation = self._variable_accessor(s_name)
-                y_name = self._phase_fraction_variable(phase)
-                self.equation_system.create_variables(
-                    y_name, dof_info={"cells": 1}, subdomains=subdomains
-                )
-                phase.fraction = self._variable_accessor(y_name)
+                if has_equilibrium:
+                    y_name = self._phase_fraction_variable(phase)
+                    self.equation_system.create_variables(
+                        y_name, dof_info={"cells": 1}, subdomains=subdomains
+                    )
+                    phase.fraction = self._variable_accessor(y_name)
+                else:
+
+                    def _no_fraction(domains, _p=phase):
+                        raise CompositionalModellingError(
+                            "Phase fractions are not defined in a model "
+                            "without equilibrium; re-formulate using "
+                            "saturations."
+                        )
+
+                    phase.fraction = _no_fraction
 
             ref_phase = self.fluid.reference_phase
 
@@ -257,7 +277,18 @@ class CompositionalVariables(VariableMixin):
                 return closure
 
             ref_phase.saturation = unity_of("saturation")
-            ref_phase.fraction = unity_of("fraction")
+            if has_equilibrium:
+                ref_phase.fraction = unity_of("fraction")
+            else:
+
+                def _no_ref_fraction(domains):
+                    raise CompositionalModellingError(
+                        "Phase fractions are not defined in a model "
+                        "without equilibrium; re-formulate using "
+                        "saturations."
+                    )
+
+                ref_phase.fraction = _no_ref_fraction
 
             # Partial fractions per phase (multicomponent, no equilibrium:
             # independent variables except the in-phase reference).

@@ -124,8 +124,22 @@ class LocalElimination(EquationMixin):
             boundaries,
         )
         # Initialize surrogate values/derivatives from the current state so
-        # the first assembly sees consistent data.
+        # the first assembly sees consistent data, and overwrite the
+        # eliminated variable's iterate with the closure value (reference
+        # ``abstract_equations.py:396-403``) — the secondary equation then
+        # starts exactly satisfied.
         self._update_elimination(factory, func, non_boundaries)
+        for grid in non_boundaries:
+            X = [
+                self.equation_system.evaluate(d([grid]))
+                for d in factory._dependencies
+            ]
+            vals, _ = func(*X)
+            sub = [v for v in sec_var.sub_vars if v.domain is grid]
+            if sub:
+                self.equation_system.set_variable_values(
+                    np.asarray(vals, dtype=float), sub, iterate_index=0
+                )
 
     def _update_elimination(self, factory, func, domains) -> None:
         for grid in domains:

@@ -516,9 +516,13 @@ class AdvectiveFlux:
         discr,  # accepted for API parity; selection happens in-kernel
         bc_values: ad.Operator,
         interface_flux: Optional[Callable] = None,
+        bc_type: Optional[Callable] = None,
     ) -> ad.Operator:
         q = self.darcy_flux(subdomains)
-        geom, pattern = self._upwind_geometry(subdomains)
+        # Each advected quantity carries its own boundary-condition type
+        # (e.g. the enthalpy flux is Dirichlet on all faces while the fluid
+        # flux is not); the Dirichlet/Neumann face masks must match it.
+        geom, pattern = self._upwind_geometry(subdomains, bc_type)
 
         def f(q_v, w_v, bc_v):
             dir_mask, neu_coeff = upwind_boundary_masks(geom, q_v)
@@ -545,27 +549,33 @@ class AdvectiveFlux:
             projection = MortarProjections(self.mdg, subdomains, interfaces, dim=1)
             # Influx from lower-dimensional neighbors acts like a Neumann
             # pickup on the internal boundary faces.
-            neu_sel = self._neumann_pickup_operator(subdomains)
+            neu_sel = self._neumann_pickup_operator(subdomains, bc_type)
             flux = flux + neu_sel @ (
                 projection.mortar_to_primary_int() @ interface_flux(interfaces)
             )
         return flux
 
-    def _upwind_geometry(self, subdomains: Sequence):
+    def _upwind_geometry(self, subdomains: Sequence, bc_type=None):
+        if bc_type is None:
+            bc_type = self.bc_type_fluid_flux
         cache = getattr(self, "_upwind_geom_cache", None)
         if cache is None:
             cache = self._upwind_geom_cache = {}
-        key = tuple(sd.id for sd in subdomains)
+        key = (getattr(bc_type, "__name__", repr(bc_type)),) + tuple(
+            sd.id for sd in subdomains
+        )
         if key not in cache:
-            bcs = [self.bc_type_fluid_flux(sd) for sd in subdomains]
+            bcs = [bc_type(sd) for sd in subdomains]
             geom = UpwindGeometry(subdomains, bcs)
             cache[key] = (geom, geom.structural_pattern())
         return cache[key]
 
-    def _neumann_pickup_operator(self, subdomains: Sequence) -> ad.SparseArray:
+    def _neumann_pickup_operator(
+        self, subdomains: Sequence, bc_type=None
+    ) -> ad.SparseArray:
         import scipy.sparse as sps
 
-        geom, _ = self._upwind_geometry(subdomains)
+        geom, _ = self._upwind_geometry(subdomains, bc_type)
         coeff = np.asarray(geom.sgn_div) * np.asarray(geom.is_neu)
         return ad.SparseArray(
             sps.dia_matrix((coeff, 0), shape=(coeff.size, coeff.size)).tocsr(),

@@ -135,6 +135,7 @@ class TotalEnergyBalanceEquations(BalanceEquation):
             discr,
             boundary_operator,
             self.interface_enthalpy_flux,
+            bc_type=self.bc_type_enthalpy_flux,
         )
         flux.set_name("enthalpy_flux")
         return flux

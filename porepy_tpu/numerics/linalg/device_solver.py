@@ -177,20 +177,35 @@ def _aggregate_pattern(
     return agg.astype(np.int64), int(uniq.size)
 
 
-def _segment_matvec(data, sel, lr, lc, n_out, x):
-    """y[lr] += data[sel] * x[lc] — sub-block matvec over selected entries."""
-    return jax.ops.segment_sum(
-        data[sel] * x[lc], lr, num_segments=n_out, indices_are_sorted=True
+
+def _ell_layout(sel, lr, lc, n_rows, nnz_total, n_cols):
+    """Padded-row (ELL) gather layout of a sub-block's sparsity: returns
+    ``(ell_sel, ell_col)`` of shape ``(n_rows, K)`` with sentinel indices
+    ``nnz_total`` / ``n_cols`` (mapping to appended zeros). The matvec
+    becomes K gathers + a dense row sum — no scatter."""
+    order = np.lexsort((lc, lr))
+    r_sorted = lr[order]
+    counts = np.bincount(r_sorted, minlength=n_rows)
+    K = max(int(counts.max()) if counts.size else 1, 1)
+    pos = np.arange(lr.size) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
     )
+    ell_sel = np.full((n_rows, K), nnz_total, dtype=np.int64)
+    ell_col = np.full((n_rows, K), n_cols, dtype=np.int64)
+    ell_sel[r_sorted, pos] = sel[order]
+    ell_col[r_sorted, pos] = lc[order]
+    return jnp.asarray(ell_sel), jnp.asarray(ell_col)
 
 
 class _Block:
     """Static index maps of one diagonal field block and its sub-diagonal
-    couplings (for the lower Gauss-Seidel sweep)."""
+    couplings (for the lower Gauss-Seidel sweep). All matvecs use ELL
+    gather layouts — scatter-adds are near-serial on TPU."""
 
     def __init__(self, rows, cols, row_set, col_set, prev_col_sets, stab):
         n = len(row_set)
         self.n = n
+        nnz = rows.size
         row_local = -np.ones(int(rows.max()) + 2 if rows.size else 1, np.int64)
         row_local[row_set] = np.arange(n)
         col_local = -np.ones(int(cols.max()) + 2 if cols.size else 1, np.int64)
@@ -202,14 +217,19 @@ class _Block:
 
         # Diagonal block A_ii.
         sel = np.where(in_rows[rows] & in_cols[cols])[0]
-        self.sel = jnp.asarray(sel)
-        self.lr = jnp.asarray(row_local[rows[sel]])
-        self.lc = jnp.asarray(col_local[cols[sel]])
+        lr = row_local[rows[sel]]
+        lc = col_local[cols[sel]]
+        self.ell_sel, self.ell_col = _ell_layout(sel, lr, lc, n, nnz, n)
+        dsel = sel[lr == lc]
+        dpos = np.full(n, nnz, dtype=np.int64)
+        dpos[row_local[rows[dsel]]] = dsel
+        self._diag_pos = jnp.asarray(dpos)
         self.rows_g = jnp.asarray(row_set)
         self.cols_g = jnp.asarray(col_set)
         self.stab = jnp.asarray(stab) if stab is not None else None
 
-        # Couplings A_ij to already-solved blocks j < i.
+        # Couplings A_ij to already-solved blocks j < i (ELL over this
+        # block's rows; columns local to the previous block).
         self.couplings = []
         for prev_cols in prev_col_sets:
             pc_local = -np.ones(col_local.shape[0] - 1, np.int64)
@@ -218,29 +238,38 @@ class _Block:
             in_pc[prev_cols] = True
             selc = np.where(in_rows[rows] & in_pc[cols])[0]
             self.couplings.append(
-                (
-                    jnp.asarray(selc),
-                    jnp.asarray(row_local[rows[selc]]),
-                    jnp.asarray(pc_local[cols[selc]]),
+                _ell_layout(
+                    selc,
+                    row_local[rows[selc]],
+                    pc_local[cols[selc]],
+                    n,
+                    nnz,
+                    len(prev_cols),
                 )
             )
 
     def diag(self, data):
-        d = jax.ops.segment_sum(
-            jnp.where(self.lr == self.lc, data[self.sel], 0.0),
-            self.lr,
-            num_segments=self.n,
-            indices_are_sorted=True,
-        )
+        data_p = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+        d = data_p[self._diag_pos]
         if self.stab is not None:
             d = d + self.stab
         return jnp.where(jnp.abs(d) > 1e-300, d, 1.0)
 
     def matvec(self, data, x):
-        y = _segment_matvec(data, self.sel, self.lr, self.lc, self.n, x)
+        data_p = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+        x_p = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        y = jnp.sum(data_p[self.ell_sel] * x_p[self.ell_col], axis=1)
         if self.stab is not None:
             y = y + self.stab * x
         return y
+
+    def coupling_matvec(self, data, k, x):
+        """``A_ij @ x`` for the k-th registered coupling (x local to the
+        previous block j)."""
+        ell_sel, ell_col = self.couplings[k]
+        data_p = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+        x_p = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        return jnp.sum(data_p[ell_sel] * x_p[ell_col], axis=1)
 
 
 class DeviceLinearSolver:
@@ -269,6 +298,8 @@ class DeviceLinearSolver:
         tol: float = 1e-11,
         maxiter: Optional[int] = None,
         inner_degree: int = 6,
+        agg_size: int = 32,
+        restart: int = 40,
     ) -> None:
         if system.num_rows != system.shape[1]:
             raise ValueError("Device solve needs a square assembled system")
@@ -410,6 +441,8 @@ class DeviceLinearSolver:
             self._blocks = blist
 
         self._inner_degree = inner_degree
+        self._restart = restart
+        self._acinv_cache = None
         # Iterations per jitted dispatch: large enough to amortize launch
         # overhead, small enough that one kernel stays well under the TPU
         # runtime's execution watchdog.
@@ -419,7 +452,9 @@ class DeviceLinearSolver:
         # dense factorization and solves run on the MXU.
         self._agg = None
         if self._blocks is None and n > 64:
-            agg, n_coarse = _aggregate_pattern(rows, cols, n)
+            agg, n_coarse = _aggregate_pattern(
+                rows, cols, n, target_size=agg_size
+            )
             self._agg = jnp.asarray(agg)
             self._n_coarse = int(n_coarse)
             self._agg_key = jnp.asarray(
@@ -472,7 +507,16 @@ class DeviceLinearSolver:
             # compile racing execution hard-faults the tunneled TPU runtime.
             jax.block_until_ready(data)
             jax.block_until_ready(b)
-        acinv = self._coarse_inverse(data)
+        # The coarse-level dense inverse is cached across solves (Newton
+        # iterations): a slightly stale coarse correction is still a valid
+        # preconditioner, and rebuilding it costs a device round-trip plus a
+        # host factorization. It is refreshed whenever the first chunk fails
+        # to converge with the cached operator.
+        fresh = False
+        if self._acinv_cache is None:
+            self._acinv_cache = self._coarse_inverse(data)
+            fresh = True
+        acinv = self._acinv_cache
         if not self._warm and acinv is not None:
             jax.block_until_ready(acinv)
         b = jnp.asarray(b)
@@ -498,6 +542,9 @@ class DeviceLinearSolver:
             res = float(res_dev)
             if not np.isfinite(res) or res <= target:
                 break
+            if not fresh:
+                acinv = self._acinv_cache = self._coarse_inverse(data)
+                fresh = True
         # Bookkeeping for benchmark reporting (upper bound on Krylov
         # iterations actually run; the final chunk may exit early).
         self.last_stats = {
@@ -652,11 +699,11 @@ class DeviceLinearSolver:
             for blk, dinv, mv, lam in prepared:
                 r_i = r[blk.rows_g]
                 # Subtract coupling to already-solved fields: A_ij y_j.
-                for (sel, lr, lc), (pblk, _, _, _) in zip(
-                    blk.couplings, prepared[: len(blk.couplings)]
+                for k, (pblk, _, _, _) in enumerate(
+                    prepared[: len(blk.couplings)]
                 ):
                     y_j = y[pblk.cols_g]
-                    r_i = r_i - _segment_matvec(data, sel, lr, lc, blk.n, y_j)
+                    r_i = r_i - blk.coupling_matvec(data, k, y_j)
                 x_i = self._chebyshev_apply(mv, dinv, r_i, lam, self._inner_degree)
                 y = y.at[blk.cols_g].set(x_i)
             return y
@@ -700,7 +747,7 @@ class DeviceLinearSolver:
         unbounded while-loop kernel can run for minutes on hard systems and
         trips the TPU runtime's execution watchdog (observed as
         ``UNAVAILABLE: TPU device error`` on the tunneled runtime)."""
-        restart = 40
+        restart = self._restart
         cycles = max(self._chunk_iters // restart, 1)
 
         def solve_chunk(data, b, x_in, acinv):

@@ -72,6 +72,9 @@ def test_two_phase_variables_created():
     params = {
         "meshing_arguments": {"cell_size": 0.5},
         "suppress_export": True,
+        # Phase fraction (y) variables exist only with a local equilibrium
+        # condition (reference ``compositional_mixins.py:484-492``).
+        "equilibrium_condition": "p-T",
     }
     m = Model(params)
     m.set_materials()

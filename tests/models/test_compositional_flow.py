@@ -192,20 +192,13 @@ class _TwoPhaseCFF(pt.LocalElimination, pt.CompositionalFractionalFlowTemplate):
             lambda h: (h / CP + t_ref, np.vstack([np.full(h.size, 1.0 / CP)])),
             self.mdg.subdomains(),
         )
-        # Test closures: s_gas = z_gas and y_gas = z_gas.
+        # Test closure: s_gas = z_gas (no y-variables exist without an
+        # equilibrium condition; the formulation is saturation-based).
         gas = self.fluid.phases[1]
         ident = lambda z: (z, np.ones((1, z.size)))  # noqa: E731
         self.eliminate_locally(
             lambda sds: self.equation_system.md_variable(
                 self._saturation_variable(gas), sds
-            ),
-            [lambda sds: self.equation_system.md_variable("z_gas", sds)],
-            ident,
-            self.mdg.subdomains(),
-        )
-        self.eliminate_locally(
-            lambda sds: self.equation_system.md_variable(
-                self._phase_fraction_variable(gas), sds
             ),
             [lambda sds: self.equation_system.md_variable("z_gas", sds)],
             ident,
@@ -261,11 +254,9 @@ def test_cff_two_phase_runs():
     eq = m.equation_system
     z = eq.get_variable_values(["z_gas"], time_step_index=0)
     s = eq.get_variable_values(["s_gas"], time_step_index=0)
-    y = eq.get_variable_values(["y_gas"], time_step_index=0)
     assert np.all(np.isfinite(z))
-    # Closures hold at convergence.
+    # Closure holds at convergence (no y-variables without equilibrium).
     assert np.allclose(s, z, atol=1e-8)
-    assert np.allclose(y, z, atol=1e-8)
     # Gas stays within physical bounds.
     assert z.min() > -1e-6 and z.max() < 1.0
     # Surrogate gas density tracks the toy EoS exactly.
