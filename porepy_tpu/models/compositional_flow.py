@@ -252,6 +252,10 @@ class ComponentMassBalanceEquations(BalanceEquation):
             self.boundary_component_flux(component, list(domains)),
             partial(self.interface_component_flux, component),
         )
+        # Hybrid-upwinded counter-current buoyant flux (reference
+        # ``compositional_flow.py:636``).
+        if self.params.get("enable_buoyancy_effects", False):
+            flux = flux + self.component_buoyancy(component, list(domains))
         flux.set_name(f"component_flux_{component.name}")
         return flux
 
@@ -302,6 +306,12 @@ class ComponentMassBalanceEquations(BalanceEquation):
             )
             intf.set_name(f"interface_component_flux_source_{component.name}")
             source = source + intf
+        # Secondary-side jump of the interface buoyant coupling (reference
+        # ``compositional_flow.py:909``).
+        if self.params.get("enable_buoyancy_effects", False):
+            source = source + self.component_buoyancy_jump(
+                component, subdomains
+            )
         return source
 
 
@@ -380,7 +390,22 @@ class EnthalpyBasedEnergyBalanceEquations(TotalEnergyBalanceEquations):
             return self.advection_weight_energy_balance(
                 domains
             ) * self.darcy_flux(domains)
-        return super().enthalpy_flux(domains)
+        flux = super().enthalpy_flux(domains)
+        # Hybrid-upwinded buoyant enthalpy flux (reference
+        # ``compositional_flow.py:482-487``).
+        if self.params.get("enable_buoyancy_effects", False) and not all(
+            isinstance(d, BoundaryGrid) for d in domains
+        ):
+            flux = flux + self.enthalpy_buoyancy(list(domains))
+        return flux
+
+    def energy_source(self, subdomains: Sequence) -> ad.Operator:
+        source = super().energy_source(subdomains)
+        # Secondary-side jump of the buoyant enthalpy coupling (reference
+        # ``compositional_flow.py:489-493``).
+        if self.params.get("enable_buoyancy_effects", False):
+            source = source + self.enthalpy_buoyancy_jump(list(subdomains))
+        return source
 
 
 # -- aggregated mixins ------------------------------------------------------------
@@ -465,6 +490,10 @@ class ConstitutiveLawsCF(
     constitutive_laws.EnthalpyFromTemperature,
     constitutive_laws.FluidDensityFromPressureAndTemperature,
     constitutive_laws.ConstantViscosity,
+    # FluidBuoyancy above the zero default: the fluid gravity force is the
+    # fractionally weighted density unless 'enable_buoyancy_effects' is
+    # False (reference ``compositional_flow.py:1014-1017``).
+    constitutive_laws.FluidBuoyancy,
     constitutive_laws.ZeroGravityForce,
     constitutive_laws.FluidMobility,
     constitutive_laws.ThermalConductivityLTE,

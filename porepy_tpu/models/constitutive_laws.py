@@ -1526,6 +1526,343 @@ class FluidMobility:
         return UpwindAd(self.mobility_keyword, [], self.mdg)
 
 
+class FluidBuoyancy:
+    """Buoyancy for multiphase fractional flow (reference
+    ``fluid_property_library.py:464``): the Darcy flux's gravity vector
+    source carries the fractional-flow-weighted mixture density, and the
+    hybrid-upwinding scheme of Bosma et al. (2022) adds pairwise
+    counter-current buoyant fluxes per phase pair.
+
+    TPU-native: the reference stores signed per-pair face-flux arrays and
+    re-discretizes per-pair Upwind matrices every nonlinear iteration
+    (reference ``fluid_property_library.py:1130-1260``); here the pair
+    upwind directions are the in-kernel sign of the density-driven flux
+    (gradient-stopped), so no stored arrays or rediscretization exist.
+
+    The gravity force is active by default
+    (``params['enable_buoyancy_effects']`` defaults to True here, matching
+    reference ``fluid_property_library.py:684``); the equation-level
+    buoyant fluxes are added by the compositional-flow equations under the
+    same parameter (defaulting to False there, reference
+    ``compositional_flow.py:482-493``).
+    """
+
+    def set_buoyancy_discretization_parameters(self) -> None:
+        """No-op: the reference initializes per-pair Upwind parameter
+        containers and signed flux arrays here (reference
+        ``fluid_property_library.py:1130``); the in-kernel upwinding has no
+        stored state. Kept so reference model setups port unchanged."""
+
+    def set_nonlinear_buoyancy_discretization(self) -> None:
+        """No-op: the reference registers per-pair Upwind matrices for
+        rediscretization (reference ``fluid_property_library.py:1156``);
+        in-kernel directions re-evaluate on every residual call."""
+
+    def update_buoyancy_driven_fluxes(self) -> None:
+        """No-op: the reference recomputes and stores the signed pair flux
+        arrays before each nonlinear iteration (reference
+        ``fluid_property_library.py:1194``)."""
+
+    def fractionally_weighted_density(self, domains: Sequence) -> ad.Operator:
+        op = ad.sum_operator_list(
+            [
+                self.fractional_phase_mass_mobility(phase, domains)
+                * phase.density(domains)
+                for phase in self.fluid.phases
+            ],
+            "fractionally_weighted_density",
+        )
+        return op
+
+    def gravity_field(self, subdomains: Sequence) -> ad.Operator:
+        from porepy_tpu.utils import common_constants as cc
+
+        val = self.units.convert_units(cc.GRAVITY_ACCELERATION, "m*s^-2")
+        return ad.Scalar(val, "gravity_field")
+
+    def gravity_force(self, grids: Sequence, material: str) -> ad.Operator:
+        if material == "fluid" and self.params.get(
+            "enable_buoyancy_effects", True
+        ):
+            rho = self.fractionally_weighted_density(grids)
+            e_n = self.e_i(grids, i=self.nd - 1, dim=self.nd)
+            op = ad.Scalar(-1.0) * (e_n @ (rho * self.gravity_field(grids)))
+            op.set_name("overall_gravity_flux")
+            return op
+        return super().gravity_force(grids, material)
+
+    def density_driven_flux(
+        self, subdomains: Sequence, density_metric: ad.Operator
+    ) -> ad.Operator:
+        """Face flux induced by ``density_metric * g`` along the gravity
+        direction, through the Darcy discretization's vector-source matrix
+        (reference ``fluid_property_library.py:711``)."""
+        e_n = self.e_i(subdomains, i=self.nd - 1, dim=self.nd)
+        gravity_flux = ad.Scalar(-1.0) * (
+            e_n @ (density_metric * self.gravity_field(subdomains))
+        )
+        discr = self.darcy_flux_discretization(subdomains)
+        w_flux = discr.vector_source() @ gravity_flux
+        w_flux.set_name("density_driven_flux")
+        return w_flux
+
+    def interface_density_driven_flux(
+        self, interfaces: Sequence, density_metric: ad.Operator
+    ) -> ad.Operator:
+        """Mortar flux induced by ``density_metric * g`` across interfaces
+        (reference ``fluid_property_library.py:753``)."""
+        from porepy_tpu.numerics.ad.grid_operators import MortarProjections
+
+        normals = self.outwards_internal_boundary_normals(
+            interfaces, unitary=True
+        )
+        subdomains = self.interfaces_to_subdomains(interfaces)
+        projection = MortarProjections(
+            self.mdg, subdomains, interfaces, dim=self.nd
+        )
+        e_n = self.e_i(subdomains, i=self.nd - 1, dim=self.nd)
+        gravity_flux = ad.Scalar(-1.0) * (
+            e_n @ (density_metric * self.gravity_field(subdomains))
+        )
+        intf_vector_source = (
+            projection.secondary_to_mortar_avg() @ gravity_flux
+        )
+        normals_times_source = normals * intf_vector_source
+        import scipy.sparse as sps
+
+        bas = self.basis(interfaces, dim=self.nd)
+        mat = bas[0].mat.T
+        for e in bas[1:]:
+            mat = mat + e.mat.T
+        nd_to_scalar_sum = ad.SparseArray(
+            sps.csr_matrix(mat), "nd_to_scalar_sum"
+        )
+        w_flux = self.volume_integral(
+            self.normal_permeability(interfaces)
+            * (nd_to_scalar_sum @ normals_times_source),
+            interfaces,
+            1,
+        )
+        w_flux.set_name("interface_density_driven_flux")
+        return w_flux
+
+    def phase_pairs_for(self, phase) -> list[tuple]:
+        from itertools import combinations
+
+        pairs = []
+        for pair in combinations(self.fluid.phases, 2):
+            if phase not in pair:
+                continue
+            if pair[0] is phase:
+                pairs.append((pair[0], pair[1]))
+            else:
+                pairs.append((pair[1], pair[0]))
+        return pairs
+
+    def _buoyancy_upwind_geometry(self, subdomains: Sequence):
+        """Upwind geometry with all-Neumann boundaries: buoyant fluxes
+        vanish on external boundary faces (the reference initializes the
+        pair Upwind discretizations with default all-Neumann data,
+        ``fluid_property_library.py:1130``)."""
+        from porepy_tpu.numerics.fv.upwind import UpwindGeometry
+        from porepy_tpu.params.bc import BoundaryCondition
+
+        cache = getattr(self, "_buoy_geom_cache", None)
+        if cache is None:
+            cache = self._buoy_geom_cache = {}
+        key = tuple(sd.id for sd in subdomains)
+        if key not in cache:
+            bcs = [BoundaryCondition(sd) for sd in subdomains]
+            geom = UpwindGeometry(subdomains, bcs)
+            cache[key] = (geom, geom.structural_pattern())
+        return cache[key]
+
+    def _pair_buoyancy_flux(
+        self, adv_gamma, gamma, delta, subdomains: Sequence
+    ) -> list[ad.Operator]:
+        """Counter-current pair flux ``up_w(adv*f_g) * up_{-w}(f_d) * w``
+        with ``w`` the density-driven flux of ``rho_g - rho_d`` (reference
+        ``fluid_property_library.py:798``), plus the mortar pickup on
+        internal boundaries when interfaces exist."""
+        import jax
+        import jax.numpy as jnp
+
+        from porepy_tpu.numerics.fv.upwind import upwind_apply
+
+        w = self.density_driven_flux(
+            subdomains, gamma.density(subdomains) - delta.density(subdomains)
+        )
+        wg = adv_gamma * self.fractional_phase_mass_mobility(gamma, subdomains)
+        wd = self.fractional_phase_mass_mobility(delta, subdomains)
+        geom, pattern = self._buoyancy_upwind_geometry(subdomains)
+
+        def f(w_v, g_v, d_v):
+            up_g = upwind_apply(geom, w_v, g_v)
+            up_d = upwind_apply(geom, -w_v, d_v)
+            return up_g * up_d * w_v
+
+        def pattern_fn(child_patterns, ndof):
+            from porepy_tpu.numerics.ad.compiler import _union
+
+            w_pat, g_pat, d_pat = child_patterns
+            out = (pattern @ _union(g_pat, d_pat)).astype(bool).tocsr()
+            return _union(out, w_pat)
+
+        fn = ad.Function(
+            f,
+            name=f"buoyancy_flux_{gamma.name}_{delta.name}",
+            pattern_fn=pattern_fn,
+        )
+        fluxes = [fn(w, wg, wd)]
+
+        interfaces = self.subdomains_to_interfaces(subdomains, [1])
+        if interfaces:
+            coupling = self._pair_interface_coupling(
+                adv_gamma, gamma, delta, subdomains, interfaces
+            )
+            from porepy_tpu.numerics.ad.grid_operators import (
+                MortarProjections,
+            )
+
+            projection = MortarProjections(
+                self.mdg, subdomains, interfaces, dim=1
+            )
+            neu_sel = self._neumann_pickup_operator(
+                subdomains, self._all_neumann_bc
+            )
+            fluxes.append(
+                neu_sel
+                @ (projection.mortar_to_primary_int() @ coupling)
+            )
+        return fluxes
+
+    def _all_neumann_bc(self, sd):
+        from porepy_tpu.params.bc import BoundaryCondition
+
+        return BoundaryCondition(sd)
+
+    def _pair_interface_coupling(
+        self, adv_gamma, gamma, delta, subdomains, interfaces
+    ) -> ad.Operator:
+        """Upwinded interface buoyant coupling ``(up_w[adv*f_g] *
+        up_{-w}[f_d]) * w_intf`` with upstream sides selected in-kernel by
+        the sign of the interface density-driven flux."""
+        import jax
+        import jax.numpy as jnp
+
+        from porepy_tpu.numerics.ad.grid_operators import (
+            MortarProjections,
+            Trace,
+        )
+
+        intf_w = self.interface_density_driven_flux(
+            interfaces, gamma.density(subdomains) - delta.density(subdomains)
+        )
+        projection = MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+        trace = Trace(subdomains)
+        wg = adv_gamma * self.fractional_phase_mass_mobility(gamma, subdomains)
+        wd = self.fractional_phase_mass_mobility(delta, subdomains)
+        gp = projection.primary_to_mortar_avg() @ (trace @ wg)
+        gs = projection.secondary_to_mortar_avg() @ wg
+        dp = projection.primary_to_mortar_avg() @ (trace @ wd)
+        ds = projection.secondary_to_mortar_avg() @ wd
+
+        def f(w_v, gp_v, gs_v, dp_v, ds_v):
+            pos = jax.lax.stop_gradient(w_v) >= 0
+            up_g = jnp.where(pos, gp_v, gs_v)
+            up_d = jnp.where(pos, ds_v, dp_v)
+            return up_g * up_d * w_v
+
+        import jax.numpy as jnp
+
+        def pattern_fn(child_patterns, ndof):
+            from porepy_tpu.numerics.ad.compiler import _union
+
+            out = child_patterns[0]
+            for p in child_patterns[1:]:
+                out = _union(out, p)
+            return out
+
+        fn = ad.Function(
+            f,
+            name=f"interface_buoyancy_{gamma.name}_{delta.name}",
+            pattern_fn=pattern_fn,
+        )
+        return fn(intf_w, gp, gs, dp, ds)
+
+    def _pair_buoyancy_jump(
+        self, adv_gamma, gamma, delta, subdomains: Sequence
+    ) -> list[ad.Operator]:
+        """Secondary-side source from the interface buoyant coupling
+        (reference ``fluid_property_library.py:904``)."""
+        interfaces = self.subdomains_to_interfaces(subdomains, [1])
+        if not interfaces:
+            return []
+        from porepy_tpu.numerics.ad.grid_operators import MortarProjections
+
+        coupling = self._pair_interface_coupling(
+            adv_gamma, gamma, delta, subdomains, interfaces
+        )
+        projection = MortarProjections(self.mdg, subdomains, interfaces, dim=1)
+        return [projection.mortar_to_secondary_int() @ coupling]
+
+    def component_buoyancy(self, component, domains: Sequence) -> ad.Operator:
+        """Total buoyant flux of a component: counter-current pair fluxes
+        advecting its partial fraction in each phase (reference
+        ``fluid_property_library.py:1025``)."""
+        fluxes = [self.density_driven_flux(domains, ad.Scalar(0.0))]
+        for phase in self.fluid.phases:
+            for gamma, delta in self.phase_pairs_for(phase):
+                # A component absent from phase gamma is not advected by it.
+                if component not in gamma.partial_fraction_of:
+                    continue
+                chi = gamma.partial_fraction_of[component](domains)
+                fluxes += self._pair_buoyancy_flux(chi, gamma, delta, domains)
+        op = ad.sum_operator_list(fluxes)
+        op.set_name(f"component_buoyancy_{component.name}")
+        return op
+
+    def enthalpy_buoyancy(self, domains: Sequence) -> ad.Operator:
+        """Total buoyant enthalpy flux (reference
+        ``fluid_property_library.py:1051``)."""
+        fluxes = [self.density_driven_flux(domains, ad.Scalar(0.0))]
+        for phase in self.fluid.phases:
+            for gamma, delta in self.phase_pairs_for(phase):
+                h = gamma.specific_enthalpy(domains)
+                fluxes += self._pair_buoyancy_flux(h, gamma, delta, domains)
+        op = ad.sum_operator_list(fluxes)
+        op.set_name("enthalpy_buoyancy")
+        return op
+
+    def component_buoyancy_jump(self, component, domains: Sequence) -> ad.Operator:
+        num = sum(g.num_cells for g in domains)
+        fluxes = [
+            ad.DenseArray(np.zeros(num), name="component_buoyancy_jump_zero")
+        ]
+        for phase in self.fluid.phases:
+            for gamma, delta in self.phase_pairs_for(phase):
+                if component not in gamma.partial_fraction_of:
+                    continue
+                chi = gamma.partial_fraction_of[component](domains)
+                fluxes += self._pair_buoyancy_jump(chi, gamma, delta, domains)
+        op = ad.sum_operator_list(fluxes)
+        op.set_name(f"component_buoyancy_jump_{component.name}")
+        return op
+
+    def enthalpy_buoyancy_jump(self, domains: Sequence) -> ad.Operator:
+        num = sum(g.num_cells for g in domains)
+        fluxes = [
+            ad.DenseArray(np.zeros(num), name="enthalpy_buoyancy_jump_zero")
+        ]
+        for phase in self.fluid.phases:
+            for gamma, delta in self.phase_pairs_for(phase):
+                h = gamma.specific_enthalpy(domains)
+                fluxes += self._pair_buoyancy_jump(h, gamma, delta, domains)
+        op = ad.sum_operator_list(fluxes)
+        op.set_name("enthalpy_buoyancy_jump")
+        return op
+
+
 class ConstantPorosity:
     def porosity(self, subdomains: Sequence) -> ad.Operator:
         return ad.Scalar(self.solid.porosity, "porosity")

@@ -12,6 +12,13 @@ from tests.conftest import requires_reference
 
 CP = 42.0
 R_GAS = 2.0
+# Gas density law rho = GAS_RHO[0] + GAS_RHO[1] * p, mutated per test (the
+# buoyancy parity test uses a mild contrast so plain Newton stays stable).
+GAS_RHO = [0.9, 0.5]
+# Buoyancy test: both components live in both phases (the reference's
+# component_buoyancy indexes partial fractions of every phase), closed by
+# eliminating the independent partial fractions to the immiscible limit.
+MISCIBLE = [False]
 
 
 def _material_params(mod):
@@ -47,8 +54,8 @@ def _wire(base_template, mod, eos_cls, elimination_mixin, state_liquid, state_ga
             n = np.asarray(p).size
             states = mod_states[0]
             return states(
-                rho=0.9 + np.asarray(p) / R_GAS,
-                drho=np.vstack([np.full(n, 1.0 / R_GAS)]),
+                rho=GAS_RHO[0] + GAS_RHO[1] * np.asarray(p),
+                drho=np.vstack([np.full(n, GAS_RHO[1])]),
                 h=np.full(n, 3.0),
                 dh=np.zeros((1, n)),
                 mu=np.full(n, 1.0),
@@ -99,8 +106,12 @@ def _wire(base_template, mod, eos_cls, elimination_mixin, state_liquid, state_ga
             ]
 
         def set_components_in_phases(self, components, phases):
-            phases[0].components = [components[0]]
-            phases[1].components = [components[1]]
+            if MISCIBLE[0]:
+                phases[0].components = list(components)
+                phases[1].components = list(components)
+            else:
+                phases[0].components = [components[0]]
+                phases[1].components = [components[1]]
 
         def dependencies_of_phase_properties(self, phase):
             return [lambda domains: self.pressure(domains)]
@@ -132,6 +143,38 @@ def _wire(base_template, mod, eos_cls, elimination_mixin, state_liquid, state_ga
                 ident,
                 elim_domains,
             )
+            if MISCIBLE[0]:
+                # Immiscible limit closures: co2 only in gas, water only in
+                # liquid (x_co2_liquid = 0, x_co2_gas = 1; the in-phase
+                # reference fractions follow by unity).
+                liq = self.fluid.phases[0]
+                co2 = self.fluid.components[1]
+                const0 = lambda pv: (  # noqa: E731
+                    np.zeros(pv.size), np.zeros((1, pv.size))
+                )
+                const1 = lambda pv: (  # noqa: E731
+                    np.ones(pv.size), np.zeros((1, pv.size))
+                )
+                self.eliminate_locally(
+                    liq.partial_fraction_of[co2], [self.pressure],
+                    const0, elim_domains,
+                )
+                self.eliminate_locally(
+                    gas.partial_fraction_of[co2], [self.pressure],
+                    const1, elim_domains,
+                )
+            if self.params.get("enable_buoyancy_effects", False):
+                self.set_buoyancy_discretization_parameters()
+
+        def set_nonlinear_discretizations(self):
+            super().set_nonlinear_discretizations()
+            if self.params.get("enable_buoyancy_effects", False):
+                self.set_nonlinear_buoyancy_discretization()
+
+        def before_nonlinear_iteration(self):
+            if self.params.get("enable_buoyancy_effects", False):
+                self.update_buoyancy_driven_fluxes()
+            super().before_nonlinear_iteration()
 
         def bc_type_fluid_flux(self, sd):
             sides = self.domain_boundary_sides(sd)
@@ -152,7 +195,7 @@ def _wire(base_template, mod, eos_cls, elimination_mixin, state_liquid, state_ga
         # phases and kr = s, the boundary/initial enthalpy and the
         # fractional-flow weights all derive from (p, z).
         def _state(self, p, z):
-            rho_g = 0.9 + np.asarray(p) / R_GAS
+            rho_g = GAS_RHO[0] + GAS_RHO[1] * np.asarray(p)
             lam_g = z * rho_g
             lam_l = (1.0 - z) * 1.0
             lam = lam_g + lam_l
@@ -208,15 +251,26 @@ def _wire(base_template, mod, eos_cls, elimination_mixin, state_liquid, state_ga
             # density collapses to the reference phase.
             super().initial_condition()
             gas = self.fluid.phases[1]
-            vals = np.concatenate(
-                [np.full(sd.num_cells, 0.1) for sd in self.mdg.subdomains()]
-            )
+            n_all = sum(sd.num_cells for sd in self.mdg.subdomains())
             self.equation_system.set_variable_values(
-                vals,
+                np.full(n_all, 0.1),
                 [self._saturation_variable(gas)],
                 time_step_index=0,
                 iterate_index=0,
             )
+            if MISCIBLE[0]:
+                liq = self.fluid.phases[0]
+                co2 = self.fluid.components[1]
+                for var_name, val in (
+                    (self._partial_fraction_variable(co2, liq), 0.0),
+                    (self._partial_fraction_variable(co2, gas), 1.0),
+                ):
+                    self.equation_system.set_variable_values(
+                        np.full(n_all, val),
+                        [var_name],
+                        time_step_index=0,
+                        iterate_index=0,
+                    )
 
     return Model
 
@@ -224,8 +278,7 @@ def _wire(base_template, mod, eos_cls, elimination_mixin, state_liquid, state_ga
 mod_states = [None]
 
 
-@requires_reference
-def test_cff_two_phase_matches_reference(ref_pp):
+def _run_parity(ref_pp, extra_params):
     # Ours.
     mod_states[0] = pt.PhaseState
     Ours = _wire(
@@ -236,7 +289,7 @@ def test_cff_two_phase_matches_reference(ref_pp):
         pt.PhysicalState.liquid,
         pt.PhysicalState.gas,
     )
-    params = _common_params(pt)
+    params = {**_common_params(pt), **extra_params}
     ours = Ours(params)
     pt.run_time_dependent_model(ours, params)
     eq_o = ours.equation_system
@@ -253,7 +306,7 @@ def test_cff_two_phase_matches_reference(ref_pp):
         ref_comp.PhysicalState.liquid,
         ref_comp.PhysicalState.gas,
     )
-    ref_params = _common_params(ref_pp)
+    ref_params = {**_common_params(ref_pp), **extra_params}
     theirs = Theirs(ref_params)
     ref_pp.run_time_dependent_model(theirs)
     eq_r = theirs.equation_system
@@ -272,3 +325,29 @@ def test_cff_two_phase_matches_reference(ref_pp):
             var,
             np.abs(ours_v - ref_v).max(),
         )
+    return eq_o, eq_r
+
+
+@requires_reference
+def test_cff_two_phase_matches_reference(ref_pp):
+    GAS_RHO[:] = [0.9, 0.5]
+    _run_parity(ref_pp, {})
+
+
+@requires_reference
+def test_cff_buoyancy_matches_reference(ref_pp):
+    """Gravity + hybrid-upwinding buoyant fluxes enabled on both sides:
+    mild density contrast keeps plain Newton stable while exercising the
+    fractionally weighted gravity force and the pairwise counter-current
+    buoyancy terms (reference ``fluid_property_library.py:464``)."""
+    GAS_RHO[:] = [0.99, 0.005]
+    MISCIBLE[0] = True
+    try:
+        eq_o, _ = _run_parity(ref_pp, {"enable_buoyancy_effects": True})
+        # Gravity actually acted: the pressure field varies vertically.
+        p = eq_o.get_variable_values(["pressure"], time_step_index=0)
+        sd_p = p.reshape(4, 4)
+        assert np.abs(np.diff(sd_p, axis=0)).max() > 1e-6
+    finally:
+        GAS_RHO[:] = [0.9, 0.5]
+        MISCIBLE[0] = False

@@ -243,6 +243,7 @@ def test_cff_two_phase_runs():
         "grid_type": "cartesian",
         "meshing_arguments": {"cell_size": 0.25},
         "fractional_flow": True,
+        "enable_buoyancy_effects": False,
         "material_constants": {
             "solid": pt.SolidConstants(permeability=1.0, porosity=0.2),
         },
@@ -273,6 +274,7 @@ def test_mass_weighted_permeability_tensor_updates():
         "grid_type": "cartesian",
         "meshing_arguments": {"cell_size": 0.5},
         "fractional_flow": True,
+        "enable_buoyancy_effects": False,
         "material_constants": {
             "solid": pt.SolidConstants(permeability=2.0, porosity=0.2),
         },
