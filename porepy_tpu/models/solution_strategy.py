@@ -225,6 +225,8 @@ class SolutionStrategy(FluidMixin):
         self.nonlinear_solver_statistics.reset()
         self.update_time_dependent_ad_arrays()
         self.update_derived_quantities()
+        # Reset the Eisenstat-Walker history at the start of each Newton loop.
+        self._ew_prev_residual = None
 
     def before_nonlinear_iteration(self) -> None:
         self.rediscretize()
@@ -354,11 +356,38 @@ class SolutionStrategy(FluidMixin):
             x = solve_sparse(A, b, method=solver.split("_")[1])
         elif solver.startswith("device"):
             data, b_dev, cs = self._device_assembly
-            x = self._device_solver_for(cs).solve(data, b_dev)
+            x = self._device_solver_for(cs).solve(
+                data, b_dev, tol=self._inexact_newton_tol(b)
+            )
         else:
             raise ValueError(f"Unknown linear solver {solver!r}")
         logger.info(f"Solved linear system in {_time.time() - tic:.2e} s")
         return np.atleast_1d(x)
+
+    def _inexact_newton_tol(self, b: np.ndarray) -> Optional[float]:
+        """Eisenstat-Walker forcing term for the device Krylov solve: the
+        linear solve only needs to out-converge the current nonlinear
+        residual contraction. ``eta_k = 0.9 (|F_k|/|F_{k-1}|)^2`` capped to
+        [tight, 0.1]; the first iteration of each Newton loop uses 0.1.
+        A direct-solver-grade tolerance at every Newton iteration (the
+        reference's spsolve) wastes most Krylov iterations — the converged
+        nonlinear solution is identical, controlled by the nonlinear
+        tolerances. Disable with ``params['inexact_newton'] = False``."""
+        if not self.params.get("inexact_newton", True):
+            return None
+        # A linear problem is accepted after a single solve with no
+        # residual check — the one solve must be direct-solver-grade.
+        if not self._is_nonlinear_problem():
+            return None
+        tight = self.params.get("linear_solver_tol", 1e-11)
+        b_norm = float(np.linalg.norm(b))
+        prev = getattr(self, "_ew_prev_residual", None)
+        if prev is not None and prev > 0.0 and np.isfinite(prev):
+            eta = 0.9 * (b_norm / prev) ** 2
+        else:
+            eta = 0.1
+        self._ew_prev_residual = b_norm
+        return float(np.clip(eta, tight, 0.1))
 
     def _initialize_linear_solver(self) -> None:
         solver = self.params["linear_solver"]
