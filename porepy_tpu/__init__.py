@@ -124,6 +124,10 @@ from porepy_tpu.numerics.fv.upwind import Upwind  # noqa: E402,F401
 from porepy_tpu.numerics.fracture_deformation import (  # noqa: E402,F401
     propagate_fractures,
 )
+from porepy_tpu.numerics.fracture_deformation.conforming_propagation import (  # noqa: E402,F401
+    ConformingFracturePropagation,
+)
+from porepy_tpu.numerics import displacement_correlation  # noqa: E402,F401
 from porepy_tpu.numerics.nonlinear.nonlinear_solvers import (  # noqa: E402,F401
     NewtonSolver,
 )
@@ -204,9 +208,17 @@ from porepy_tpu.numerics.fv.mpsa import Mpsa  # noqa: E402,F401
 from porepy_tpu.numerics.fv.tpsa import Tpsa  # noqa: E402,F401
 from porepy_tpu.numerics.vem.mvem import MVEM  # noqa: E402,F401
 from porepy_tpu.numerics.vem.hybrid import HybridDualVEM  # noqa: E402,F401
+from porepy_tpu.numerics.vem.mass_matrix import (  # noqa: E402,F401
+    MixedInvMassMatrix,
+    MixedMassMatrix,
+)
+from porepy_tpu.numerics.vem.vem_source import (  # noqa: E402,F401
+    DualScalarSource,
+)
 from porepy_tpu.numerics.fem.rt0 import RT0  # noqa: E402,F401
 from porepy_tpu.models import energy_balance  # noqa: E402,F401
 from porepy_tpu.models import compositional_flow  # noqa: E402,F401
+from porepy_tpu.models import fracture_damage  # noqa: E402,F401
 from porepy_tpu.models.compositional_flow import (  # noqa: E402,F401
     CompositionalFlowTemplate,
     CompositionalFractionalFlowTemplate,

@@ -119,6 +119,10 @@ class SolidConstants(Constants):
         "density": "kg * m^-3",
         "biot_coefficient": "-",
         "dilation_angle": "rad",
+        "dilation_damage_decay": "-",
+        "friction_damage_decay": "-",
+        "initial_dilation_damage": "-",
+        "initial_friction_damage": "-",
         "fracture_gap": "m",
         "fracture_normal_stiffness": "Pa * m^-1",
         "fracture_tangential_stiffness": "Pa * m^-1",
@@ -141,10 +145,14 @@ class SolidConstants(Constants):
     biot_coefficient: float = 1.0
     density: float = 1.0
     dilation_angle: float = 0.0
+    dilation_damage_decay: float = 0.0
     fracture_gap: float = 0.0
     fracture_normal_stiffness: float = 1.0
     fracture_tangential_stiffness: float = -1.0
     friction_coefficient: float = 1.0
+    friction_damage_decay: float = 0.0
+    initial_dilation_damage: float = 1.0
+    initial_friction_damage: float = 1.0
     lame_lambda: float = 1.0
     maximum_elastic_fracture_opening: float = 0.0
     normal_permeability: float = 1.0

@@ -17,3 +17,6 @@ from porepy_tpu.examples.flow_benchmark_2d_case_4 import (  # noqa: F401
 from porepy_tpu.examples.mandel_biot import MandelModel  # noqa: F401
 from porepy_tpu.examples.terzaghi_biot import TerzaghiModel  # noqa: F401
 from porepy_tpu.examples.tracer_flow import TracerFlowModel  # noqa: F401
+from porepy_tpu.examples.fracture_damage import (  # noqa: F401
+    FractureDamageModel,
+)

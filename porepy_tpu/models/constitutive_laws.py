@@ -819,6 +819,50 @@ class ShearDilation:
         return ad.Scalar(self.solid.dilation_angle, "dilation_angle")
 
 
+class FrictionDamage:
+    """Damage-dependent friction: the intact friction bound is scaled by
+    ``1 + (d0 - 1) exp(-c h)`` with ``h`` the damage history variable
+    (J. White 2014; reference ``constitutive_laws.py:4160-4250``)."""
+
+    def friction_damage(self, subdomains: Sequence) -> ad.Operator:
+        d0 = ad.Scalar(self.solid.initial_friction_damage)
+        c = ad.Scalar(self.solid.friction_damage_decay)
+        h = self.damage_history(subdomains)
+        one = ad.Scalar(1.0)
+        out = one + (d0 - one) * ad.exp(ad.Scalar(-1.0) * c * h)
+        out.set_name("friction_damage")
+        return out
+
+    def friction_bound(self, subdomains: Sequence) -> ad.Operator:
+        out = self.friction_damage(subdomains) * super().friction_bound(
+            subdomains
+        )
+        out.set_name("damaged_friction_bound")
+        return out
+
+
+class DilationDamage:
+    """Damage-dependent shear dilation: the intact dilation gap is scaled
+    by ``1 + (d0 - 1) exp(-c h)`` (reference
+    ``constitutive_laws.py:4253-4330``)."""
+
+    def dilation_damage(self, subdomains: Sequence) -> ad.Operator:
+        d0 = ad.Scalar(self.solid.initial_dilation_damage)
+        c = ad.Scalar(self.solid.dilation_damage_decay)
+        h = self.damage_history(subdomains)
+        one = ad.Scalar(1.0)
+        out = one + (d0 - one) * ad.exp(ad.Scalar(-1.0) * c * h)
+        out.set_name("dilation_damage")
+        return out
+
+    def shear_dilation_gap(self, subdomains: Sequence) -> ad.Operator:
+        out = self.dilation_damage(subdomains) * super().shear_dilation_gap(
+            subdomains
+        )
+        out.set_name("damaged_shear_dilation")
+        return out
+
+
 class BartonBandis:
     """Barton-Bandis elastic normal fracture deformation (reference
     ``constitutive_laws.py:3883``); void when the maximum opening is 0."""

@@ -251,10 +251,24 @@ class SolutionStrategy(FluidMixin):
         self.convergence_status = True
         self.save_data_time_step()
 
+    def variables_stored_all_time_steps(self) -> list:
+        """Variables whose full time-step history must be retained (the
+        ring depth grows each step). Used by history-integrating models
+        (fracture damage); default none."""
+        return []
+
     def update_solution(self, solution: np.ndarray) -> None:
+        deep = [
+            v if isinstance(v, str) else v.name
+            for v in self.variables_stored_all_time_steps()
+        ]
         self.equation_system.shift_time_step_values(
-            max_index=len(self.time_step_indices)
+            max_index=len(self.time_step_indices), exclude=deep or None
         )
+        if deep:
+            self.equation_system.shift_time_step_values(
+                max_index=None, variables=deep
+            )
         self.equation_system.set_variable_values(
             values=solution, time_step_index=0, additive=False
         )

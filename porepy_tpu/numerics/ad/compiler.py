@@ -69,6 +69,7 @@ class _EnvSpec:
         # unchanged historic states are not re-uploaded every assembly.
         self._cache_version: int = -1
         self._cache: Optional[list[jnp.ndarray]] = None
+        self._cache_host: Optional[list] = None
 
     def slot(self, key, fetcher) -> int:
         if key in self._keys:
@@ -84,23 +85,46 @@ class _EnvSpec:
         return [jnp.asarray(f(eq_sys)) for f in self.fetchers]
 
     def fetch_device(self, eq_sys) -> list[jnp.ndarray]:
-        """Like :meth:`fetch` but array slots are cached on device until the
-        stored state changes. Scalar slots (e.g. the mutable time step
-        ``ad.Scalar``) are always re-read — they can change without going
-        through ``set_solution_values``."""
+        """Like :meth:`fetch` but array slots are cached on device. The
+        global state version is bumped by every iterate write (each Newton
+        iteration), while env slots hold *historic* states that change once
+        per time step — so on a version change each slot's freshly fetched
+        host array is compared against the cached one and re-uploaded only
+        if it actually changed. Scalar slots (e.g. the mutable time-step
+        ``ad.Scalar``) are always re-read."""
         from porepy_tpu.utils.solution_storage import state_version
 
         version = state_version()
-        if self._cache is None or self._cache_version != version:
-            self._cache = [
-                None if i in self._scalar_slots else jnp.asarray(f(eq_sys))
-                for i, f in enumerate(self.fetchers)
-            ]
+        if self._cache is None:
+            host = [f(eq_sys) for f in self.fetchers]
+            self._cache = [jnp.asarray(h) for h in host]
+            self._cache_host = host
             self._cache_version = version
-        return [
-            jnp.asarray(self.fetchers[i](eq_sys)) if i in self._scalar_slots else v
-            for i, v in enumerate(self._cache)
-        ]
+            return list(self._cache)
+        if self._cache_version != version:
+            for i, f in enumerate(self.fetchers):
+                if i in self._scalar_slots:
+                    continue
+                h = f(eq_sys)
+                old = self._cache_host[i]
+                if not (
+                    isinstance(old, np.ndarray)
+                    and old.shape == np.shape(h)
+                    and np.array_equal(old, h)
+                ):
+                    self._cache[i] = jnp.asarray(h)
+                    self._cache_host[i] = h
+            self._cache_version = version
+        # Scalar slots (mutable ad.Scalar, e.g. the time step) can change
+        # without a state-version bump: re-read the host value every call
+        # but only re-upload the 8 bytes when it actually changed — on a
+        # tunneled device each tiny transfer costs ~1 ms of latency.
+        for i in self._scalar_slots:
+            h = self.fetchers[i](eq_sys)
+            if h != self._cache_host[i]:
+                self._cache[i] = jnp.asarray(h)
+                self._cache_host[i] = h
+        return list(self._cache)
 
 
 def _var_key(v: Variable):
@@ -224,14 +248,50 @@ def _collect_env(
         _collect_env(c, env_spec, eq_sys, seen, const_mats)
 
 
-def scipy_to_bcoo(mat: sps.spmatrix) -> jsparse.BCOO:
-    """Device BCOO with COPIED buffers.
+class _EllMat:
+    """Constant sparse matrix in padded-row (ELL) layout: the matvec is a
+    single gather of ``x`` plus a dense row-sum. On TPU this replaces the
+    BCOO matvec, whose scatter-add lowering is near-serial — constant
+    projections/divergences/discretization matrices dominate every jitted
+    residual evaluation otherwise."""
 
-    ``BCOO.from_scipy_sparse`` can zero-copy alias the scipy arrays on CPU
-    (alignment-dependent); a later in-place scipy operation (e.g.
-    ``sort_indices``) then silently corrupts the device constant. Copy
-    explicitly so device matrices are immutable snapshots.
-    """
+    __slots__ = ("val", "col", "shape", "ndim")
+
+    def __init__(self, mat: sps.spmatrix) -> None:
+        csr = sps.csr_matrix(mat)
+        csr.sort_indices()
+        n_rows, n_cols = csr.shape
+        counts = np.diff(csr.indptr)
+        K = max(int(counts.max()) if counts.size else 1, 1)
+        pos = np.arange(csr.indices.size) - np.repeat(csr.indptr[:-1], counts)
+        row_of = np.repeat(np.arange(n_rows), counts)
+        val = np.zeros((n_rows, K))
+        col = np.full((n_rows, K), n_cols, dtype=np.int32)
+        val[row_of, pos] = csr.data
+        col[row_of, pos] = csr.indices
+        self.val = jnp.asarray(val)
+        self.col = jnp.asarray(col)
+        self.shape = csr.shape
+        self.ndim = 2
+
+    def matvec(self, x):
+        x_p = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        return jnp.sum(self.val * x_p[self.col], axis=1)
+
+
+def _device_const_matrix(mat: sps.spmatrix):
+    """ELL layout when the padding is reasonable, BCOO for pathological
+    rows (a near-dense row would blow the padded storage)."""
+    csr = sps.csr_matrix(mat)
+    counts = np.diff(csr.indptr)
+    K = int(counts.max()) if counts.size else 0
+    nnz = max(csr.nnz, 1)
+    if K <= 64 or K * csr.shape[0] <= 8 * nnz:
+        return _EllMat(csr)
+    return _raw_bcoo(csr)
+
+
+def _raw_bcoo(mat: sps.spmatrix) -> jsparse.BCOO:
     coo = mat.tocoo()
     indices = jnp.asarray(
         np.ascontiguousarray(np.column_stack([coo.row, coo.col]).astype(np.int32))
@@ -242,7 +302,15 @@ def scipy_to_bcoo(mat: sps.spmatrix) -> jsparse.BCOO:
     )
 
 
-def _bcoo(mat: sps.spmatrix) -> jsparse.BCOO:
+def scipy_to_bcoo(mat: sps.spmatrix):
+    """Device-constant conversion with COPIED buffers (an aliased scipy
+    buffer mutated in place would silently corrupt the device constant).
+    Despite the historical name this now prefers the ELL gather layout;
+    see :class:`_EllMat`."""
+    return _device_const_matrix(mat)
+
+
+def _bcoo(mat: sps.spmatrix):
     # Cache the device conversion on the scipy object.
     cached = getattr(mat, "_ppt_bcoo", None)
     if cached is None:
@@ -319,6 +387,8 @@ def _trace_node(node, rec, x, env, env_spec, eq_sys, const_mats):
             jnp.shape(right) == (1,) and left.shape[1] != 1
         ):
             right = jnp.broadcast_to(jnp.reshape(right, ()), (left.shape[1],))
+        if isinstance(left, _EllMat):
+            return left.matvec(right)
         if isinstance(left, jsparse.BCOO):
             return left @ right
         return jnp.matmul(left, right)

@@ -417,20 +417,41 @@ class EquationSystem:
         if pos != np.asarray(values).size:
             raise ValueError("Value vector size does not match variable dofs")
 
-    def shift_time_step_values(self, max_index: int = 1) -> None:
-        self._shift(cc.TIME_STEP_SOLUTIONS, max_index)
+    def shift_time_step_values(
+        self,
+        max_index: Optional[int] = 1,
+        variables: Optional[Sequence[str]] = None,
+        exclude: Optional[Sequence[str]] = None,
+    ) -> None:
+        """Shift stored time-step rings one step back. ``max_index=None``
+        keeps the whole history (the ring depth grows by one per call,
+        reference ``equation_system.py:738``: 'called repeatedly with None,
+        the depth keeps increasing'). ``variables``/``exclude`` restrict the
+        shift by variable name."""
+        self._shift(cc.TIME_STEP_SOLUTIONS, max_index, variables, exclude)
 
     def shift_iterate_values(self, max_index: int = 1) -> None:
         self._shift(cc.ITERATE_SOLUTIONS, max_index)
 
-    def _shift(self, key: str, max_index: int) -> None:
+    def _shift(
+        self,
+        key: str,
+        max_index: Optional[int],
+        variables: Optional[Sequence[str]] = None,
+        exclude: Optional[Sequence[str]] = None,
+    ) -> None:
         from porepy_tpu.utils.solution_storage import bump_state_version
 
         for v in self._variables:
+            if variables is not None and v.name not in variables:
+                continue
+            if exclude is not None and v.name in exclude:
+                continue
             ring = self._grid_data(v.domain).get(key, {}).get(v.name)
             if ring is None:
                 continue
-            for i in range(max_index, 0, -1):
+            mi = (max(ring.keys()) + 1) if max_index is None else max_index
+            for i in range(mi, 0, -1):
                 if (i - 1) in ring:
                     ring[i] = np.copy(ring[i - 1])
         bump_state_version()

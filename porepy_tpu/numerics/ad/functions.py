@@ -121,6 +121,31 @@ def maximum(var1, var2) -> Operator:
     return _fn_op(f, (var1, var2), "maximum")
 
 
+def safe_power(power: float, zero_val: float, tol: float, var) -> Operator:
+    """``x ** power`` for entries with ``|x| > tol``, ``zero_val``
+    elsewhere — negative powers without division by zero (reference
+    ``functions.py:145``). The derivative weight is
+    ``power * out**(power-1)`` everywhere, matching the reference's
+    Jacobian convention."""
+    import jax
+
+    def _val(x):
+        nz = jnp.abs(x) > tol
+        xs = jnp.where(nz, x, 1.0)
+        return jnp.where(nz, xs**power, zero_val)
+
+    f = jax.custom_jvp(_val)
+
+    @f.defjvp
+    def _jvp(primals, tangents):
+        (x,) = primals
+        (dx,) = tangents
+        out = _val(x)
+        return out, power * out ** (power - 1.0) * dx
+
+    return _fn_op(f, (var,), "safe_power")
+
+
 def characteristic_function(tol: float, var) -> Operator:
     """1 where ``|x| <= tol`` else 0; zero derivative (reference
     ``functions.py:422``)."""

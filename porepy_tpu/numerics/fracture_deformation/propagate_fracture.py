@@ -297,15 +297,18 @@ def _rebuild_interface_in_place(mdg, intf, sd_h, sd_l, face_cells) -> None:
 
 
 def _pad_state_rings(data: dict, n_old: int, n_new: int) -> None:
-    """Zero-extend cell-based solution rings after cell append."""
+    """Zero-extend cell-based solution rings after cell append. Handles
+    vector fields stored cell-interleaved (F-order): any ring whose size is
+    an integer multiple of the old cell count is padded per-cell-block."""
     for loc in (cc.TIME_STEP_SOLUTIONS, cc.ITERATE_SOLUTIONS):
         for name, ring in data.get(loc, {}).items():
             for idx, vals in ring.items():
                 vals = np.asarray(vals)
-                if vals.size == n_old:
-                    ring[idx] = np.concatenate(
-                        [vals, np.zeros(n_new - n_old)]
-                    )
+                if n_old > 0 and vals.size and vals.size % n_old == 0:
+                    dim = vals.size // n_old
+                    out = np.zeros(n_new * dim)
+                    out[: n_old * dim] = vals
+                    ring[idx] = out
 
 
 def _remap_mortar_rings(
@@ -317,8 +320,9 @@ def _remap_mortar_rings(
         for loc in (cc.TIME_STEP_SOLUTIONS, cc.ITERATE_SOLUTIONS):
             for name, ring in data.get(loc, {}).items():
                 for idx, vals in ring.items():
-                    if np.asarray(vals).size == n_old:
-                        ring[idx] = np.zeros(n_new)
+                    vals = np.asarray(vals)
+                    if n_old and vals.size and vals.size % n_old == 0:
+                        ring[idx] = np.zeros(n_new * (vals.size // n_old))
         return
     per_old = n_old // sides_old
     per_new = n_new // sides_new
@@ -326,11 +330,13 @@ def _remap_mortar_rings(
         for name, ring in data.get(loc, {}).items():
             for idx, vals in ring.items():
                 vals = np.asarray(vals)
-                if vals.size != n_old:
+                if n_old == 0 or not vals.size or vals.size % n_old:
                     continue
-                out = np.zeros(n_new)
+                dim = vals.size // n_old
+                out = np.zeros(n_new * dim)
                 for s in range(sides_old):
-                    out[s * per_new : s * per_new + per_old] = vals[
-                        s * per_old : (s + 1) * per_old
-                    ]
+                    out[
+                        s * per_new * dim : s * per_new * dim
+                        + per_old * dim
+                    ] = vals[s * per_old * dim : (s + 1) * per_old * dim]
                 ring[idx] = out

@@ -61,6 +61,12 @@ class FracturePropagation:
     def _rebuild_after_propagation(self) -> None:
         """Re-setup on the new topology: dof layout, equations, compiled
         kernels, discretizations and geometry caches."""
+        from porepy_tpu.utils.tangential_normal_projection import (
+            set_local_coordinate_projections,
+        )
+
+        # Fracture grids changed size: refresh the stored local frames.
+        set_local_coordinate_projections(self.mdg)
         eq = self.equation_system
         eq._rebuild_dofs()
         eq.clear_compiled()

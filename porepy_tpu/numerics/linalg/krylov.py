@@ -42,6 +42,8 @@ def jacobi_preconditioner(A: sps.spmatrix):
 @partial(jax.jit, static_argnames=("method", "tol", "maxiter"))
 def _krylov(bcoo, b, diag_inv, method: str, tol: float, maxiter: int):
     def matvec(x):
+        if hasattr(bcoo, "matvec"):
+            return bcoo.matvec(x)
         return bcoo @ x
 
     def precond(x):

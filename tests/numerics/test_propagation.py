@@ -195,3 +195,76 @@ def test_propagation_model_mixin():
     p = m.equation_system.get_variable_values(time_step_index=0)
     assert p.size == ndof
     assert np.all(np.isfinite(p))
+
+
+class _TensionPropagation(pt.ConformingFracturePropagation, pt.MomentumBalance):
+    """Horizontal fracture in a plate pulled vertically apart: pure mode I
+    at both tips."""
+
+    def __init__(self, params, mdg):
+        self._injected_mdg = mdg
+        super().__init__(params)
+
+    def set_geometry(self):
+        from porepy_tpu.utils.tangential_normal_projection import (
+            set_local_coordinate_projections,
+        )
+
+        self.mdg = self._injected_mdg
+        self.nd = 2
+        self._domain = pt.Domain({"xmin": 0, "xmax": 1, "ymin": 0, "ymax": 1})
+        set_local_coordinate_projections(self.mdg)
+        self.set_well_network()
+
+    def set_well_network(self):
+        self.well_network = None
+
+    def bc_type_mechanics(self, sd):
+        sides = self.domain_boundary_sides(sd)
+        bc = pt.BoundaryConditionVectorial(
+            sd, sides.north | sides.south, "dir"
+        )
+        bc.internal_to_dirichlet(sd)
+        return bc
+
+    def bc_values_displacement(self, bg):
+        sides = self.domain_boundary_sides(bg)
+        vals = np.zeros((self.nd, bg.num_cells))
+        vals[1, sides.north] = 0.01
+        vals[1, sides.south] = -0.01
+        return vals.ravel("F")
+
+    def initialize_data_saving(self):
+        pass
+
+    def save_data_time_step(self):
+        pass
+
+
+@pytest.mark.parametrize("critical,expect_growth", [(1e-4, True), (1e4, False)])
+def test_conforming_propagation_tension(critical, expect_growth):
+    mdg = _mdg([[0.25, 0.5], [0.5, 0.5]])
+    n_cells_before = mdg.subdomains(dim=1)[0].num_cells
+    params = {
+        "critical_sifs": [critical, critical],
+        "times_to_export": [],
+        "time_manager": pt.TimeManager([0, 1.0], 1.0, constant_dt=True),
+        "material_constants": {
+            "solid": pt.SolidConstants(
+                shear_modulus=1.0, lame_lambda=1.0, residual_aperture=1e-3
+            ),
+        },
+    }
+    m = _TensionPropagation(params, mdg)
+    pt.run_time_dependent_model(m, params)
+    sd_l = m.mdg.subdomains(dim=1)[0]
+    sifs = m.mdg.subdomain_data(sd_l).get("SIFs")
+    assert sifs is not None
+    # Mode-I SIFs at the two tips are positive (fracture opens).
+    assert sifs[0].max() > 0
+    if expect_growth:
+        assert m.has_propagated()
+        assert sd_l.num_cells > n_cells_before
+    else:
+        assert not m.has_propagated()
+        assert sd_l.num_cells == n_cells_before

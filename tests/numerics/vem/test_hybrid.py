@@ -83,3 +83,40 @@ def test_hybrid_matches_mvem_with_source():
 
     assert np.allclose(p_h, p_m, atol=1e-9)
     assert np.allclose(u_h, u_m, atol=1e-9)
+
+
+def test_mixed_mass_matrix_and_source():
+    """MixedMassMatrix / MixedInvMassMatrix / DualScalarSource on the
+    (faces + cells) mixed dof space (reference ``numerics/vem/mass_matrix.py``,
+    ``vem_source.py``)."""
+    import porepy_tpu as pt
+    from porepy_tpu.utils import common_constants as cc
+
+    sd = pt.CartGrid([2, 2], [1.0, 1.0])
+    sd.compute_geometry()
+    w = 2.0 * np.ones(sd.num_cells)
+    data = {
+        cc.PARAMETERS: {"flow": {"mass_weight": w, "source": np.arange(4.0)}},
+        cc.DISCRETIZATION_MATRICES: {"flow": {}},
+    }
+    mm = pt.MixedMassMatrix("flow")
+    mm.discretize(sd, data)
+    M, rhs = mm.assemble_matrix_rhs(sd, data)
+    diag = M.diagonal()
+    assert np.allclose(diag[: sd.num_faces], 0.0)
+    assert np.allclose(diag[sd.num_faces :], sd.cell_volumes * w)
+    assert np.allclose(rhs, 0.0)
+
+    inv = pt.MixedInvMassMatrix("flow")
+    inv.discretize(sd, data)
+    Minv, _ = inv.assemble_matrix_rhs(sd, data)
+    assert np.allclose(
+        Minv.diagonal()[sd.num_faces :], 1.0 / (sd.cell_volumes * w)
+    )
+
+    src = pt.DualScalarSource("flow")
+    src.discretize(sd, data)
+    A, b = src.assemble_matrix_rhs(sd, data)
+    assert A.nnz == 0
+    assert np.allclose(b[: sd.num_faces], 0.0)
+    assert np.allclose(b[sd.num_faces :], -np.arange(4.0))
