@@ -73,3 +73,41 @@ def test_update_primary_renumbered_faces():
     intf.update_primary(sd_h, sd_h, tol=1e-8)
     new = intf.primary_to_mortar_int()
     assert (abs(old - new)).nnz == 0
+
+
+def test_match_grids_along_1d_mortar_nested():
+    """Nested 2d refinement along a fracture: each old segment face overlaps
+    exactly two new faces with half its length (reference
+    ``grids/match_grids.py:234``)."""
+    from porepy_tpu.fracs import meshing
+    from porepy_tpu.grids.match_grids import match_grids_along_1d_mortar
+
+    frac = [np.array([[0.25, 0.75], [0.5, 0.5]])]
+    mdg_old = meshing.cart_grid(frac, np.array([4, 4]), physdims=[1.0, 1.0])
+    mdg_new = meshing.cart_grid(frac, np.array([8, 8]), physdims=[1.0, 1.0])
+    g_old = mdg_old.subdomains(dim=2)[0]
+    g_new = mdg_new.subdomains(dim=2)[0]
+    intf = list(mdg_old.interfaces())[0]
+
+    m_int = match_grids_along_1d_mortar(
+        intf, g_new, g_old, tol=1e-8, scaling="integrated"
+    )
+    faces_old = np.unique(intf._primary_to_mortar_int.tocoo().col)
+    rowsum = np.asarray(m_int.sum(axis=1)).ravel()
+    # Reference convention (verified against the reference implementation
+    # on these exact grids): integrated weights are 1 per overlapping new
+    # face, averaged weights split the old face between them.
+    assert np.allclose(rowsum[faces_old], 2.0)
+    # Off-segment faces map to nothing.
+    off = np.setdiff1d(np.arange(g_old.num_faces), faces_old)
+    assert np.allclose(rowsum[off], 0.0)
+    # Each old face picks up exactly two new faces (nested refinement).
+    counts = np.diff(m_int.indptr)
+    assert np.all(counts[faces_old] == 2)
+
+    m_avg = match_grids_along_1d_mortar(
+        intf, g_new, g_old, tol=1e-8, scaling="averaged"
+    )
+    assert np.allclose(
+        np.asarray(m_avg.sum(axis=1)).ravel()[faces_old], 1.0
+    )
