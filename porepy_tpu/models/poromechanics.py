@@ -131,6 +131,22 @@ class SolutionStrategyPoromechanics(
     def _is_nonlinear_problem(self) -> bool:
         return True
 
+    def _amg_block_stabilization(self, var_name: str):
+        """Fixed-stress stabilization of the pressure block inside the
+        device preconditioner: ``alpha^2 / K_dr`` times the cell volume
+        (the classical fixed-stress split parameter for Biot; reference
+        solves the coupled system directly, ``solution_strategy.py:830``)."""
+        if var_name != self.pressure_variable:
+            return super()._amg_block_stabilization(var_name)
+        import numpy as np
+
+        alpha = self.solid.biot_coefficient
+        k_dr = self.solid.lame_lambda + 2.0 * self.solid.shear_modulus / self.nd
+        vols = [sd.cell_volumes for sd in self.mdg.subdomains()]
+        if not vols:
+            return None
+        return alpha**2 / k_dr * np.concatenate(vols)
+
 
 class Poromechanics(
     EquationsPoromechanics,

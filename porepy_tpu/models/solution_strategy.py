@@ -403,6 +403,197 @@ class SolutionStrategy(FluidMixin):
         self._ew_prev_residual = b_norm
         return float(np.clip(eta, tight, 0.1))
 
+    # -- fused device Newton loop ---------------------------------------------
+
+    _FUSED_HOOKS = (
+        "check_convergence",
+        "compute_residual_norm",
+        "compute_nonlinear_increment_norm",
+        "update_derived_quantities",
+        "before_nonlinear_iteration",
+        "after_nonlinear_iteration",
+    )
+
+    def _fused_newton_eligible(self, nl_params: dict) -> bool:
+        """The fused loop replays the host Newton protocol exactly only when
+        the model keeps the default per-iteration hooks, nothing needs
+        per-iteration host work (no nonlinear rediscretization, no
+        previous-iterate states feeding the equations), and the solve runs
+        on device."""
+        if not self.params.get("fused_newton", True):
+            return False
+        if not getattr(self, "linear_solver", "").startswith("device"):
+            return False
+        if not self._is_nonlinear_problem():
+            return False
+        if self._nonlinear_discretizations:
+            return False
+        cls = type(self)
+        for name in self._FUSED_HOOKS:
+            mine = getattr(cls, name, None)
+            base = getattr(SolutionStrategy, name, None)
+            if mine is not base:
+                return False
+        cs = self.equation_system.compiled_system()
+        if cs.num_rows != cs.shape[1]:
+            return False
+        return not any(ce.env_spec.has_prev_iterate for ce in cs.ces)
+
+    def fused_newton_loop(self, nl_params: dict):
+        """Run the ENTIRE Newton loop of this time step as ONE device
+        program (assembly + preconditioned FGMRES + convergence test inside
+        ``lax.while_loop``), dispatching once instead of once per equation
+        per iteration — on a tunneled TPU the per-call latency otherwise
+        dominates (the reference pays none, being in-process scipy;
+        ``models/solution_strategy.py:830`` ref).
+
+        Returns ``True`` (converged; state committed), or ``None`` if the
+        model is ineligible or the fused attempt failed — the caller then
+        runs the standard host-orchestrated loop on the untouched state.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if not self._fused_newton_eligible(nl_params):
+            return None
+        eq_sys = self.equation_system
+        cs = eq_sys.compiled_system()
+        try:
+            solver = self._device_solver_for(cs)
+        except Exception:
+            logger.exception("Device solver construction failed")
+            return None
+        envs = cs._envs(eq_sys)
+        x0 = jnp.asarray(eq_sys._global_vector())
+        if solver._m_state is None:
+            data0, _b0 = cs._data_and_rhs(x0, envs)
+            solver.refresh_preconditioner(data0)
+
+        key = (
+            id(cs),
+            int(nl_params["max_iterations"]),
+            float(nl_params["nl_convergence_tol"]),
+            float(nl_params["nl_convergence_tol_res"]),
+            float(nl_params["nl_divergence_tol"]),
+            bool(self.params.get("inexact_newton", True)),
+        )
+        fn = getattr(self, "_fused_loop_cache", {}).get(key)
+        if fn is None:
+            fn = self._build_fused_loop(cs, solver, nl_params)
+            if not hasattr(self, "_fused_loop_cache"):
+                self._fused_loop_cache = {}
+            self._fused_loop_cache[key] = fn
+        try:
+            x, k, inc_hist, res_hist, converged, diverged = fn(
+                x0, envs, solver._m_state
+            )
+            k = int(k)
+            converged = bool(converged) and not bool(diverged)
+            if converged:
+                x = np.asarray(x)
+                converged = bool(np.all(np.isfinite(x)))
+        except Exception:
+            logger.exception("Fused Newton loop failed; host loop fallback")
+            return None
+        if not converged:
+            # Stale preconditioner is the common cause: rebuild from the
+            # failing state's Jacobian so the host fallback starts strong.
+            logger.info(
+                "Fused Newton loop did not converge in %d iterations; "
+                "falling back to the host loop",
+                k,
+            )
+            solver.invalidate_preconditioner()
+            return None
+        stats = self.nonlinear_solver_statistics
+        inc_hist = np.asarray(inc_hist)
+        res_hist = np.asarray(res_hist)
+        for i in range(k):
+            stats.log_error(float(inc_hist[i]), float(res_hist[i]))
+        stats.num_iteration += k
+        eq_sys.shift_iterate_values(max_index=len(self.iterate_indices))
+        eq_sys.set_variable_values(x, iterate_index=0)
+        return True
+
+    def _build_fused_loop(self, cs, solver, nl_params: dict):
+        import jax
+        import jax.numpy as jnp
+
+        max_it = int(nl_params["max_iterations"])
+        tol_inc = nl_params["nl_convergence_tol"]
+        tol_res = nl_params["nl_convergence_tol_res"]
+        div_tol = nl_params["nl_divergence_tol"]
+        need_res = tol_res is not np.inf or div_tol is not np.inf
+        inexact = bool(self.params.get("inexact_newton", True))
+        tight = float(self.params.get("linear_solver_tol", 1e-11))
+        n = solver.n
+        sqrt_n = float(np.sqrt(max(n, 1)))
+
+        def loop(x0, envs, m_state):
+            def body(carry):
+                x, prev_b, k, inc_h, res_h, done, div = carry
+                data, b = cs._data_and_rhs(x, envs)
+                bnorm = jnp.linalg.norm(b)
+                if inexact:
+                    eta = jnp.where(
+                        prev_b > 0.0, 0.9 * (bnorm / prev_b) ** 2, 0.1
+                    )
+                    eta = jnp.clip(eta, tight, 0.1)
+                else:
+                    eta = jnp.asarray(tight)
+                b_unit = b / jnp.maximum(bnorm, 1e-300)
+                dx_u, _res, _it = solver._jit_solve(
+                    data, b_unit, jnp.zeros(n, b.dtype), m_state, eta
+                )
+                dx = jnp.where(bnorm > 0.0, dx_u * bnorm, 0.0)
+                x_new = x + dx
+                inc_norm = jnp.linalg.norm(dx) / sqrt_n
+                if need_res:
+                    res_norm = (
+                        jnp.linalg.norm(cs._rhs_only(x_new, envs)) / sqrt_n
+                    )
+                else:
+                    res_norm = jnp.asarray(jnp.nan)
+                bad = ~jnp.isfinite(inc_norm)
+                if div_tol is not np.inf:
+                    bad = bad | (res_norm > div_tol)
+                conv = jnp.asarray(True)
+                if tol_inc is not np.inf:
+                    conv = conv & (inc_norm < tol_inc)
+                if tol_res is not np.inf:
+                    conv = conv & (res_norm < tol_res)
+                inc_h = inc_h.at[k].set(inc_norm)
+                res_h = res_h.at[k].set(res_norm)
+                return (
+                    x_new,
+                    bnorm,
+                    k + 1,
+                    inc_h,
+                    res_h,
+                    conv & ~bad,
+                    bad,
+                )
+
+            def cond(carry):
+                _x, _pb, k, _ih, _rh, done, div = carry
+                return (~done) & (~div) & (k < max_it + 1)
+
+            carry = (
+                x0,
+                jnp.zeros((), x0.dtype),
+                jnp.zeros((), jnp.int32),
+                jnp.full(max_it + 1, jnp.nan, x0.dtype),
+                jnp.full(max_it + 1, jnp.nan, x0.dtype),
+                jnp.asarray(False),
+                jnp.asarray(False),
+            )
+            x, _pb, k, inc_h, res_h, done, div = jax.lax.while_loop(
+                cond, body, carry
+            )
+            return x, k, inc_h, res_h, done, div
+
+        return jax.jit(loop)
+
     def _initialize_linear_solver(self) -> None:
         solver = self.params["linear_solver"]
         known = (
@@ -419,14 +610,119 @@ class SolutionStrategy(FluidMixin):
 
     # -- device solver configuration ------------------------------------------
 
-    def linear_solver_blocks(self) -> Optional[dict]:
-        """Field-split declaration for the device block preconditioner.
+    # Known (equation, variable) pairings used by the automatic field split.
+    # AMG pairs are elliptic cell-variable blocks; ELIM pairs are local
+    # interface equations whose diagonal block is (exactly) diagonal — they
+    # Schur-eliminate exactly inside the preconditioner (the builder demotes
+    # any pair that turns out non-diagonal to a Chebyshev block).
+    _AMG_EQ_VAR_PAIRS = (
+        ("mass_balance_equation", "pressure"),
+        ("energy_balance_equation", "temperature"),
+        ("momentum_balance_equation", "u"),
+    )
+    _ELIM_EQ_VAR_PAIRS = (
+        ("interface_darcy_flux_equation", "interface_darcy_flux"),
+        ("interface_fourier_flux_equation", "interface_fourier_flux"),
+        ("interface_enthalpy_flux_equation", "interface_enthalpy_flux"),
+        ("interface_force_balance_equation", "u_interface"),
+    )
 
-        Override in models to return ``{"blocks": [(equation_names,
-        variable_spec), ...], "stabilization": {i: diag_array}}`` — ordered
-        for the lower Gauss-Seidel sweep. ``None`` -> point Jacobi.
+    def linear_solver_blocks(self) -> Optional[dict]:
+        """Field-split declaration for the device block preconditioner:
+        ``{"blocks": [(equation_names, variable_spec), ...], "methods":
+        [...], "stabilization": {i: diag}, "near_nullspace": {i: (B, bs)}}``
+        ordered for the lower Gauss-Seidel sweep.
+
+        The default derives the split automatically from the model's
+        equations: known elliptic cell-variable blocks get SA-AMG (the
+        displacement block with rigid-body near-nullspace modes), interface
+        flux equations are Schur-eliminated, anything left over lands in a
+        trailing Chebyshev block. Returns ``None`` (single whole-system AMG
+        block) when the pairing cannot cover the system.
         """
+        try:
+            return self._auto_linear_solver_blocks()
+        except Exception:  # pragma: no cover - diagnostics only
+            logger.exception("Automatic solver field split failed")
+            return None
+
+    def _auto_linear_solver_blocks(self) -> Optional[dict]:
+        eq_sys = self.equation_system
+        eq_names = set(eq_sys.equations)
+        var_names = {v.name for v in eq_sys.variables}
+        blocks: list[tuple[list[str], list[str]]] = []
+        methods: list[str] = []
+        stab: dict = {}
+        nns: dict = {}
+        used_eqs: list[str] = []
+        used_vars: list[str] = []
+        for eq, var in self._AMG_EQ_VAR_PAIRS:
+            if eq in eq_names and var in var_names:
+                i = len(blocks)
+                blocks.append(([eq], [var]))
+                methods.append("amg")
+                s = self._amg_block_stabilization(var)
+                if s is not None:
+                    stab[i] = s
+                if var == self.__dict__.get("displacement_variable", "u"):
+                    modes = self._displacement_near_nullspace()
+                    if modes is not None:
+                        nns[i] = modes
+                used_eqs.append(eq)
+                used_vars.append(var)
+        if not blocks:
+            return None
+        for eq, var in self._ELIM_EQ_VAR_PAIRS:
+            if eq in eq_names and var in var_names:
+                blocks.append(([eq], [var]))
+                methods.append("eliminate")
+                used_eqs.append(eq)
+                used_vars.append(var)
+        rest_eqs = [n for n in eq_sys.equations if n not in used_eqs]
+        rest_vars = [n for n in var_names if n not in used_vars]
+        if rest_eqs or rest_vars:
+            blocks.append((rest_eqs, rest_vars))
+            methods.append("cheb")
+        return {
+            "blocks": blocks,
+            "methods": methods,
+            "stabilization": stab,
+            "near_nullspace": nns,
+        }
+
+    def _amg_block_stabilization(self, var_name: str) -> Optional[np.ndarray]:
+        """Diagonal stabilization added to the named variable's AMG block
+        inside the preconditioner (fixed-stress style). Overridden by
+        coupled models; ``None`` -> no stabilization."""
         return None
+
+    def _displacement_near_nullspace(self) -> Optional[tuple[np.ndarray, int]]:
+        """Rigid-body modes of the displacement dofs (translations +
+        rotations about the domain center), as ``(B, nd)`` for the AMG
+        near-nullspace. Interleaved-dof layout matches the ``u`` variable
+        (``cells: nd``)."""
+        sds = [sd for sd in self.mdg.subdomains(dim=self.nd)]
+        if not sds:
+            return None
+        centers = np.concatenate([sd.cell_centers for sd in sds], axis=1)
+        nd = self.nd
+        nc = centers.shape[1]
+        c0 = centers - centers.mean(axis=1, keepdims=True)
+        n_rot = 1 if nd == 2 else 3
+        B = np.zeros((nc * nd, nd + n_rot))
+        for d in range(nd):
+            B[d::nd, d] = 1.0
+        if nd == 2:
+            B[0::nd, 2] = -c0[1]
+            B[1::nd, 2] = c0[0]
+        else:
+            B[1::nd, 3] = -c0[2]
+            B[2::nd, 3] = c0[1]
+            B[0::nd, 4] = c0[2]
+            B[2::nd, 4] = -c0[0]
+            B[0::nd, 5] = -c0[1]
+            B[1::nd, 5] = c0[0]
+        return B, nd
 
     def _device_solver_for(self, cs):
         solver = self._device_solvers.get(id(cs))
@@ -436,7 +732,9 @@ class SolutionStrategy(FluidMixin):
 
         spec = self.linear_solver_blocks()
         blocks = None
+        methods = None
         stab = None
+        nns = None
         if spec is not None:
             blocks = []
             for eq_names, var_spec in spec["blocks"]:
@@ -447,19 +745,44 @@ class SolutionStrategy(FluidMixin):
                     rows.append(np.arange(off, off + nrows))
                 blocks.append(
                     (
-                        np.concatenate(rows),
+                        np.concatenate(rows) if rows else np.zeros(0, np.int64),
                         self.equation_system.dofs_of(var_spec),
                     )
                 )
+            methods = spec.get("methods")
             stab = spec.get("stabilization")
-        solver = DeviceLinearSolver(
-            cs,
-            method=self.linear_solver.split("_")[1],
-            blocks=blocks,
-            stabilization=stab,
-            tol=self.params.get("linear_solver_tol", 1e-11),
-            maxiter=self.params.get("linear_solver_maxiter"),
-        )
+            nns = spec.get("near_nullspace")
+            # Drop empty blocks (e.g. no interfaces in this mdg).
+            keep = [i for i, (r, c) in enumerate(blocks) if r.size or c.size]
+            blocks = [blocks[i] for i in keep]
+            if methods is not None:
+                methods = [methods[i] for i in keep]
+            remap = {old: new for new, old in enumerate(keep)}
+            if stab:
+                stab = {remap[i]: v for i, v in stab.items() if i in remap}
+            if nns:
+                nns = {remap[i]: v for i, v in nns.items() if i in remap}
+        try:
+            solver = DeviceLinearSolver(
+                cs,
+                method=self.linear_solver.split("_")[1],
+                blocks=blocks,
+                methods=methods,
+                stabilization=stab,
+                near_nullspace=nns,
+                tol=self.params.get("linear_solver_tol", 1e-11),
+                maxiter=self.params.get("linear_solver_maxiter"),
+            )
+        except ValueError:
+            logger.exception(
+                "Field-split construction failed; using whole-system AMG"
+            )
+            solver = DeviceLinearSolver(
+                cs,
+                method=self.linear_solver.split("_")[1],
+                tol=self.params.get("linear_solver_tol", 1e-11),
+                maxiter=self.params.get("linear_solver_maxiter"),
+            )
         self._device_solvers = {id(cs): solver}
         return solver
 

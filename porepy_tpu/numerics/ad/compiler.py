@@ -65,6 +65,10 @@ class _EnvSpec:
         self.fetchers: list[Callable[[Any], np.ndarray]] = []
         self._keys: dict = {}
         self._scalar_slots: set[int] = set()
+        # True if any slot reads the *iterate* ring (previous_iteration
+        # states): such envs change within a Newton loop, which rules out
+        # the fused device-resident Newton loop for this equation.
+        self.has_prev_iterate: bool = False
         # Device cache: env arrays keyed on the global stored-state version so
         # unchanged historic states are not re-uploaded every assembly.
         self._cache_version: int = -1
@@ -228,12 +232,16 @@ def _collect_env(
     if isinstance(op, Variable):
         if not op.is_current_iterate:
             env_spec.slot(_var_key(op), _fetch_variable(op))
+            if op.time_step_index is None and op.iterate_index != 0:
+                env_spec.has_prev_iterate = True
         return
     if isinstance(op, TimeDependentDenseArray):
         env_spec.slot(
             ("tda", op.name, op.domains, op.prev_time, getattr(op, "iterate_index", 0)),
             _fetch_tda(op),
         )
+        if getattr(op, "iterate_index", 0):
+            env_spec.has_prev_iterate = True
         return
     if isinstance(op, Scalar):
         env_spec.slot(("scalar", id(op)), lambda _es, _op=op: np.float64(_op.value))

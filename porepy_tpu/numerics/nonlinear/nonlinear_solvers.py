@@ -36,6 +36,15 @@ class NewtonSolver:
         is_converged = False
         is_diverged = False
 
+        # Device-resident fast path: the whole Newton loop in one dispatch.
+        # ``None`` (ineligible model or non-converged attempt) falls through
+        # to the host-orchestrated loop below on the untouched state.
+        if type(self) is NewtonSolver:
+            fused = getattr(model, "fused_newton_loop", None)
+            if fused is not None and fused(self.params):
+                model.after_nonlinear_convergence()
+                return True
+
         reference_residual = model.equation_system.assemble(evaluate_jacobian=False)
 
         while (
