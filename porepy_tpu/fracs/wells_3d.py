@@ -1,20 +1,24 @@
 """Wells as polylines embedded in 3d domains.
 
 Behavioral counterpart of reference ``fracs/wells_3d.py``: a :class:`Well`
-is a polyline, a :class:`WellNetwork3d` collects wells and can mesh them
-into an existing mixed-dimensional grid (one 1d grid per sub-line between
-fracture intersections, 0d grids at the intersections, interfaces wiring
-everything together — reference ``wells_3d.py:325``). Module functions
-compute well-fracture (reference ``wells_3d.py:508``) and well-matrix
-(reference ``wells_3d.py:567``, codim-2 coupling via an ADTree search)
-intersections.
+is a polyline, a :class:`WellNetwork3d` collects wells and meshes them into
+an existing mixed-dimensional grid (reference ``wells_3d.py:325``). Module
+functions compute well-fracture (reference ``wells_3d.py:508``) and
+well-matrix (reference ``wells_3d.py:567``, codim-2 coupling through an
+ADTree search) intersections.
 
-All of this is host-side mesh construction: plain numpy/scipy, no device
-work.
+The construction here is organized differently from the reference's
+stateful single pass: meshing first *splits* each polyline into sub-lines
+at fracture-intersection points (pure classification, :func:`_split_well`),
+then *builds* grids and interfaces from those descriptors — 0d intersection
+grids are created once per intersection point and wired to both neighboring
+sub-lines, instead of being recovered by position in the mdg's subdomain
+list. All of this is host-side mesh construction: plain numpy/scipy.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from typing import Iterator, Optional
 
 import numpy as np
@@ -80,9 +84,17 @@ class Well:
         return Well(np.copy(self.pts), tags=self.tags.copy())
 
     def __repr__(self) -> str:
-        return (
-            f"Well(index={self.index}, segments={self.num_segments()})"
-        )
+        return f"Well(index={self.index}, segments={self.num_segments()})"
+
+
+@dataclass
+class _SubLine:
+    """A run of consecutive polyline points between split events (fracture
+    intersections or well ends), plus the classification of its two ends."""
+
+    point_ids: list[int]
+    # Per end (start, end): "fracture" | "boundary" | "tip".
+    kind: list[str] = field(default_factory=lambda: ["tip", "tip"])
 
 
 class WellNetwork3d:
@@ -115,115 +127,126 @@ class WellNetwork3d:
             size = self.parameters["mesh_size"]
         return size
 
+    # -- meshing ---------------------------------------------------------------
+
+    def _on_domain_boundary(self, point: np.ndarray) -> bool:
+        for plane in self.domain.polytope_from_bounding_box():
+            dist, _, _ = distances.points_polygon(
+                point.reshape((3, 1)), plane
+            )
+            if np.isclose(np.asarray(dist).ravel()[0], 0):
+                return True
+        return False
+
+    def _split_well(self, w: Well) -> tuple[list[_SubLine], list[np.ndarray]]:
+        """Classify the polyline: sub-lines break at points tagged with a
+        fracture intersection; untagged interior kinks are absorbed. End
+        points without a fracture are 'boundary' if they lie on the domain
+        boundary, else internal 'tip's."""
+        tags_w = w.tags.get(
+            "intersecting_fractures", [np.empty(0)] * w.num_points()
+        )
+        if any(t.size > 1 for t in tags_w):
+            raise NotImplementedError(
+                "Wells meeting several fractures in one point are not "
+                "supported"
+            )
+
+        def end_kind(i: int) -> str:
+            if tags_w[i].size > 0:
+                return "fracture"
+            return "boundary" if self._on_domain_boundary(w.pts[:, i]) else "tip"
+
+        last = w.num_points() - 1
+        sublines: list[_SubLine] = []
+        current = _SubLine([0], [end_kind(0), ""])
+        for i in range(1, w.num_points()):
+            current.point_ids.append(i)
+            if i == last or tags_w[i].size > 0:
+                current.kind[1] = end_kind(i)
+                sublines.append(current)
+                current = _SubLine([i], ["fracture", ""])
+        return sublines, tags_w
+
+    def _build_subline_grid(self, w: Well, sub: _SubLine) -> TensorGrid:
+        """1d piecewise-linear grid along the sub-line, one linspace per
+        polyline segment at the (well/segment) mesh size, shared segment
+        endpoints deduplicated."""
+        pieces = []
+        for a, b in zip(sub.point_ids[:-1], sub.point_ids[1:]):
+            s, e = w.pts[:, a], w.pts[:, b]
+            num = max(int(np.linalg.norm(e - s) / self._mesh_size(w, (a, b))), 2)
+            piece = np.linspace(s, e, num).T
+            pieces.append(piece if not pieces else piece[:, 1:])
+        nodes = np.hstack(pieces)
+        sd = TensorGrid(np.arange(nodes.shape[1], dtype=float))
+        sd.nodes = nodes
+        sd.compute_geometry()
+        return sd
+
     def mesh(self, mdg) -> None:
         """Grid the wells and add them (plus 0d intersection grids and the
         connecting interfaces) to an existing md-grid.
 
-        One 1d grid is made per sub-line between fracture intersections;
-        kinks without an intersection are absorbed into a piecewise-linear
-        grid. Requires ``tags['intersecting_fractures']`` on each well, as
-        set by :func:`compute_well_fracture_intersections`.
+        Requires ``tags['intersecting_fractures']`` on each well, as set by
+        :func:`compute_well_fracture_intersections`.
         """
         well_num = 0
         for w in self.wells:
-            tags_w = w.tags.get(
-                "intersecting_fractures", [np.empty(0)] * w.num_points()
-            )
-            if any(t.size > 1 for t in tags_w):
-                raise NotImplementedError(
-                    "Wells meeting several fractures in one point are not "
-                    "supported"
-                )
+            sublines, tags_w = self._split_well(w)
 
-            points_subline = np.empty((3, 0))
-            endp_tip_tags = np.zeros(2, dtype=bool)
-            endp_frac_tags = np.zeros(2, dtype=bool)
-            # The well's first point may itself be an intersection: make the
-            # 0d grid and its fracture interface up front; the interface to
-            # the first well grid is added inside the segment loop.
-            if tags_w[0].size > 0:
-                sd_isec = _make_intersection_grid(w.pts[:, 0], mdg)
-                _couple_fracture_to_intersection(sd_isec, tags_w[0], mdg)
-                endp_frac_tags[0] = True
-
-            for inds_seg, seg in w.segments():
-                length = float(
-                    np.asarray(
-                        distances.point_pointset(seg[:, 0], seg[:, 1])
-                    ).ravel()[0]
-                )
-                num_pts = max(int(length / self._mesh_size(w, inds_seg)), 2)
-                points_loc = np.linspace(seg[:, 0], seg[:, 1], num_pts).T
-                points_subline = np.hstack((points_subline, points_loc))
-
-                if tags_w[inds_seg[1]].size == 0:
-                    if inds_seg[1] == w.num_points() - 1:
-                        # Well ends without an intersection: internal tip.
-                        endp_tip_tags[1] = True
-                        endp_frac_tags[1] = False
-                    else:
-                        # Kink: merge with the next segment (drop the shared
-                        # point, re-added by the next iteration).
-                        points_subline = np.reshape(
-                            points_subline[:, :-1], (3, -1)
+            # One 0d grid per fracture-intersection point, shared by the
+            # sub-lines meeting there; coupled to its fracture up front.
+            isec_grids: dict[int, PointGrid] = {}
+            for sub in sublines:
+                for end in (0, 1):
+                    pid = sub.point_ids[0] if end == 0 else sub.point_ids[-1]
+                    if sub.kind[end] == "fracture" and pid not in isec_grids:
+                        sd_isec = PointGrid(w.pts[:, pid])
+                        sd_isec.history.append(
+                            "Well-fracture intersection grid"
                         )
-                        continue
+                        sd_isec.compute_geometry()
+                        mdg.add_subdomains(sd_isec)
+                        sd_isec.tags["parent_well_index"] = w.index
+                        _couple_fracture_to_intersection(
+                            sd_isec, tags_w[pid], mdg
+                        )
+                        isec_grids[pid] = sd_isec
 
-                # Sub-line ends here (intersection or well end): build the
-                # 1d well grid on the accumulated points.
-                sd_w = TensorGrid(np.arange(points_subline.shape[1], dtype=float))
-                sd_w.nodes = points_subline.copy()
-                sd_w.compute_geometry()
+            for sub in sublines:
+                sd_w = self._build_subline_grid(w, sub)
                 mdg.add_subdomains(sd_w)
                 sd_w.well_num = well_num
                 sd_w.name += " well " + str(well_num)
                 sd_w.tags["parent_well_index"] = w.index
                 well_num += 1
 
-                if not endp_tip_tags[1]:
-                    endp_frac_tags[1] = True
-                    sd_isec = _make_intersection_grid(seg[:, 1], mdg)
-                    sd_isec.tags["parent_well_index"] = w.index
-                    _couple_well_to_intersection(sd_w, sd_isec, mdg)
-                    _couple_fracture_to_intersection(
-                        sd_isec, tags_w[inds_seg[1]], mdg
+                for end, face, pid in (
+                    (0, 0, sub.point_ids[0]),
+                    (1, -1, sub.point_ids[-1]),
+                ):
+                    kind = sub.kind[end]
+                    sd_w.tags["fracture_faces"][face] = kind == "fracture"
+                    sd_w.tags["tip_faces"][face] = kind == "tip"
+                    sd_w.tags["domain_boundary_faces"][face] = (
+                        kind == "boundary"
                     )
-
-                if endp_frac_tags[0]:
-                    # Intersection grid at this sub-line's start: the last 0d
-                    # grid added, or the one before if we just added one for
-                    # the end point.
-                    previous_ind = -1 - int(endp_frac_tags[1])
-                    previous_isec = mdg.subdomains(dim=self.well_dim - 1)[
-                        previous_ind
-                    ]
-                    _couple_well_to_intersection(sd_w, previous_isec, mdg)
-
-                # Face tags at the two well ends: domain boundary, tip or
-                # fracture.
-                bounding_planes = self.domain.polytope_from_bounding_box()
-                boundary = np.zeros(2, dtype=bool)
-                endp_inds = [0, -1]
-                endpts = sd_w.face_centers[:, endp_inds]
-                for plane in bounding_planes:
-                    dist, _, _ = distances.points_polygon(endpts, plane)
-                    boundary |= np.isclose(dist, 0)
-                endp_tip_tags[0] = not (boundary[0] or endp_frac_tags[0])
-                sd_w.tags["domain_boundary_faces"][endp_inds] = boundary
-                sd_w.tags["tip_faces"][endp_inds] = endp_tip_tags
-                sd_w.tags["fracture_faces"][endp_inds] = endp_frac_tags
+                    if kind == "fracture":
+                        _couple_well_to_intersection(
+                            sd_w, isec_grids[pid], mdg
+                        )
 
                 bg_w = mdg.subdomain_to_boundary_grid(sd_w)
                 if bg_w is not None:
-                    # The boundary grid was built before the face tags above
-                    # existed; rebuild its cell count and projections.
-                    bg_w.num_cells = int(np.sum(boundary))
+                    # The boundary grid predates the face tags just set;
+                    # rebuild its cell count and projections.
+                    bg_w.num_cells = int(
+                        np.sum(sd_w.tags["domain_boundary_faces"])
+                    )
                     bg_w.set_projections()
                     bg_w.compute_geometry()
 
-                points_subline = np.empty((3, 0))
-                endp_tip_tags = np.zeros(2, dtype=bool)
-                endp_frac_tags = np.array([True, False])
         for t in ("domain_boundary", "tip", "fracture"):
             tag_utils.add_node_tags_from_face_tags(mdg, t)
 
@@ -240,30 +263,53 @@ def compute_well_fracture_intersections(
     boundary_tags = fracture_network.tags.get(
         "boundary", [False] * len(fracture_network.fractures)
     )
+    interior_fracs = [
+        f
+        for f, on_boundary in zip(fracture_network.fractures, boundary_tags)
+        if not on_boundary
+    ]
+    tol = well_network.tol if hasattr(well_network, "tol") else 1e-8
     for well in well_network.wells:
-        well_pts = np.empty((3, 0))
-        well_tags: list[np.ndarray] = []
-        for seg_ind, segment in well.segments():
-            # The segment's end point doubles as the next segment's start:
-            # defer its handling unless this is the well's last segment.
-            defer_endpoint = seg_ind[1] < well.num_segments()
-            pts_seg = segment.copy()
-            tags_seg: list[np.ndarray] = [np.empty(0), np.empty(0)]
-            for fracture, on_boundary in zip(
-                fracture_network.fractures, boundary_tags
-            ):
-                if on_boundary:
+        pts_out: list[np.ndarray] = []
+        tags_out: list[np.ndarray] = []
+        last_seg = well.num_segments() - 1
+        for (ia, ib), seg in well.segments():
+            s, e = seg[:, 0], seg[:, 1]
+            is_last = ia == last_seg
+            # Candidate points on this segment: the two polyline endpoints
+            # plus one hit per intersecting fracture; hits landing on an
+            # existing candidate merge their fracture index into its tag.
+            cand = [s, e]
+            cand_tags: list[list[int]] = [[], []]
+            for frac in interior_fracs:
+                dist, hit = distances.segments_polygon(s, e, frac.pts)
+                if dist > tol:
                     continue
-                pts_seg, tags_seg = _intersect_segment_fracture(
-                    pts_seg, fracture, tags_seg, defer_endpoint
-                )
-            sort_inds, sorted_pts = _argsort_on_segment(pts_seg)
-            stop = sort_inds.size - int(defer_endpoint)
-            well_pts = np.hstack((well_pts, sorted_pts[:, :stop]))
-            for i in sort_inds[:stop]:
-                well_tags.append(tags_seg[i])
-        well.pts = well_pts
-        well.tags["intersecting_fractures"] = well_tags
+                hit = np.asarray(hit).ravel()
+                sep = np.asarray(
+                    distances.point_pointset(hit.reshape((3, 1)), np.column_stack(cand))
+                ).ravel()
+                close = np.isclose(sep, 0)
+                if close.any():
+                    at = int(np.argmax(close))
+                    if not (at == 1 and not is_last) and frac.index is not None:
+                        # End-of-segment hits are handled by the NEXT
+                        # segment (where they are its start), except on the
+                        # last segment.
+                        cand_tags[at].append(frac.index)
+                else:
+                    cand.append(hit)
+                    cand_tags.append([frac.index])
+            # Order interior hits by their parameter along the segment.
+            t = [float(np.dot(p - s, e - s)) for p in cand[2:]]
+            order = [0] + [2 + int(i) for i in np.argsort(t, kind="stable")]
+            if is_last:
+                order.append(1)
+            for i in order:
+                pts_out.append(cand[i])
+                tags_out.append(np.asarray(cand_tags[i], dtype=float).ravel())
+        well.pts = np.column_stack(pts_out)
+        well.tags["intersecting_fractures"] = tags_out
 
 
 def compute_well_rock_matrix_intersections(
@@ -281,52 +327,44 @@ def compute_well_rock_matrix_intersections(
     tree = adtree.ADTree(2 * sd_max.dim, sd_max.dim)
     tree.from_grid(sd_max, cells)
 
-    well_subdomains = [
-        g for g in mdg.subdomains(dim=dim_max - 2) if hasattr(g, "well_num")
-    ]
-
-    # Segment (start, end) node pairs per well grid.
-    nodes_w = []
-    for sd_w in well_subdomains:
-        cn = sd_w.cell_nodes()
-        first = cn.indptr[:-1]
-        second = cn.indptr[1:]
-        nodes_w.append(
-            cn.indices[expand_index_pointers(first, second)]
-            .reshape((-1, 2))
-            .T
-        )
-
     cf = sd_max.cell_faces.tocsc()
     fn = sd_max.face_nodes.tocsc()
 
-    for sd_w, n_w in zip(well_subdomains, nodes_w):
-        start = sd_w.nodes[:, n_w[0]]
-        end = sd_w.nodes[:, n_w[1]]
+    def cell_polyhedron(c: int) -> np.ndarray:
+        faces = cf.indices[cf.indptr[c] : cf.indptr[c + 1]]
+        return np.array(
+            [
+                sd_max.nodes[:, fn.indices[fn.indptr[f] : fn.indptr[f + 1]]]
+                for f in faces
+            ]
+        )
 
-        rows_i: list[int] = []
-        cols_j: list[int] = []
-        vals: list[float] = []
-        for seg_id, (s, e) in enumerate(zip(start.T, end.T)):
+    for sd_w in mdg.subdomains(dim=dim_max - 2):
+        if not hasattr(sd_w, "well_num"):
+            continue
+        # Segment endpoints: node pair per 1d cell.
+        cn = sd_w.cell_nodes()
+        pairs = cn.indices[
+            expand_index_pointers(cn.indptr[:-1], cn.indptr[1:])
+        ].reshape((-1, 2))
+        entries: list[tuple[int, int, float]] = []
+        for seg_id, (na, nb) in enumerate(pairs):
+            s, e = sd_w.nodes[:, na], sd_w.nodes[:, nb]
             box = np.sort(np.vstack((s, e)), axis=0).ravel()
-            hits = tree.search(adtree.ADTNode("query", box))
-            for node in hits:
-                c = tree.nodes[node].key
-                faces_loc = cf.indices[cf.indptr[c] : cf.indptr[c + 1]]
-                poly = np.array(
-                    [
-                        sd_max.nodes[:, fn.indices[fn.indptr[f] : fn.indptr[f + 1]]]
-                        for f in faces_loc
-                    ]
+            for hit in tree.search(adtree.ADTNode("query", box)):
+                c = tree.nodes[hit].key
+                _, _, _, ratio = isect_mod.segments_polyhedron(
+                    s, e, cell_polyhedron(c), tol
                 )
-                _, _, _, ratio = isect_mod.segments_polyhedron(s, e, poly, tol)
+                ratio = float(np.asarray(ratio).ravel()[0])
                 if ratio > min_length:
-                    rows_i.append(seg_id)
-                    cols_j.append(c)
-                    vals.extend(np.atleast_1d(ratio).tolist())
+                    entries.append((seg_id, c, ratio))
 
+        rows, cols, vals = (
+            zip(*entries) if entries else ((), (), ())
+        )
         primary_secondary_map = sps.csc_matrix(
-            (vals, (rows_i, cols_j)), shape=(sd_w.num_cells, sd_max.num_cells)
+            (vals, (rows, cols)), shape=(sd_w.num_cells, sd_max.num_cells)
         )
 
         side_g = {MortarSides.LEFT_SIDE: sd_w.copy()}
@@ -344,64 +382,12 @@ def compute_well_rock_matrix_intersections(
 # -- helpers -------------------------------------------------------------------
 
 
-def _argsort_on_segment(seg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Sort collinear points monotonically from the segment's first to
-    second point (columns 0 and 1 of ``seg``)."""
-    for dim in range(3):
-        if not np.isclose(seg[dim, 0] - seg[dim, 1], 0):
-            break
-    inds = np.argsort(seg[dim])
-    if seg[dim, 0] > seg[dim, 1]:
-        inds = inds[::-1]
-    return inds, seg[:, inds]
-
-
-def _intersect_segment_fracture(
-    segment_points: np.ndarray,
-    fracture,
-    tags: list[np.ndarray],
-    defer_endpoint: bool,
-    tol: float = 1e-8,
-) -> tuple[np.ndarray, list[np.ndarray]]:
-    """Intersect one segment (columns [start, end, *interior]) with a plane
-    fracture; append a new interior point or extend an existing point's
-    fracture tag."""
-    distance, isec_pt = distances.segments_polygon(
-        segment_points[:, 0], segment_points[:, 1], fracture.pts
-    )
-    if distance > tol:
-        return segment_points, tags
-    isec_pt = isec_pt.reshape((3, 1))
-    dist_to_existing = distances.point_pointset(isec_pt, segment_points)
-    at_existing = np.isclose(dist_to_existing, 0)
-    if defer_endpoint and at_existing[1]:
-        return segment_points, tags
-    if np.any(at_existing):
-        ind_loc = int(at_existing.nonzero()[0][0])
-        if fracture.index is not None:
-            tags[ind_loc] = np.append(tags[ind_loc], fracture.index)
-    else:
-        segment_points = np.hstack((segment_points, isec_pt))
-        tags.append(np.atleast_1d(np.array(fracture.index)))
-    return segment_points, tags
-
-
-def _make_intersection_grid(point: np.ndarray, mdg) -> PointGrid:
-    sd = PointGrid(point)
-    sd.history.append("Well-fracture intersection grid")
-    sd.compute_geometry()
-    mdg.add_subdomains(sd)
-    return sd
-
-
 def _couple_fracture_to_intersection(sd_secondary, frac_num, mdg) -> None:
     """Codim-2 interface between the fracture ``frac_num`` and a 0d
     intersection grid (cell-to-cell map)."""
-    sd_primary = None
-    for sd in mdg.subdomains():
-        if sd.frac_num == frac_num:
-            sd_primary = sd
-            break
+    sd_primary = next(
+        sd for sd in mdg.subdomains() if sd.frac_num == frac_num
+    )
     cell_primary = sd_primary.closest_cell(sd_secondary.cell_centers)
     cell_cell_map = sps.coo_matrix(
         (np.ones(1, dtype=bool), (np.array([0]), cell_primary)),

@@ -1,10 +1,13 @@
-"""Cell-wise tangential/normal coordinate systems on fracture grids.
+"""Cell-wise tangential/normal coordinate frames on fracture grids.
 
-Parity counterpart of reference ``utils/tangential_normal_projection.py``:
-local bases constructed from fracture normal vectors (with the reference's
-deterministic tangent conventions), block-diagonal projection matrices, and
-the md-grid hook that stores one projection per codimension-1 subdomain —
-the geometric foundation of fracture contact mechanics.
+Capability counterpart of reference ``utils/tangential_normal_projection.py``
+(same tangent-direction conventions so contact-state fields agree), built
+batched: all frames are assembled in one shot as an ``(n, dim, dim)`` row
+stack — rows are the ``dim - 1`` unit tangents followed by the unit normal —
+and every projection matrix is a direct COO construction from that stack.
+Because each frame is orthonormal, the inverse the reference computes with a
+per-cell LU loop is simply the transpose here; there is no per-cell Python
+loop anywhere.
 """
 
 from __future__ import annotations
@@ -17,112 +20,122 @@ import scipy.sparse as sps
 __all__ = ["TangentialNormalProjection", "set_local_coordinate_projections"]
 
 
-class TangentialNormalProjection:
-    def __init__(self, normals: np.ndarray) -> None:
-        normals = normals / np.linalg.norm(normals, axis=0)
-        self.num_vecs: int = normals.shape[1]
-        self.dim: int = normals.shape[0]
-        basis, normal = self._construct_local_basis(normals)
-        basis = basis.reshape((self.dim, self.dim, self.num_vecs))
-        self._projection = self._invert_3d_matrix(basis)
-        self.normals = normal
+def _frames_2d(n: np.ndarray) -> np.ndarray:
+    """(num, 2, 2) row stacks (tangent; normal) for unit normals ``n``
+    (2 x num). Tangent convention: the tangent's first component is kept
+    non-negative (flipped with the sign of ``n_y``); a horizontal tangent
+    for vertical-free normals."""
+    num = n.shape[1]
+    s = np.sign(n[1])
+    t = np.stack([s * n[1], -s * n[0]], axis=0)
+    t[:, s == 0] = np.array([[0.0], [1.0]])
+    frames = np.empty((num, 2, 2))
+    frames[:, 0, :] = t.T
+    frames[:, 1, :] = n.T
+    return frames
 
-    def project_tangential_normal(self, num: Optional[int] = None) -> sps.spmatrix:
-        """Block-diagonal (dim x dim blocks): first dim-1 rows project to
-        the tangent space, last row to the normal space."""
-        if num is None:
-            num = self._projection.shape[-1]
-            blocks = [self._projection[:, :, i] for i in range(num)]
-        else:
-            blocks = [self._projection[:, :, 0]] * num
-        return sps.block_diag(blocks, format="csc")
+
+def _frames_3d(n: np.ndarray) -> np.ndarray:
+    """(num, 3, 3) row stacks (t1; t2; normal). The first tangent zeroes the
+    dominant normal component: with ``i = argmax |n|`` and ``j < k`` the
+    remaining axes, ``t1[j] = -n[k], t1[k] = n[j]`` (degenerate axis-aligned
+    normals fall back to ``t1[j] = 1``); ``t2 = n x t1``."""
+    num = n.shape[1]
+    i = np.argmax(np.abs(n), axis=0)
+    others = np.array([[1, 2], [0, 2], [0, 1]])[i]  # (num, 2), ascending
+    j, k = others[:, 0], others[:, 1]
+    cols = np.arange(num)
+    t1 = np.zeros_like(n)
+    t1[j, cols] = -n[k, cols]
+    t1[k, cols] = n[j, cols]
+    degenerate = np.hypot(n[j, cols], n[k, cols]) < 1e-8
+    t1[j[degenerate], cols[degenerate]] = 1.0
+    t1 /= np.linalg.norm(t1, axis=0)
+    t2 = np.cross(n, t1, axis=0)
+    t2 /= np.linalg.norm(t2, axis=0)
+    frames = np.empty((num, 3, 3))
+    frames[:, 0, :] = t1.T
+    frames[:, 1, :] = t2.T
+    frames[:, 2, :] = n.T
+    return frames
+
+
+def _block_diag(blocks: np.ndarray) -> sps.csc_matrix:
+    """Block-diagonal sparse matrix from a dense ``(num, r, c)`` stack."""
+    num, r, c = blocks.shape
+    rows = r * np.arange(num)[:, None, None] + np.arange(r)[None, :, None]
+    cols = c * np.arange(num)[:, None, None] + np.arange(c)[None, None, :]
+    return sps.csc_matrix(
+        (
+            blocks.ravel(),
+            (np.broadcast_to(rows, blocks.shape).ravel(),
+             np.broadcast_to(cols, blocks.shape).ravel()),
+        ),
+        shape=(num * r, num * c),
+    )
+
+
+class TangentialNormalProjection:
+    """Projections between global and local (tangential/normal) coordinates
+    for a batch of normal vectors (``dim x num`` array, one frame per
+    column). Reference: ``utils/tangential_normal_projection.py:20``."""
+
+    def __init__(self, normals: np.ndarray) -> None:
+        unit = normals / np.linalg.norm(normals, axis=0)
+        self.dim, self.num_vecs = unit.shape
+        self.normals = unit
+        self._frames = _frames_2d(unit) if self.dim == 2 else _frames_3d(unit)
+
+    def local_frames(self) -> np.ndarray:
+        """Dense ``(num, dim, dim)`` stack; rows are tangents then normal."""
+        return self._frames
+
+    def _blocks(self, num: Optional[int], rows: slice) -> np.ndarray:
+        frames = self._frames[:, rows, :]
+        if num is not None:
+            frames = np.broadcast_to(frames[:1], (num,) + frames.shape[1:])
+        return frames
+
+    def project_tangential_normal(
+        self, num: Optional[int] = None
+    ) -> sps.spmatrix:
+        """Block-diagonal projection to local coordinates: within each
+        ``dim x dim`` block the first ``dim - 1`` rows map to the tangent
+        components, the last to the normal component."""
+        return _block_diag(self._blocks(num, slice(None)))
 
     def project_tangential(self, num: Optional[int] = None) -> sps.spmatrix:
-        full = self.project_tangential_normal(num)
-        if num is None:
-            num = self.num_vecs
-        size = self.dim * num
-        rows = np.arange(num * (self.dim - 1))
-        cols = np.setdiff1d(
-            np.arange(size), np.arange(self.dim - 1, size, self.dim)
-        )
-        strip = sps.csc_matrix(
-            (np.ones_like(rows), (rows, cols)), shape=(rows.size, size)
-        )
-        return strip * full
+        """Rectangular block-diagonal projection onto the tangent space
+        (``(dim-1) * n`` rows)."""
+        return _block_diag(self._blocks(num, slice(0, self.dim - 1)))
 
     def project_normal(self, num: Optional[int] = None) -> sps.spmatrix:
-        full = self.project_tangential_normal(num)
-        if num is None:
-            num = self.num_vecs
-        size = self.dim * num
-        rows = np.arange(num)
-        cols = np.arange(self.dim - 1, size, self.dim)
-        strip = sps.csc_matrix(
-            (np.ones_like(rows), (rows, cols)), shape=(rows.size, size)
-        )
-        return strip * full
-
-    def _construct_local_basis(self, normal: np.ndarray):
-        if self.dim == 2:
-            normal = normal / np.linalg.norm(normal, axis=0)
-            tc1 = np.zeros_like(normal)
-            neg = normal[1] < 0
-            tc1[:, neg] = np.vstack([-normal[1, neg], normal[0, neg]])
-            pos = normal[1] > 0
-            tc1[:, pos] = np.vstack([normal[1, pos], -normal[0, pos]])
-            zero = normal[1] == 0
-            tc1[1, zero] = 1
-            basis = np.hstack([tc1, normal])
-        else:
-            normal = normal / np.linalg.norm(normal, axis=0)
-            max_dim = np.argmax(np.abs(normal), axis=0)
-            tc1 = np.zeros_like(normal)
-            for i in range(self.dim):
-                hit = max_dim == i
-                other = np.setdiff1d(np.arange(self.dim), i)
-                tc1[other[0], hit] = -normal[other[1], hit]
-                tc1[other[1], hit] = normal[other[0], hit]
-                aligned = np.logical_and(
-                    hit, np.linalg.norm(normal[other], axis=0) < 1e-8
-                )
-                tc1[other[0], aligned] = 1
-            tc1 = tc1 / np.linalg.norm(tc1, axis=0)
-            tc2 = np.cross(normal, tc1, axis=0)
-            tc2 = tc2 / np.linalg.norm(tc2, axis=0)
-            basis = np.hstack([tc1, tc2, normal])
-        return basis, normal
-
-    @staticmethod
-    def _invert_3d_matrix(M: np.ndarray) -> np.ndarray:
-        M_inv = np.zeros(M.shape)
-        for i in range(M.shape[-1]):
-            M_inv[:, :, i] = np.linalg.inv(M[:, :, i])
-        return M_inv
+        """Rectangular block-diagonal projection onto the normal direction
+        (``n`` rows)."""
+        return _block_diag(self._blocks(num, slice(self.dim - 1, self.dim)))
 
 
 def set_local_coordinate_projections(mdg, interfaces=None) -> None:
     """Store a TangentialNormalProjection in the data dict of every
     codimension-1 subdomain (reference
-    ``tangential_normal_projection.py:289``)."""
+    ``tangential_normal_projection.py:289``). The normal of each fracture
+    cell is the outward normal of the primary ("first") side's host faces,
+    averaged onto the fracture through the mortar projections."""
     if interfaces is None:
         interfaces = mdg.interfaces(dim=mdg.dim_max() - 1)
     for intf in interfaces:
         if intf.dim != mdg.dim_max() - 1:
             continue
         sd_primary, sd_secondary = mdg.interface_to_subdomain_pair(intf)
-        faces_on_surface = intf.primary_to_mortar_int().tocsr().indices
-        sgn, _ = sd_primary.signs_and_cells_of_boundary_faces(faces_on_surface)
-        unit_normal = (
-            sd_primary.face_normals[: sd_primary.dim] / sd_primary.face_areas
-        )
-        unit_normal[:, faces_on_surface] *= sgn
-        # Zero the "other" (duplicate) side so the first side defines the
-        # positive normal direction.
-        unit_normal[:, intf._ind_face_on_other_side] = 0
-        outwards_mortar = intf.primary_to_mortar_int().dot(unit_normal.T).T
-        normal_lower = intf.mortar_to_secondary_int().dot(outwards_mortar.T).T
-        projection = TangentialNormalProjection(normal_lower)
+        surface_faces = intf.primary_to_mortar_int().tocsr().indices
+        sgn, _ = sd_primary.signs_and_cells_of_boundary_faces(surface_faces)
+        outward = sd_primary.face_normals[: sd_primary.dim] / sd_primary.face_areas
+        outward[:, surface_faces] *= sgn
+        # The duplicated ("other") side's faces are zeroed so only the first
+        # side defines the positive normal direction.
+        outward[:, intf._ind_face_on_other_side] = 0
+        on_mortar = intf.primary_to_mortar_int() @ outward.T
+        on_secondary = (intf.mortar_to_secondary_int() @ on_mortar).T
         mdg.subdomain_data(sd_secondary)["tangential_normal_projection"] = (
-            projection
+            TangentialNormalProjection(on_secondary)
         )
