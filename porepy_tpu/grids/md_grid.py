@@ -166,6 +166,50 @@ class MixedDimensionalGrid:
         )
         self._interface_to_subdomains[intf] = sd_pair
 
+    def replace_subdomains_and_interfaces(
+        self,
+        sd_map: Optional[dict] = None,
+        interface_map: Optional[dict] = None,
+        tol: float = 1e-6,
+    ) -> None:
+        """Swap subdomain grids and/or mortar (side) grids for new — possibly
+        refined and non-matching — grids, updating every mortar projection
+        and boundary grid touched (reference ``grids/md_grid.py:700``).
+
+        Parameters:
+            sd_map: ``{old subdomain: new subdomain}``.
+            interface_map: ``{old MortarGrid: new MortarGrid}`` or
+                ``{old MortarGrid: {MortarSides: side grid}}``.
+            tol: Geometric tolerance for the grid matching.
+        """
+        from porepy_tpu.grids.mortar_grid import MortarGrid
+
+        for intf, replacement in (interface_map or {}).items():
+            side_grids = (
+                replacement.side_grids
+                if isinstance(replacement, MortarGrid)
+                else replacement
+            )
+            intf.update_mortar(side_grids, tol)
+
+        for sd_old, sd_new in (sd_map or {}).items():
+            self._subdomain_data[sd_new] = self._subdomain_data.pop(sd_old)
+            for intf in self.subdomain_to_interfaces(sd_old):
+                primary, secondary = self._interface_to_subdomains[intf]
+                if primary is sd_old:
+                    self._interface_to_subdomains[intf] = (sd_new, secondary)
+                    intf.update_primary(sd_new, sd_old, tol)
+                else:
+                    self._interface_to_subdomains[intf] = (primary, sd_new)
+                    intf.update_secondary(sd_new, tol)
+            bg_old = self.subdomain_to_boundary_grid(sd_old)
+            if bg_old is not None:
+                data = self._boundary_grid_data.pop(bg_old)
+                bg_new = BoundaryGrid(sd_new)
+                bg_new.compute_geometry()
+                bg_new.set_projections()
+                self._boundary_grid_data[bg_new] = data
+
     def remove_subdomain(self, sd: Grid) -> None:
         del self._subdomain_data[sd]
         for intf in list(self.subdomain_to_interfaces(sd)):

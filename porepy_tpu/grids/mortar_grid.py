@@ -290,47 +290,57 @@ class MortarGrid:
         self._set_projections(primary=False)
 
     def update_primary(self, g_new, g_old, tol: Optional[float] = None) -> None:
-        """Re-key the primary-side projections after the primary grid was
-        replaced by a geometrically matching grid (possibly renumbered
-        faces). Non-matching primary replacement (refinement across the
-        mortar) requires mortar-line tessellation and is not supported."""
+        """Re-key the primary-side projections after the primary
+        (higher-dimensional) grid was replaced (reference
+        ``mortar_grid.py:456``).
+
+        Replacement grids need not match the old grid: for 1d mortars the
+        old-to-new face weights come from tessellating both grids' fracture
+        faces along the mortar line
+        (:func:`~porepy_tpu.grids.match_grids.match_grids_along_1d_mortar`);
+        0d mortars point-match the touched faces. 2d mortar updates (3d
+        refinement across an interface) are not implemented, as in the
+        reference.
+        """
         tol = self.tol if tol is None else tol
-        # Face correspondence on the faces the mortar touches. Split
-        # fracture faces and their duplicates share centers, so the match
-        # key combines the face center with the adjacent cell's center
-        # (each fracture face borders exactly one cell post-split).
-        touched = np.unique(self._primary_to_mortar_int.tocoo().col)
-
-        def keys(g):
-            cf = g.cell_faces.tocsr()
-            owner = np.zeros(g.num_faces, dtype=int)
-            coo = g.cell_faces.tocoo()
-            owner[coo.row] = coo.col
-            return np.vstack(
-                [g.face_centers, 1e-3 * g.cell_centers[:, owner]]
+        if self.dim == 0:
+            old_faces = np.unique(self._primary_to_mortar_int.tocoo().col)
+            pt = g_old.face_centers[:, old_faces]
+            if np.any(
+                np.linalg.norm(pt - pt[:, :1], axis=0) > tol
+            ):
+                raise ValueError(
+                    "0d mortar faces must coincide in one physical point"
+                )
+            cand = g_new.get_all_boundary_faces()
+            hit = cand[
+                np.linalg.norm(
+                    g_new.face_centers[:, cand] - pt[:, :1], axis=0
+                )
+                < tol
+            ]
+            split_int = sps.csc_matrix(
+                (np.ones(old_faces.size), (old_faces, hit[: old_faces.size])),
+                shape=(g_old.num_faces, g_new.num_faces),
             )
+            split_avg = split_int.copy()
+        elif self.dim == 1:
+            from porepy_tpu.grids import match_grids
 
-        key_old = keys(g_old)[:, touched]
-        key_new = keys(g_new)
-        d = np.linalg.norm(key_new[:, :, None] - key_old[:, None, :], axis=0)
-        nearest = np.argmin(d, axis=0)
-        if np.any(d[nearest, np.arange(touched.size)] > max(tol, 1e-8)):
+            split_avg = match_grids.match_grids_along_1d_mortar(
+                self, g_new, g_old, tol, scaling="averaged"
+            )
+            split_int = match_grids.match_grids_along_1d_mortar(
+                self, g_new, g_old, tol, scaling="integrated"
+            )
+        else:
             raise NotImplementedError(
-                "update_primary supports geometrically matching primary "
-                "replacements only"
+                "2d mortar primary updates are not implemented"
             )
-        perm_rows = []
-        for f_old, f_new in zip(touched, nearest):
-            perm_rows.append((f_new, f_old))
-        rows, cols = zip(*perm_rows)
-        perm = sps.csr_matrix(
-            (np.ones(len(rows)), (cols, rows)),
-            shape=(g_old.num_faces, g_new.num_faces),
-        )
         self._primary_to_mortar_avg = (
-            self._primary_to_mortar_avg @ perm
+            self._primary_to_mortar_avg @ split_avg
         ).tocsc()
         self._primary_to_mortar_int = (
-            self._primary_to_mortar_int @ perm
+            self._primary_to_mortar_int @ split_int
         ).tocsc()
         self._set_projections(secondary=False)

@@ -111,3 +111,79 @@ def test_match_grids_along_1d_mortar_nested():
     assert np.allclose(
         np.asarray(m_avg.sum(axis=1)).ravel()[faces_old], 1.0
     )
+
+
+# -- mdg-level replacement (reference ``grids/md_grid.py:700``) ----------------
+
+
+def _copy_2d(sd):
+    new = sd.copy()
+    new.compute_geometry()
+    return new
+
+
+def test_replace_2d_grid_identical_copy():
+    """Replacing the primary with an identical copy keeps projections and
+    swaps the registered subdomain + boundary grid."""
+    mdg = _mdg()
+    intf = list(mdg.interfaces())[0]
+    sd_old, _ = mdg.interface_to_subdomain_pair(intf)
+    bg_old = mdg.subdomain_to_boundary_grid(sd_old)
+    old = intf.primary_to_mortar_avg().toarray()
+    sd_new = _copy_2d(sd_old)
+    mdg.replace_subdomains_and_interfaces(sd_map={sd_old: sd_new})
+    assert sd_old not in mdg and sd_new in mdg
+    assert bg_old not in mdg
+    assert mdg.subdomain_to_boundary_grid(sd_new) is not None
+    assert np.allclose(intf.primary_to_mortar_avg().toarray(), old)
+    assert mdg.interface_to_subdomain_pair(intf)[0] is sd_new
+
+
+def test_replace_2d_grid_refined_nonmatching():
+    """Replacing the primary with a refined (non-matching) grid tessellates
+    the mortar line: averaged projections stay a partition of unity and
+    each mortar cell draws from exactly the two child faces."""
+    frac = [np.array([[0.25, 0.75], [0.5, 0.5]])]
+    mdg = meshing.cart_grid(frac, np.array([4, 4]), physdims=[1.0, 1.0])
+    mdg_fine = meshing.cart_grid(frac, np.array([8, 8]), physdims=[1.0, 1.0])
+    intf = list(mdg.interfaces())[0]
+    sd_old, _ = mdg.interface_to_subdomain_pair(intf)
+    sd_new = mdg_fine.subdomains(dim=2)[0]
+    mdg.replace_subdomains_and_interfaces(sd_map={sd_old: sd_new})
+    P = intf.primary_to_mortar_avg()
+    assert P.shape == (intf.num_cells, sd_new.num_faces)
+    assert np.allclose(np.asarray(P.sum(axis=1)).ravel(), 1.0)
+    counts = np.diff(P.tocsr().indptr)
+    assert np.all(counts == 2)
+    # A linear-in-x face field projects exactly onto the mortar centers.
+    fx = sd_new.face_centers[0]
+    proj = P @ fx
+    assert np.allclose(proj, intf.cell_centers[0])
+
+
+def test_replace_1d_secondary_refined():
+    mdg = _mdg()
+    intf = list(mdg.interfaces())[0]
+    _, sd_old = mdg.interface_to_subdomain_pair(intf)
+    sd_new = refine_grid_1d(sd_old, ratio=2)
+    sd_new.compute_geometry()
+    mdg.replace_subdomains_and_interfaces(sd_map={sd_old: sd_new})
+    assert mdg.interface_to_subdomain_pair(intf)[1] is sd_new
+    P = intf.secondary_to_mortar_avg()
+    assert P.shape == (intf.num_cells, sd_new.num_cells)
+    assert np.allclose(np.asarray(P.sum(axis=1)).ravel(), 1.0)
+
+
+def test_replace_interface_side_grids():
+    mdg = _mdg()
+    intf = list(mdg.interfaces())[0]
+    n_old = intf.num_cells
+    new_sides = {
+        side: refine_grid_1d(g, ratio=2) for side, g in intf.side_grids.items()
+    }
+    for g in new_sides.values():
+        g.compute_geometry()
+    mdg.replace_subdomains_and_interfaces(interface_map={intf: new_sides})
+    assert intf.num_cells == 2 * n_old
+    for P in (intf.primary_to_mortar_avg(), intf.secondary_to_mortar_avg()):
+        assert np.allclose(np.asarray(P.sum(axis=1)).ravel(), 1.0)
