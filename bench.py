@@ -233,6 +233,108 @@ def run_3d_framework() -> dict:
     return _summarize(m, skip=2)
 
 
+def run_tracer() -> dict:
+    """Config 3: tracer transport (in-kernel upwinding + implicit Euler) on
+    a fractured 2d grid — our tracer example model mirroring the
+    reference's (``examples/tracer_flow.py``), identical setup to
+    tools/measure_ref_configs.py::measure_tracer."""
+    import porepy_tpu as pt
+    from porepy_tpu.examples.tracer_flow import TracerFlowModel
+
+    class Model(_timed(TracerFlowModel)):
+        pass
+
+    params = {
+        "material_constants": {
+            "solid": pt.SolidConstants(
+                porosity=0.1, permeability=1e-7, normal_permeability=1e-7,
+                residual_aperture=1e-2,
+            ),
+        },
+        "fracture_indices": [0, 1],
+        "grid_type": "cartesian",
+        "meshing_arguments": {"cell_size": 1.0 / 64},
+        "time_manager": pt.TimeManager([0, 3 * 60.0], 60.0, constant_dt=True),
+        "max_iterations": 30,
+        "nl_convergence_tol": 1e-8,
+        "nl_convergence_tol_res": 1e-8,
+        "linear_solver": "device_gmres",
+    }
+    m = Model(params)
+    pt.run_time_dependent_model(m, params)
+    return _summarize(m, skip=2)
+
+
+def run_thm_contact_3d() -> dict:
+    """Config 5 stand-in: thermoporomechanics with frictional contact on a
+    3d cartesian md grid with four square fractures, identical setup to
+    tools/measure_ref_configs.py::measure_thm_contact_3d."""
+    import porepy_tpu as pt
+
+    class Model(_timed(pt.Thermoporomechanics)):
+        def set_domain(self):
+            self._domain = pt.Domain(
+                {"xmin": 0, "xmax": 1, "ymin": 0, "ymax": 1,
+                 "zmin": 0, "zmax": 1}
+            )
+
+        def set_fractures(self):
+            f = []
+            for z in (0.25, 0.5, 0.75):
+                f.append(np.array(
+                    [[0.25, 0.75, 0.75, 0.25], [0.25, 0.25, 0.75, 0.75],
+                     [z, z, z, z]]
+                ))
+            f.append(np.array(
+                [[0.5, 0.5, 0.5, 0.5], [0.25, 0.25, 0.75, 0.75],
+                 [0.25, 0.75, 0.75, 0.25]]
+            ))
+            self._fractures = f
+
+        def bc_values_displacement(self, bg):
+            vals = np.zeros((self.nd, bg.num_cells))
+            north = self.domain_boundary_sides(bg).north
+            vals[0, north] = 0.01
+            vals[1, north] = -0.005
+            return vals.ravel("F")
+
+        def bc_values_pressure(self, bg):
+            return 1e-3 * (1.0 - bg.cell_centers[1])
+
+        def bc_values_temperature(self, bg):
+            return 1.0 + 0.1 * bg.cell_centers[0]
+
+    params = {
+        "grid_type": "cartesian",
+        "meshing_arguments": {"cell_size": 1.0 / 16},
+        "material_constants": {
+            "solid": pt.SolidConstants(
+                residual_aperture=0.01,
+                normal_permeability=1.0,
+                permeability=1.0,
+                porosity=0.1,
+                thermal_expansion=1e-4,
+                thermal_conductivity=1.0,
+                specific_heat_capacity=1.0,
+                biot_coefficient=0.8,
+            ),
+            "fluid": pt.FluidComponent(
+                compressibility=1e-3,
+                viscosity=1.0,
+                density=1.0,
+                thermal_conductivity=0.5,
+                specific_heat_capacity=1.0,
+                thermal_expansion=2e-4,
+            ),
+        },
+        "time_manager": pt.TimeManager([0, 3.0], 1.0, constant_dt=True),
+        "linear_solver": "device_gmres",
+    }
+    m = Model(params)
+    pt.run_time_dependent_model(m, params)
+    return _summarize(m, skip=2)
+
+
 def run_structured() -> dict:
     import jax
     import jax.numpy as jnp
@@ -279,65 +381,60 @@ def main() -> None:
     # per-case progress lines go to stderr so a killed run still leaves
     # usable partial numbers.
     selected = os.environ.get(
-        "BENCH_CASES", "md,biot,3d,structured"
+        "BENCH_CASES", "md,biot,3d,tracer,thm,structured"
     ).split(",")
     cases = {}
-    md = None
-    if "md" in selected:
-        md = run_md_flow()
-        md["vs_baseline"] = round(
-            base["mdflow_mpfa_2d_128"]["total_s"] * 1000.0 / md["total_ms"], 1
-        )
-        md["ref_total_ms"] = round(
-            base["mdflow_mpfa_2d_128"]["total_s"] * 1000.0, 1
-        )
-        cases["mdflow_mpfa_2d_128"] = md
-        print("# md:", json.dumps(md), file=sys.stderr, flush=True)
 
-    if "biot" in selected:
-        biot = run_biot()
-        biot["vs_baseline"] = round(
-            base["biot_poromech_2d_64"]["total_s"] * 1000.0 / biot["total_ms"], 1
-        )
-        biot["ref_total_ms"] = round(
-            base["biot_poromech_2d_64"]["total_s"] * 1000.0, 1
-        )
-        cases["biot_poromech_2d_64"] = biot
-        print("# biot:", json.dumps(biot), file=sys.stderr, flush=True)
+    # Each case runs independently: a failing case is recorded (not raised)
+    # so one regression cannot take out the whole benchmark line.
+    def run_case(flag, name, fn, baseline_key):
+        if flag not in selected:
+            return
+        try:
+            out = fn()
+            out["vs_baseline"] = round(
+                base[baseline_key]["total_s"] * 1000.0 / out["total_ms"], 1
+            )
+            out["ref_total_ms"] = round(
+                base[baseline_key]["total_s"] * 1000.0, 1
+            )
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            import traceback
 
-    if "3d" in selected:
-        fw3 = run_3d_framework()
-        fw3["vs_baseline"] = round(
-            base["tpfa_flow_3d_32cubed"]["total_s"] * 1000.0 / fw3["total_ms"],
-            1,
-        )
-        fw3["ref_total_ms"] = round(
-            base["tpfa_flow_3d_32cubed"]["total_s"] * 1000.0, 1
-        )
-        cases["tpfa_flow_3d_32cubed_framework"] = fw3
-        print("# 3d:", json.dumps(fw3), file=sys.stderr, flush=True)
+            traceback.print_exc()
+            out = {"error": f"{type(exc).__name__}: {exc}"}
+        cases[name] = out
+        print(f"# {flag}:", json.dumps(out), file=sys.stderr, flush=True)
 
-    if "structured" in selected:
-        st = run_structured()
-        st["vs_baseline"] = round(
-            base["tpfa_flow_3d_32cubed"]["total_s"] * 1000.0 / st["total_ms"], 1
-        )
-        cases["tpfa_structured_3d_32cubed"] = st
-        print("# structured:", json.dumps(st), file=sys.stderr, flush=True)
+    run_case("md", "mdflow_mpfa_2d_128", run_md_flow, "mdflow_mpfa_2d_128")
+    run_case("biot", "biot_poromech_2d_64", run_biot, "biot_poromech_2d_64")
+    run_case(
+        "3d",
+        "tpfa_flow_3d_32cubed_framework",
+        run_3d_framework,
+        "tpfa_flow_3d_32cubed",
+    )
+    run_case("tracer", "tracer_2d_64", run_tracer, "tracer_2d_64")
+    run_case("thm", "thm_contact_3d_16", run_thm_contact_3d, "thm_contact_3d_16")
+    run_case(
+        "structured",
+        "tpfa_structured_3d_32cubed",
+        run_structured,
+        "tpfa_flow_3d_32cubed",
+    )
 
     cases["device_fallbacks"] = FALLBACK_COUNTER["count"]
 
     # Headline: BASELINE config 1 through the REAL framework path
-    # (EquationSystem.assemble_device + DeviceLinearSolver on a 3d grid),
-    # where the device pipeline is the honest winner; md/biot carry the
-    # harder mixed-dimensional and coupled cases in full in ``cases``.
+    # (EquationSystem.assemble_device + DeviceLinearSolver on a 3d grid);
+    # md carries the hardest mixed-dimensional case if 3d is unavailable.
     head = cases.get("tpfa_flow_3d_32cubed_framework")
     metric = "tpfa_flow_3d_32cubed_framework_newton_iter_wall"
-    if head is None:
-        head = md if md is not None else {
-            "total_ms": float("nan"), "vs_baseline": float("nan")
-        }
+    if head is None or "error" in head:
+        head = cases.get("mdflow_mpfa_2d_128")
         metric = "mdflow_mpfa_2d_128_newton_iter_wall"
+    if head is None or "error" in head:
+        head = {"total_ms": float("nan"), "vs_baseline": float("nan")}
 
     print(
         json.dumps(

@@ -26,9 +26,10 @@ class Units:
             if key not in ("m", "s", "kg", "K", "mol", "rad"):
                 raise ValueError(f"Unknown base unit {key!r}")
         self.m: float = kwargs.get("m", 1)
+        # Time scaling applies to material constants through to_units();
+        # TimeManager schedules are given in scaled time by the user (same
+        # contract as the reference, models/units.py:22).
         self.s: float = kwargs.get("s", 1)
-        if not np.isclose(self.s, 1):
-            raise NotImplementedError("Non-unitary time scaling is not implemented")
         self.kg: float = kwargs.get("kg", 1)
         self.K: float = kwargs.get("K", 1)
         self.mol: float = kwargs.get("mol", 1)

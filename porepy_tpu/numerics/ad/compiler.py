@@ -219,8 +219,14 @@ def _collect_env(
     if id(op) in seen:
         return
     seen.add(id(op))
-    # Fold constant matrix chains into a single device matrix.
-    if op.operation is Operations.matmul:
+    # Fold constant matrix chains (products, sums, negations of constant
+    # sparse matrices) into a single device matrix.
+    if op.operation in (
+        Operations.matmul,
+        Operations.add,
+        Operations.sub,
+        Operations.neg,
+    ):
         mat = constant_sparse_matrix(op)
         if mat is not None:
             const_mats[id(op)] = _bcoo(mat)

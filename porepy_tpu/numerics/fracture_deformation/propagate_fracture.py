@@ -45,11 +45,9 @@ def propagate_fractures(mdg, faces: dict) -> None:
         faces: ``{fracture_grid: array of host face indices to split}``.
     """
     sd_h = mdg.subdomains(dim=mdg.dim_max())[0]
-    if sd_h.dim != 2:
+    if sd_h.dim not in (2, 3):
         raise NotImplementedError(
-            "Fracture propagation is implemented for 2d host grids; 3d "
-            "propagation requires the conforming-update machinery of the "
-            "reference's experimental module"
+            "Fracture propagation needs a 2d or 3d host grid"
         )
     data_h = mdg.subdomain_data(sd_h)
     data_h["new_cells"] = np.empty(0, dtype=int)
@@ -69,7 +67,10 @@ def propagate_fractures(mdg, faces: dict) -> None:
         n_faces_old = sd_h.num_faces
 
         # 1. Grow the fracture grid along the (pre-split) host faces.
-        _extend_fracture_grid_1d(sd_h, sd_l, faces_h)
+        if sd_h.dim == 2:
+            _extend_fracture_grid_1d(sd_h, sd_l, faces_h)
+        else:
+            _extend_fracture_grid_2d(sd_h, sd_l, faces_h)
         new_cells_l = np.arange(n_frac_cells_old, sd_l.num_cells)
         data_l["new_cells"] = np.concatenate(
             [data_l["new_cells"], new_cells_l]
@@ -220,6 +221,134 @@ def _extend_fracture_grid_1d(sd_h, sd_l, faces_h: np.ndarray) -> None:
         for key in ("tip_nodes", "fracture_nodes", "domain_boundary_nodes"):
             if key in sd_l.tags:
                 sd_l.tags[key] = np.append(sd_l.tags[key], False)
+    sd_l.compute_geometry()
+
+
+def _extend_fracture_grid_2d(sd_h, sd_l, faces_h: np.ndarray) -> None:
+    """Append one 2d (polygon) cell per 3d host face to the fracture grid.
+
+    Each host face's nodes arrive in circular order (``Grid.face_nodes``
+    column contract); node positions are matched against existing fracture
+    nodes, edges against existing fracture faces — reused edges were tip
+    faces and become interior, fresh edges become the new tip front.
+    """
+    tol = 1e-10
+    fn_h = sd_h.face_nodes.tocsc()
+
+    def edge_key(a: int, b: int) -> tuple[int, int]:
+        return (a, b) if a < b else (b, a)
+
+    # Existing fracture edges: (node, node) -> face index, and each face's
+    # stored (start, end) orientation.
+    fn_l = sd_l.face_nodes.tocsc()
+    edge_of: dict[tuple[int, int], int] = {}
+    orient: dict[int, tuple[int, int]] = {}
+    for fc in range(sd_l.num_faces):
+        idx = fn_l.indices[fn_l.indptr[fc] : fn_l.indptr[fc + 1]]
+        if idx.size == 2:
+            edge_of[edge_key(idx[0], idx[1])] = fc
+            orient[fc] = (int(idx[0]), int(idx[1]))
+
+    fn_rows: list[np.ndarray] = []  # new face -> its two nodes (ordered)
+    cf_entries: list[tuple[int, int, float]] = []  # (face, cell, sign)
+
+    for f in faces_h:
+        nodes_f = fn_h.indices[fn_h.indptr[f] : fn_h.indptr[f + 1]]
+        coords = sd_h.nodes[:, nodes_f]
+        # Host node -> fracture node (existing within tol, else appended).
+        node_l = np.empty(nodes_f.size, dtype=int)
+        for i in range(nodes_f.size):
+            d = np.linalg.norm(sd_l.nodes - coords[:, i : i + 1], axis=0)
+            hit = int(d.argmin()) if d.size else -1
+            if hit >= 0 and d[hit] < tol:
+                node_l[i] = hit
+            else:
+                node_l[i] = sd_l.num_nodes
+                sd_l.nodes = np.hstack(
+                    (sd_l.nodes, coords[:, i : i + 1])
+                )
+                sd_l.num_nodes += 1
+                if hasattr(sd_l, "global_point_ind"):
+                    sd_l.global_point_ind = np.append(
+                        np.asarray(sd_l.global_point_ind),
+                        sd_h.global_point_ind[nodes_f[i]],
+                    )
+                for key in (
+                    "tip_nodes",
+                    "fracture_nodes",
+                    "domain_boundary_nodes",
+                ):
+                    if key in sd_l.tags:
+                        sd_l.tags[key] = np.append(sd_l.tags[key], False)
+        if not any(
+            edge_key(node_l[i], node_l[(i + 1) % node_l.size]) in edge_of
+            for i in range(node_l.size)
+        ):
+            raise ValueError(
+                f"Face {f} does not share an edge with the fracture; the "
+                "extension must be conforming and contiguous"
+            )
+
+        new_cell = sd_l.num_cells
+        sd_l.num_cells += 1
+        for i in range(node_l.size):
+            a, b = int(node_l[i]), int(node_l[(i + 1) % node_l.size])
+            key = edge_key(a, b)
+            fc = edge_of.get(key)
+            if fc is None:
+                fc = sd_l.num_faces + len(fn_rows)
+                edge_of[key] = fc
+                orient[fc] = (a, b)
+                fn_rows.append(np.array([a, b]))
+                for tag in (
+                    "tip_faces",
+                    "fracture_faces",
+                    "domain_boundary_faces",
+                ):
+                    sd_l.tags[tag] = np.append(
+                        sd_l.tags[tag], tag == "tip_faces"
+                    )
+            else:
+                # Reused edge (old tip, or an edge two new cells share):
+                # now interior.
+                sd_l.tags["tip_faces"][fc] = False
+            sign = 1.0 if orient[fc] == (a, b) else -1.0
+            cf_entries.append((fc, new_cell, sign))
+
+    n_new_faces = len(fn_rows)
+    fn = sd_l.face_nodes.tocoo()
+    add_rows = (
+        np.concatenate(fn_rows) if fn_rows else np.zeros(0, dtype=int)
+    )
+    add_cols = np.repeat(
+        sd_l.num_faces + np.arange(n_new_faces), 2
+    )
+    sd_l.num_faces += n_new_faces
+    sd_l.face_nodes = sps.coo_matrix(
+        (
+            np.concatenate([fn.data, np.ones(add_rows.size, dtype=bool)]),
+            (
+                np.concatenate([fn.row, add_rows]),
+                np.concatenate([fn.col, add_cols]),
+            ),
+        ),
+        shape=(sd_l.num_nodes, sd_l.num_faces),
+    ).tocsc()
+
+    cf = sd_l.cell_faces.tocoo()
+    add_f, add_c, add_s = (
+        zip(*cf_entries) if cf_entries else ((), (), ())
+    )
+    sd_l.cell_faces = sps.coo_matrix(
+        (
+            np.concatenate([cf.data, np.asarray(add_s)]),
+            (
+                np.concatenate([cf.row, np.asarray(add_f, dtype=int)]),
+                np.concatenate([cf.col, np.asarray(add_c, dtype=int)]),
+            ),
+        ),
+        shape=(sd_l.num_faces, sd_l.num_cells),
+    ).tocsc()
     sd_l.compute_geometry()
 
 

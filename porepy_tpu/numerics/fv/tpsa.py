@@ -73,21 +73,28 @@ class Tpsa:
 
         mu = stiffness.mu[ci]
 
+        # The supported BC envelope deliberately matches the reference's:
+        # TPSA there raises NotImplementedError for exactly the same three
+        # cases (non-trivial basis, non-diagonal Robin weight, Robin mixed
+        # with Dirichlet/Neumann on one face) — reference
+        # ``numerics/fv/tpsa.py:572-616``.
         if not np.all(bnd.basis[np.eye(nd, dtype=bool)] == 1) or np.any(
             bnd.basis[~np.eye(nd, dtype=bool)] > 0
         ):
             raise NotImplementedError(
-                "Tpsa requires a trivial boundary-condition basis"
+                "Tpsa requires a trivial boundary-condition basis "
+                "(as in the reference, tpsa.py:572-589)"
             )
         if np.any(bnd.robin_weight[~np.eye(nd, dtype=bool)] > 0):
             raise NotImplementedError(
-                "Non-diagonal Robin weights are not implemented"
+                "Non-diagonal Robin weights are not implemented "
+                "(as in the reference, tpsa.py:595-605)"
             )
         mixed_rob = np.any(bnd.is_rob, axis=0) & ~np.all(bnd.is_rob, axis=0)
         if np.any(mixed_rob):
             raise NotImplementedError(
                 "Mixing Robin with Dirichlet/Neumann on one face is not "
-                "implemented"
+                "implemented (as in the reference, tpsa.py:607-618)"
             )
 
         # -- boundary filters (displacement variable) -------------------------

@@ -14,7 +14,7 @@ module solves with right-preconditioned FGMRES where
   Jacobian: smoothed-aggregation AMG V-cycles per elliptic field block
   (:mod:`porepy_tpu.numerics.linalg.amg` — rigid-body-mode aware for
   elasticity), exact Schur elimination of (block-)diagonal blocks (mortar
-  fluxes), and a Chebyshev fallback for anything else. Freezing the
+  fluxes), and damped l1-Jacobi sweeps for anything else. Freezing the
   preconditioner across Newton iterations trades a slightly stale
   approximate inverse (still a valid right preconditioner) for zero
   per-iteration host work; it is refreshed automatically when a solve
@@ -131,27 +131,19 @@ def _fgmres(matvec, M, b, x0, atol, restart, max_cycles):
     return x, res, iters
 
 
-def _chebyshev_apply(matvec, dinv, r, lam_max, degree):
-    """y ~= A^{-1} r by a fixed Chebyshev polynomial in the Jacobi-scaled
-    operator, eigenvalue window [lam_max/30, lam_max]. Stationary => a valid
-    Krylov preconditioner."""
-    lam_min = lam_max / 30.0
-    theta = 0.5 * (lam_max + lam_min)
-    delta = 0.5 * (lam_max - lam_min)
-    sigma1 = theta / delta
-    rho = 1.0 / sigma1
-    y = (1.0 / theta) * (dinv * r)
+def _jacobi_sweeps(matvec, sinv, r, sweeps):
+    """y ~= A^{-1} r by damped l1-Jacobi iteration. Unlike a Chebyshev
+    polynomial (which assumes a real positive spectrum and was measured to
+    AMPLIFY 14x on nonsymmetric upwind-transport blocks), the damped
+    l1-sweep is bounded for arbitrary matrices and contracts on the
+    diagonally dominant M-matrix blocks (transport, contact complementarity)
+    it is used for. Stationary => a valid Krylov preconditioner."""
+    y = sinv * r
 
-    def body(_i, carry):
-        y, d_prev, rho_prev = carry
-        resid = dinv * (r - matvec(y))
-        rho_new = 1.0 / (2.0 * sigma1 - rho_prev)
-        d_new = rho_new * rho_prev * d_prev + (2.0 * rho_new / delta) * resid
-        return y + d_new, d_new, rho_new
+    def body(_i, y):
+        return y + sinv * (r - matvec(y))
 
-    d0 = (1.0 / theta) * (dinv * r)
-    y, _, _ = jax.lax.fori_loop(1, degree, body, (y, d0, rho))
-    return y
+    return jax.lax.fori_loop(1, sweeps, body, y)
 
 
 class _BlockPrecondBuilder:
@@ -165,11 +157,13 @@ class _BlockPrecondBuilder:
     - ``"eliminate"``: the block's diagonal matrix must be diagonal (mortar
       flux equations are); it is eliminated exactly — folded into every amg
       block's operator — and back-substituted after the sweep. Demoted to
-      ``"cheb"`` (with a log message) if the diagonality check fails.
-    - ``"cheb"``: fixed Chebyshev polynomial in the Jacobi-scaled block.
+      ``"jacobi"`` (with a log message) if the diagonality check fails.
+    - ``"jacobi"``: fixed damped l1-Jacobi sweeps in the block (robust for
+      the nonsymmetric transport/contact blocks, where polynomial methods
+      assuming a real spectrum amplify).
 
-    Application order is lower block Gauss-Seidel over the amg/cheb blocks
-    in the declared order, bracketed by the exact eliminations.
+    Application order is lower block Gauss-Seidel over the amg/jacobi
+    blocks in the declared order, bracketed by the exact eliminations.
     """
 
     def __init__(self, blocks, methods, stabilization, near_nullspace):
@@ -212,15 +206,15 @@ class _BlockPrecondBuilder:
             if off.nnz or np.any(Ajj.diagonal() == 0.0):
                 logger.info(
                     "Block %d not diagonal (%d off-diagonal nnz); demoting "
-                    "eliminate -> cheb",
+                    "eliminate -> jacobi",
                     j,
                     off.nnz,
                 )
-                self.methods[j] = "cheb"
+                self.methods[j] = "jacobi"
                 elim.remove(j)
         sweep = [i for i, m in enumerate(self.methods) if m != "eliminate"]
 
-        state = {"dinv": {}, "cpl": {}, "amg": {}, "cheb": {}}
+        state = {"dinv": {}, "cpl": {}, "amg": {}, "jac": {}}
         hierarchies = {}
         for j in elim:
             state["dinv"][j] = jnp.asarray(1.0 / sub[(j, j)].diagonal())
@@ -245,17 +239,12 @@ class _BlockPrecondBuilder:
                 else:
                     hierarchies[i] = amg.build_hierarchy(Sii, B=B, block_size=bs)
                 state["amg"][i] = hierarchies[i].state
-            else:  # cheb
-                d = Sii.diagonal()
-                d = np.where(np.abs(d) > 1e-300, d, 1.0)
-                dinv = 1.0 / d
-                lam = amg._power_lam(sps.diags(dinv) @ Sii)
+            else:  # jacobi
                 val, col = amg._ell_arrays(Sii, np.float64)
-                state["cheb"][i] = {
+                state["jac"][i] = {
                     "val": jnp.asarray(val),
                     "col": jnp.asarray(col),
-                    "dinv": jnp.asarray(dinv),
-                    "lam": jnp.asarray(lam),
+                    "sinv": jnp.asarray(amg._l1_smoother(Sii)),
                 }
         # Couplings used during application (frozen values, ELL form):
         # sweep blocks consume earlier sweep blocks and all elim blocks;
@@ -304,9 +293,9 @@ class _BlockPrecondBuilder:
                 if methods[i] == "amg":
                     y[i] = hierarchies[i].apply(state["amg"][i], ri)
                 else:
-                    cb = state["cheb"][i]
-                    mv = lambda x, cb=cb: amg.ell_matvec(cb["val"], cb["col"], x)
-                    y[i] = _chebyshev_apply(mv, cb["dinv"], ri, cb["lam"], 6)
+                    jb = state["jac"][i]
+                    mv = lambda x, jb=jb: amg.ell_matvec(jb["val"], jb["col"], x)
+                    y[i] = _jacobi_sweeps(mv, jb["sinv"], ri, 8)
             # Back-substitute the eliminated blocks.
             for j in elim:
                 rj = parts[j]
@@ -334,7 +323,7 @@ class DeviceLinearSolver:
         Optional field split: list of ``(row_indices, col_indices)`` global
         index arrays. ``None`` -> one AMG block over the whole system.
     methods:
-        Per-block method (``"amg" | "eliminate" | "cheb"``); default
+        Per-block method (``"amg" | "eliminate" | "jacobi"``); default
         ``"amg"`` for every block.
     stabilization:
         Optional dict ``{block_position: diagonal array}`` added to that

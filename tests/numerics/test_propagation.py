@@ -268,3 +268,102 @@ def test_conforming_propagation_tension(critical, expect_growth):
     else:
         assert not m.has_propagated()
         assert sd_l.num_cells == n_cells_before
+
+
+# -- 3d host grids -------------------------------------------------------------
+
+
+def _mdg_3d(xmax):
+    frac = np.array(
+        [[0.25, xmax, xmax, 0.25],
+         [0.25, 0.25, 0.75, 0.75],
+         [0.5, 0.5, 0.5, 0.5]]
+    )
+    return meshing.cart_grid(
+        [frac], np.array([4, 4, 4]), physdims=[1.0, 1.0, 1.0]
+    )
+
+
+def _faces_at(sd, centers):
+    return np.array(
+        [
+            int(
+                np.linalg.norm(
+                    sd.face_centers - np.asarray(c)[:, None], axis=0
+                ).argmin()
+            )
+            for c in centers
+        ]
+    )
+
+
+def test_propagation_3d_matches_direct_meshing():
+    """Advancing a plane fracture one host-face ring reproduces the grid
+    that direct meshing of the larger fracture gives."""
+    mdg = _mdg_3d(0.5)
+    sd_h = mdg.subdomains(dim=3)[0]
+    sd_l = mdg.subdomains(dim=2)[0]
+    faces = _faces_at(sd_h, [[0.625, 0.375, 0.5], [0.625, 0.625, 0.5]])
+    propagate_fractures(mdg, {sd_l: faces})
+    mdg.compute_geometry()
+
+    direct = _mdg_3d(0.75)
+    dh = direct.subdomains(dim=3)[0]
+    dl = direct.subdomains(dim=2)[0]
+    assert sd_l.num_cells == dl.num_cells == 4
+    assert sd_h.num_faces == dh.num_faces
+    assert sd_h.num_nodes == dh.num_nodes
+    assert np.isclose(sd_l.cell_volumes.sum(), dl.cell_volumes.sum())
+    intf = list(mdg.interfaces())[0]
+    dintf = list(direct.interfaces())[0]
+    assert intf.num_cells == dintf.num_cells
+    assert intf.num_sides() == dintf.num_sides()
+    assert int(sd_l.tags["tip_faces"].sum()) == int(dl.tags["tip_faces"].sum())
+
+
+def test_propagated_3d_mdg_solves_flow_like_direct():
+    mdg = _mdg_3d(0.5)
+    sd_h = mdg.subdomains(dim=3)[0]
+    sd_l = mdg.subdomains(dim=2)[0]
+    faces = _faces_at(sd_h, [[0.625, 0.375, 0.5], [0.625, 0.625, 0.5]])
+    propagate_fractures(mdg, {sd_l: faces})
+    mdg.compute_geometry()
+    direct = _mdg_3d(0.75)
+
+    def solve(grid_bundle):
+        class Model(pt.SinglePhaseFlow):
+            def set_geometry(self):
+                self.mdg = grid_bundle
+                self.nd = 3
+                from porepy_tpu.geometry.domain import Domain
+
+                self._domain = Domain(
+                    {"xmin": 0, "xmax": 1, "ymin": 0, "ymax": 1,
+                     "zmin": 0, "zmax": 1}
+                )
+                self.set_well_network()
+
+            def bc_values_pressure(self, bg):
+                return 1.0 - bg.cell_centers[0]
+
+        params = {
+            "material_constants": {
+                "solid": pt.SolidConstants(
+                    permeability=1.0, porosity=0.1,
+                    residual_aperture=0.01, normal_permeability=1.0,
+                ),
+            },
+            "time_manager": pt.TimeManager([0, 1.0], 1.0, constant_dt=True),
+            "linear_solver": "scipy_sparse",
+        }
+        m = Model(params)
+        pt.run_time_dependent_model(m, params)
+        return m
+
+    m1, m2 = solve(mdg), solve(direct)
+    p1 = m1.equation_system.get_variable_values(["pressure"], time_step_index=0)
+    p2 = m2.equation_system.get_variable_values(["pressure"], time_step_index=0)
+    # Same physical problem on identical (up to renumbering) grids: compare
+    # sorted fields and total fracture pressure mass.
+    assert p1.size == p2.size
+    assert np.allclose(np.sort(p1), np.sort(p2), atol=1e-10)

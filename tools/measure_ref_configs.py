@@ -156,25 +156,159 @@ def measure_biot(cell_size: float) -> dict:
     }
 
 
+def measure_tracer(cell_size: float) -> dict:
+    """Config 3: tracer transport (upwind + implicit Euler) on a fractured
+    2d grid — the reference's own tracer example model
+    (``examples/tracer_flow.py:108``) with two crossing fractures."""
+    from porepy.examples.tracer_flow import TracerFlowModel
+
+    class Model(_timing_mixin(TracerFlowModel)):
+        pass
+
+    params = {
+        "material_constants": {
+            "solid": ref_pp.SolidConstants(
+                porosity=0.1, permeability=1e-7, normal_permeability=1e-7,
+                residual_aperture=1e-2,
+            ),
+        },
+        "fracture_indices": [0, 1],
+        "grid_type": "cartesian",
+        "meshing_arguments": {"cell_size": cell_size},
+        "time_manager": ref_pp.TimeManager(
+            [0, 3 * 60.0], 60.0, constant_dt=True
+        ),
+        "max_iterations": 30,
+        "nl_convergence_tol": 1e-8,
+        "nl_convergence_tol_res": 1e-8,
+        "linear_solver": "scipy_sparse",
+        "progressbars": False,
+    }
+    t0 = time.perf_counter()
+    m = Model(params)
+    ref_pp.run_time_dependent_model(m, params)
+    total = time.perf_counter() - t0
+    times = np.array(m.iter_times)
+    return {
+        "num_cells": int(sum(sd.num_cells for sd in m.mdg.subdomains())),
+        "num_dofs": int(m.equation_system.num_dofs()),
+        "iters_measured": len(times),
+        "assembly_s": float(np.median(times[:, 0])),
+        "solve_s": float(np.median(times[:, 1])),
+        "total_s": float(np.median(times.sum(axis=1))),
+        "wall_total_s": total,
+    }
+
+
+def measure_thm_contact_3d(cell_size: float) -> dict:
+    """Config 5 stand-in: thermoporomechanics with frictional contact on a
+    3d cartesian md grid with four square fractures (the 52-fracture
+    showcase scaled to what meshes in-image; reference
+    ``models/thermoporomechanics.py:225`` + contact mechanics)."""
+
+    class Model(_timing_mixin(ref_pp.Thermoporomechanics)):
+        def set_domain(self):
+            self._domain = ref_pp.Domain(
+                {"xmin": 0, "xmax": 1, "ymin": 0, "ymax": 1,
+                 "zmin": 0, "zmax": 1}
+            )
+
+        def set_fractures(self):
+            f = []
+            for z in (0.25, 0.5, 0.75):
+                f.append(ref_pp.PlaneFracture(np.array(
+                    [[0.25, 0.75, 0.75, 0.25], [0.25, 0.25, 0.75, 0.75],
+                     [z, z, z, z]]
+                )))
+            f.append(ref_pp.PlaneFracture(np.array(
+                [[0.5, 0.5, 0.5, 0.5], [0.25, 0.25, 0.75, 0.75],
+                 [0.25, 0.75, 0.75, 0.25]]
+            )))
+            self._fractures = f
+
+        def bc_values_displacement(self, bg):
+            vals = np.zeros((self.nd, bg.num_cells))
+            north = self.domain_boundary_sides(bg).north
+            vals[0, north] = 0.01
+            vals[1, north] = -0.005
+            return vals.ravel("F")
+
+        def bc_values_pressure(self, bg):
+            return 1e-3 * (1.0 - bg.cell_centers[1])
+
+        def bc_values_temperature(self, bg):
+            return 1.0 + 0.1 * bg.cell_centers[0]
+
+    params = {
+        "grid_type": "cartesian",
+        "meshing_arguments": {"cell_size": cell_size},
+        "material_constants": {
+            "solid": ref_pp.SolidConstants(
+                residual_aperture=0.01,
+                normal_permeability=1.0,
+                permeability=1.0,
+                porosity=0.1,
+                thermal_expansion=1e-4,
+                thermal_conductivity=1.0,
+                specific_heat_capacity=1.0,
+                biot_coefficient=0.8,
+            ),
+            "fluid": ref_pp.FluidComponent(
+                compressibility=1e-3,
+                viscosity=1.0,
+                density=1.0,
+                thermal_conductivity=0.5,
+                specific_heat_capacity=1.0,
+                thermal_expansion=2e-4,
+            ),
+        },
+        "time_manager": ref_pp.TimeManager([0, 3.0], 1.0, constant_dt=True),
+        "linear_solver": "scipy_sparse",
+        "progressbars": False,
+    }
+    t0 = time.perf_counter()
+    m = Model(params)
+    ref_pp.run_time_dependent_model(m, params)
+    total = time.perf_counter() - t0
+    times = np.array(m.iter_times)
+    return {
+        "num_cells": int(sum(sd.num_cells for sd in m.mdg.subdomains())),
+        "num_dofs": int(m.equation_system.num_dofs()),
+        "iters_measured": len(times),
+        "assembly_s": float(np.median(times[:, 0])),
+        "solve_s": float(np.median(times[:, 1])),
+        "total_s": float(np.median(times.sum(axis=1))),
+        "wall_total_s": total,
+    }
+
+
+CONFIGS = {
+    "mdflow_mpfa_2d_128": lambda: measure_md_flow(1.0 / 128),
+    "biot_poromech_2d_64": lambda: measure_biot(1.0 / 64),
+    "tracer_2d_64": lambda: measure_tracer(1.0 / 64),
+    "thm_contact_3d_16": lambda: measure_thm_contact_3d(1.0 / 16),
+}
+
+
 def main() -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_baselines.json")
     with open(path) as f:
         base = json.load(f)
 
-    print("measuring config 2: md Mpfa flow, 6 fractures, cell_size 1/128 ...")
-    base["cases"]["mdflow_mpfa_2d_128"] = measure_md_flow(1.0 / 128)
-    print(json.dumps(base["cases"]["mdflow_mpfa_2d_128"]))
-
-    print("measuring config 4: Biot poromechanics, cell_size 1/64 ...")
-    base["cases"]["biot_poromech_2d_64"] = measure_biot(1.0 / 64)
-    print(json.dumps(base["cases"]["biot_poromech_2d_64"]))
+    selected = sys.argv[1:] or list(CONFIGS)
+    for name in selected:
+        print(f"measuring {name} ...", flush=True)
+        base["cases"][name] = CONFIGS[name]()
+        print(json.dumps(base["cases"][name]), flush=True)
+        with open(path, "w") as f:
+            json.dump(base, f, indent=2)
 
     base["cases_note"] = (
-        "mdflow_mpfa_2d_128 / biot_poromech_2d_64 measured 2026-08-16 via "
-        "tools.refshim (NUMBA_DISABLE_JIT=1 affects one-time discretization "
-        "only, not the per-iteration assembly+solve recorded here); "
-        "linear_solver=scipy spsolve (PyPardiso not in image); median of 9 "
-        "Newton iterations (3 steps x 3 forced iterations)."
+        "reference framework measured in-image via tools.refshim "
+        "(NUMBA_DISABLE_JIT=1 affects one-time discretization only, not the "
+        "per-iteration assembly+solve recorded here); linear_solver=scipy "
+        "spsolve (PyPardiso not in image); medians over the measured Newton "
+        "iterations."
     )
     with open(path, "w") as f:
         json.dump(base, f, indent=2)
