@@ -91,17 +91,37 @@ def benchmark_regular_2d(meshing_args: dict, is_coarse: bool = False, **kwargs):
 def benchmark_3d_case_2(
     refinement_level: int = 0, msh_file: Optional[str] = None
 ):
-    """Geometry of case 2 of the 3d flow benchmark (Berre et al. 2021).
+    """Geometry of case 2 of the 3d flow benchmark (Berre et al. 2021;
+    reference ``applications/md_grids/mdg_library.py:287``).
 
-    The fracture network (9 fractures, published benchmark data under
-    ``file_library/benchmark_3d_case_2``) loads natively. Meshing the
-    checked-in ``.geo`` files requires gmsh, which is not available here:
-    mesh offline (``gmsh -3 mesh4k.geo -o case2.msh``) and pass the
-    resulting MSH 4.1 file as ``msh_file`` — it is read by the native
-    parser (``fracs/msh_2_grid.py``). Returns ``(mdg, network)``;
-    without ``msh_file`` raises with these instructions.
+    All nine fractures of this case are axis-aligned rectangles, so the
+    default path meshes it NATIVELY (no gmsh) with a fracture-conforming
+    structured tetrahedral grid
+    (:func:`porepy_tpu.fracs.structured_simplex.tet_cart_grid`):
+    refinement levels 0/1/2 use 16/24/32 lattice cubes per axis
+    (~25k/83k/197k tets; the reference's gmsh meshes are ~500/4k/32k).
+    Pass an externally meshed MSH 4.1 file as ``msh_file`` to reproduce
+    the reference's exact unstructured meshes instead. Returns
+    ``(mdg, network)``.
     """
-    return _benchmark_3d("benchmark_3d_case_2", refinement_level, msh_file)
+    if msh_file is not None:
+        return _benchmark_3d("benchmark_3d_case_2", refinement_level, msh_file)
+    from pathlib import Path
+
+    import numpy as np
+
+    from porepy_tpu.fracs import fracture_importer
+    from porepy_tpu.fracs.structured_simplex import tet_cart_grid
+
+    lib = Path(__file__).parent / "file_library" / "benchmark_3d_case_2"
+    network = fracture_importer.network_3d_from_csv(
+        str(lib / "fracture_network.csv")
+    )
+    n = {0: 16, 1: 24, 2: 32}[int(refinement_level)]
+    fracs = [f.pts for f in network.fractures]
+    mdg = tet_cart_grid(fracs, np.array([n, n, n]), physdims=[1.0, 1.0, 1.0])
+    mdg.compute_geometry()
+    return mdg, network
 
 
 def benchmark_3d_case_3(

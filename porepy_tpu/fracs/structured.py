@@ -145,14 +145,27 @@ def _create_lower_dim_grids_3d(g_3d, fracs: list[np.ndarray], nx: np.ndarray):
         frac_axes.append(axis)
         frac_nodes_list.append(nodes)
 
-    # Fracture intersections: pairwise common lattice nodes form axis-
-    # aligned lines. Mirroring the reference's network-based processing
-    # (``fracs/structured.py`` via FractureNetwork3d), lines are split into
-    # sub-segments at points where intersection lines cross, and 0d grids
-    # are created at those crossing points.
+    g_1d, g_0d = lattice_intersection_grids(g_3d, frac_nodes_list)
+    return [[g_3d], g_2d, g_1d, g_0d]
+
+
+def lattice_intersection_grids(
+    g_3d, frac_nodes_list: list[np.ndarray]
+) -> tuple[list, list]:
+    """1d intersection-line grids and 0d crossing-point grids from the
+    per-fracture lattice-node sets of axis-aligned fractures (shared by the
+    cartesian and structured-tetrahedral fracture meshers).
+
+    Pairwise common lattice nodes form axis-aligned lines. Mirroring the
+    reference's network-based processing (``fracs/structured.py`` via
+    FractureNetwork3d), lines are split into sub-segments at points where
+    intersection lines cross, and 0d grids are created at those points.
+    """
+    g_1d: list = []
+    g_0d: list = []
     raw_lines: list[np.ndarray] = []
-    for i in range(len(g_2d)):
-        for j in range(i + 1, len(g_2d)):
+    for i in range(len(frac_nodes_list)):
+        for j in range(i + 1, len(frac_nodes_list)):
             common = np.intersect1d(frac_nodes_list[i], frac_nodes_list[j])
             if common.size < 2:
                 continue
@@ -194,7 +207,7 @@ def _create_lower_dim_grids_3d(g_3d, fracs: list[np.ndarray], nx: np.ndarray):
         g.global_point_ind = np.atleast_1d(np.asarray(global_node))
         g_0d.append(g)
 
-    return [[g_3d], g_2d, g_1d, g_0d]
+    return g_1d, g_0d
 
 
 def _nodes_in_rectangle(g, f: np.ndarray, axis: int, in_plane: list[int]):

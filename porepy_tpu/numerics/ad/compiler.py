@@ -65,6 +65,13 @@ class _EnvSpec:
         self.fetchers: list[Callable[[Any], np.ndarray]] = []
         self._keys: dict = {}
         self._scalar_slots: set[int] = set()
+        # Slots holding immutable constants (discretization matrices,
+        # projections): uploaded once, never re-fetched or re-compared.
+        self.static_slots: set[int] = set()
+        # Keeps const-slot host payloads alive: slot keys embed ``id()`` of
+        # the payload, so a collected payload would let a later one reuse
+        # the id and ALIAS the wrong slot.
+        self._pinned: list = []
         # True if any slot reads the *iterate* ring (previous_iteration
         # states): such envs change within a Newton loop, which rules out
         # the fused device-resident Newton loop for this equation.
@@ -83,6 +90,19 @@ class _EnvSpec:
         self._keys[key] = idx
         if isinstance(key, tuple) and key and key[0] == "scalar":
             self._scalar_slots.add(idx)
+        return idx
+
+    def const_slot(self, key, host_array: np.ndarray) -> int:
+        """A slot delivering an immutable array. Constants enter the
+        compiled function as ARGUMENTS, not closure captures: a captured
+        device array lowers to an HLO literal, and XLA's constant-folding
+        pass then grinds through (and re-materializes) every
+        multi-megabyte discretization matrix at compile time. The device
+        upload is deduplicated globally, so a projection shared by several
+        equations lives on device once."""
+        dev = _device_const(host_array)
+        idx = self.slot(key, lambda _es, _d=dev: _d)
+        self.static_slots.add(idx)
         return idx
 
     def fetch(self, eq_sys) -> list[jnp.ndarray]:
@@ -107,7 +127,7 @@ class _EnvSpec:
             return list(self._cache)
         if self._cache_version != version:
             for i, f in enumerate(self.fetchers):
-                if i in self._scalar_slots:
+                if i in self._scalar_slots or i in self.static_slots:
                     continue
                 h = f(eq_sys)
                 old = self._cache_host[i]
@@ -129,6 +149,20 @@ class _EnvSpec:
                 self._cache[i] = jnp.asarray(h)
                 self._cache_host[i] = h
         return list(self._cache)
+
+
+# Global device-constant dedup: id(host array) -> (host ref, device array).
+# The host reference pins the id; entries live for the process lifetime,
+# matching the previous closure-constant behavior.
+_DEVICE_CONSTS: dict[int, tuple] = {}
+
+
+def _device_const(arr: np.ndarray):
+    hit = _DEVICE_CONSTS.get(id(arr))
+    if hit is None:
+        hit = (arr, jnp.asarray(arr))
+        _DEVICE_CONSTS[id(arr)] = hit
+    return hit[1]
 
 
 def _var_key(v: Variable):
@@ -229,7 +263,7 @@ def _collect_env(
     ):
         mat = constant_sparse_matrix(op)
         if mat is not None:
-            const_mats[id(op)] = _bcoo(mat)
+            const_mats[id(op)] = _register_const_matrix(env_spec, mat)
             return
     if isinstance(op, MixedDimensionalVariable):
         for v in op.sub_vars:
@@ -253,44 +287,106 @@ def _collect_env(
         env_spec.slot(("scalar", id(op)), lambda _es, _op=op: np.float64(_op.value))
         return
     if isinstance(op, SparseArray):
-        const_mats[id(op)] = _bcoo(op.mat)
+        const_mats[id(op)] = _register_const_matrix(env_spec, op.mat)
         return
     if type(op).__name__ == "MergedOperator" and hasattr(op, "fetch"):
-        const_mats[id(op)] = scipy_to_bcoo(op.fetch())
+        const_mats[id(op)] = _register_const_matrix(env_spec, op.fetch())
         return
     for c in op.children:
         _collect_env(c, env_spec, eq_sys, seen, const_mats)
 
 
 class _EllMat:
-    """Constant sparse matrix in padded-row (ELL) layout: the matvec is a
-    single gather of ``x`` plus a dense row-sum. On TPU this replaces the
-    BCOO matvec, whose scatter-add lowering is near-serial — constant
+    """Sparse matrix in padded-row (ELL) layout: the matvec is a single
+    gather of ``x`` plus a dense row-sum. On TPU this replaces the BCOO
+    matvec, whose scatter-add lowering is near-serial — constant
     projections/divergences/discretization matrices dominate every jitted
-    residual evaluation otherwise."""
+    residual evaluation otherwise. ``val``/``col`` may be device constants
+    or traced env arguments."""
 
     __slots__ = ("val", "col", "shape", "ndim")
 
-    def __init__(self, mat: sps.spmatrix) -> None:
-        csr = sps.csr_matrix(mat)
-        csr.sort_indices()
-        n_rows, n_cols = csr.shape
-        counts = np.diff(csr.indptr)
-        K = max(int(counts.max()) if counts.size else 1, 1)
-        pos = np.arange(csr.indices.size) - np.repeat(csr.indptr[:-1], counts)
-        row_of = np.repeat(np.arange(n_rows), counts)
-        val = np.zeros((n_rows, K))
-        col = np.full((n_rows, K), n_cols, dtype=np.int32)
-        val[row_of, pos] = csr.data
-        col[row_of, pos] = csr.indices
-        self.val = jnp.asarray(val)
-        self.col = jnp.asarray(col)
-        self.shape = csr.shape
+    def __init__(self, val, col, shape) -> None:
+        self.val = val
+        self.col = col
+        self.shape = shape
         self.ndim = 2
+
+    @classmethod
+    def from_scipy(cls, mat: sps.spmatrix) -> "_EllMat":
+        val, col, shape = _ell_host_arrays(mat)
+        return cls(jnp.asarray(val), jnp.asarray(col), shape)
 
     def matvec(self, x):
         x_p = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
         return jnp.sum(self.val * x_p[self.col], axis=1)
+
+
+def _ell_host_arrays(mat: sps.spmatrix):
+    csr = sps.csr_matrix(mat)
+    csr.sort_indices()
+    n_rows, n_cols = csr.shape
+    counts = np.diff(csr.indptr)
+    K = max(int(counts.max()) if counts.size else 1, 1)
+    pos = np.arange(csr.indices.size) - np.repeat(csr.indptr[:-1], counts)
+    row_of = np.repeat(np.arange(n_rows), counts)
+    val = np.zeros((n_rows, K))
+    col = np.full((n_rows, K), n_cols, dtype=np.int32)
+    val[row_of, pos] = csr.data
+    col[row_of, pos] = csr.indices
+    return val, col, csr.shape
+
+
+class _ConstMatRef:
+    """Placeholder for a constant sparse matrix delivered through env
+    slots; :meth:`resolve` turns the traced env arrays into the operand
+    used by the trace (:class:`_EllMat` or BCOO)."""
+
+    __slots__ = ("kind", "slot_a", "slot_b", "shape")
+
+    def __init__(self, kind: str, slot_a: int, slot_b: int, shape) -> None:
+        self.kind = kind
+        self.slot_a = slot_a
+        self.slot_b = slot_b
+        self.shape = shape
+
+    def resolve(self, env):
+        a, b = env[self.slot_a], env[self.slot_b]
+        if self.kind == "ell":
+            return _EllMat(a, b, self.shape)
+        return jsparse.BCOO(
+            (a, b), shape=self.shape, indices_sorted=False, unique_indices=False
+        )
+
+
+def _register_const_matrix(env_spec: "_EnvSpec", mat: sps.spmatrix) -> _ConstMatRef:
+    """Cache the host ELL/BCOO arrays on the scipy object and register env
+    slots so the matrix reaches the compiled function as an argument."""
+    host = getattr(mat, "_ppt_host", None)
+    if host is None:
+        csr = sps.csr_matrix(mat)
+        counts = np.diff(csr.indptr)
+        K = int(counts.max()) if counts.size else 0
+        nnz = max(csr.nnz, 1)
+        if K <= 64 or K * csr.shape[0] <= 8 * nnz:
+            val, col, shape = _ell_host_arrays(csr)
+            host = ("ell", val, col, shape)
+        else:
+            coo = csr.tocoo()
+            idx = np.ascontiguousarray(
+                np.column_stack([coo.row, coo.col]).astype(np.int32)
+            )
+            data = np.array(coo.data, dtype=np.float64, copy=True)
+            host = ("bcoo", data, idx, coo.shape)
+        try:
+            mat._ppt_host = host
+        except AttributeError:
+            pass
+    env_spec._pinned.append(host)
+    kind, a, b, shape = host
+    sa = env_spec.const_slot(("constmat", id(host), 0), a)
+    sb = env_spec.const_slot(("constmat", id(host), 1), b)
+    return _ConstMatRef(kind, sa, sb, shape)
 
 
 def _device_const_matrix(mat: sps.spmatrix):
@@ -301,7 +397,7 @@ def _device_const_matrix(mat: sps.spmatrix):
     K = int(counts.max()) if counts.size else 0
     nnz = max(csr.nnz, 1)
     if K <= 64 or K * csr.shape[0] <= 8 * nnz:
-        return _EllMat(csr)
+        return _EllMat.from_scipy(csr)
     return _raw_bcoo(csr)
 
 
@@ -336,6 +432,10 @@ def _bcoo(mat: sps.spmatrix):
     return cached
 
 
+def _resolve_const(v, env):
+    return v.resolve(env) if isinstance(v, _ConstMatRef) else v
+
+
 def _trace_node(node, rec, x, env, env_spec, eq_sys, const_mats):
     if isinstance(node, Scalar):
         slot = env_spec.slot(
@@ -347,11 +447,11 @@ def _trace_node(node, rec, x, env, env_spec, eq_sys, const_mats):
     if isinstance(node, SparseArray):
         if id(node) not in const_mats:
             const_mats[id(node)] = _bcoo(node.mat)
-        return const_mats[id(node)]
+        return _resolve_const(const_mats[id(node)], env)
     if type(node).__name__ == "MergedOperator" and hasattr(node, "fetch"):
         if id(node) not in const_mats:
             const_mats[id(node)] = scipy_to_bcoo(node.fetch())
-        return const_mats[id(node)]
+        return _resolve_const(const_mats[id(node)], env)
     if isinstance(node, MixedDimensionalVariable):
         if not node.sub_vars:
             return jnp.zeros(0)
@@ -376,7 +476,7 @@ def _trace_node(node, rec, x, env, env_spec, eq_sys, const_mats):
         return env[slot]
 
     if id(node) in const_mats:
-        return const_mats[id(node)]
+        return _resolve_const(const_mats[id(node)], env)
 
     c = [rec(ch) for ch in node.children]
     op = node.operation

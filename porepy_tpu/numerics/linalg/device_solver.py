@@ -146,6 +146,28 @@ def _jacobi_sweeps(matvec, sinv, r, sweeps):
     return jax.lax.fori_loop(1, sweeps, body, y)
 
 
+def _ruiz_scaling(A: sps.spmatrix, iters: int = 6):
+    """Symmetric Ruiz equilibration: diagonal ``d_r, d_c`` with
+    ``diag(d_r) A diag(d_c)`` having unit row/col max-norms. The md/contact
+    systems mix rows spanning ~10 orders of magnitude; equilibrating before
+    preconditioning and Krylov is worth several digits of achievable
+    accuracy."""
+    B = A.tocsr().copy()
+    n, m = B.shape
+    d_r = np.ones(n)
+    d_c = np.ones(m)
+    for _ in range(iters):
+        rmax = np.asarray(abs(B).max(axis=1).todense()).ravel()
+        sr = 1.0 / np.sqrt(np.where(rmax > 0.0, rmax, 1.0))
+        B = sps.diags(sr) @ B
+        d_r *= sr
+        cmax = np.asarray(abs(B).max(axis=0).todense()).ravel()
+        sc = 1.0 / np.sqrt(np.where(cmax > 0.0, cmax, 1.0))
+        B = B @ sps.diags(sc)
+        d_c *= sc
+    return d_r, d_c
+
+
 class _BlockPrecondBuilder:
     """Host-side construction of the frozen block preconditioner.
 
@@ -182,10 +204,24 @@ class _BlockPrecondBuilder:
         inv = np.empty(n, np.int64)
         inv[cols_concat] = np.arange(n)
         self._scatter_inv = jnp.asarray(inv)
+        # Index arrays ride in the state pytree (arguments of the jitted
+        # solve), not as closure captures: captured device arrays lower to
+        # HLO literals that XLA's constant folding grinds through.
         self._splits = np.cumsum([r.size for r, _c in self.blocks])[:-1]
 
-    def build(self, A: sps.csr_matrix, prev_hierarchies: Optional[dict] = None):
+    def build(
+        self,
+        A: sps.csr_matrix,
+        prev_hierarchies: Optional[dict] = None,
+        row_scale: Optional[np.ndarray] = None,
+        col_scale: Optional[np.ndarray] = None,
+    ):
         """Build (or value-refresh) the frozen preconditioner.
+
+        ``A`` may be an equilibrated operator; ``row_scale``/``col_scale``
+        are then the applied diagonals, used to transform user-supplied
+        stabilization diagonals and near-nullspace modes into the
+        equilibrated space.
 
         Returns ``(state, apply, hierarchies)``: ``state`` is the pure-array
         pytree consumed by the jitted solve, ``apply(state, r)`` the
@@ -214,7 +250,14 @@ class _BlockPrecondBuilder:
                 elim.remove(j)
         sweep = [i for i, m in enumerate(self.methods) if m != "eliminate"]
 
-        state = {"dinv": {}, "cpl": {}, "amg": {}, "jac": {}}
+        state = {
+            "dinv": {},
+            "cpl": {},
+            "amg": {},
+            "jac": {},
+            "perm_rows": self._rows_concat,
+            "perm_inv": self._scatter_inv,
+        }
         hierarchies = {}
         for j in elim:
             state["dinv"][j] = jnp.asarray(1.0 / sub[(j, j)].diagonal())
@@ -227,11 +270,18 @@ class _BlockPrecondBuilder:
                         Aij @ sps.diags(1.0 / sub[(j, j)].diagonal()) @ sub[(j, i)]
                     )
             Sii = Sii.tocsr()
+            ri, ci = self.blocks[i]
             if i in self.stab:
-                Sii = Sii + sps.diags(np.asarray(self.stab[i], dtype=np.float64))
+                stab = np.asarray(self.stab[i], dtype=np.float64)
+                if row_scale is not None:
+                    stab = stab * row_scale[ri] * col_scale[ci]
+                Sii = Sii + sps.diags(stab)
             if self.methods[i] == "amg":
                 nns = self.nns.get(i)
                 B, bs = (nns if nns is not None else (None, 1))
+                if B is not None and col_scale is not None:
+                    # x = Dc y: near-nullspace modes live in y-space.
+                    B = B / col_scale[ci][:, None]
                 prev = (prev_hierarchies or {}).get(i)
                 if prev is not None:
                     prev.update_values(Sii)
@@ -265,12 +315,10 @@ class _BlockPrecondBuilder:
                 state["cpl"][key] = (jnp.asarray(val), jnp.asarray(col))
 
         splits = self._splits
-        rows_concat = self._rows_concat
-        scatter_inv = self._scatter_inv
         methods = list(self.methods)
 
         def apply(state, r):
-            parts = jnp.split(r[rows_concat], splits)
+            parts = jnp.split(r[state["perm_rows"]], splits)
             y = [None] * nb
             # Forward elimination of diagonal blocks.
             r_red = {}
@@ -306,7 +354,7 @@ class _BlockPrecondBuilder:
                 y[j] = state["dinv"][j] * rj
             # Scatter-free reassembly: one gather by the precomputed inverse
             # permutation of the concatenated block order.
-            return jnp.concatenate(y)[scatter_inv]
+            return jnp.concatenate(y)[state["perm_inv"]]
 
         return state, apply, hierarchies
 
@@ -401,13 +449,27 @@ class DeviceLinearSolver:
 
     def refresh_preconditioner(self, data) -> None:
         """(Re)build the frozen preconditioner from the given Jacobian
-        nonzeros. Reuses aggregation structure when it exists."""
+        nonzeros: Ruiz-equilibrate, then build the block preconditioner on
+        the equilibrated operator. Reuses aggregation structure when it
+        exists."""
         A = self._host_matrix(data)
+        d_r, d_c = _ruiz_scaling(A)
+        A_eq = (sps.diags(d_r) @ A @ sps.diags(d_c)).tocsr()
         self._m_state, self._m_apply, self._hierarchies = self._builder.build(
-            A, prev_hierarchies=self._hierarchies
+            A_eq,
+            prev_hierarchies=self._hierarchies,
+            row_scale=d_r,
+            col_scale=d_c,
         )
+        self._m_state["dr"] = jnp.asarray(d_r)
+        self._m_state["dc"] = jnp.asarray(d_c)
+        self._m_state["dc1"] = jnp.asarray(np.append(d_c, 1.0))
         if self._jit_solve is None:
-            self._jit_solve = jax.jit(self._make_solve())
+            inner = jax.jit(self._make_solve())
+            self._jit_solve_inner = inner
+            self._jit_solve = lambda data, b, x0, m_state, tol: inner(
+                data, b, x0, m_state, tol, self._ell_sel, self._ell_col
+            )
 
     def invalidate_preconditioner(self) -> None:
         """Force a rebuild at the next solve (call after rediscretization)."""
@@ -415,24 +477,49 @@ class DeviceLinearSolver:
 
     # -- kernels ---------------------------------------------------------------
 
-    def _pregather(self, data):
-        data_p = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
-        return data_p[self._ell_sel]
-
-    def _matvec_val(self, val, x):
-        x_p = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
-        return jnp.sum(val * x_p[self._ell_col], axis=1)
+    @property
+    def solve_args(self) -> tuple:
+        """Static index operands of the jitted solve; pass through an outer
+        trace (e.g. the fused Newton loop) so they stay arguments instead
+        of becoming embedded constants."""
+        return (self._ell_sel, self._ell_col)
 
     def _make_solve(self):
         restart = self._restart
         max_cycles = max(-(-self.maxiter // restart), 1)
 
-        def solve(data, b, x0, m_state, tol):
-            val = self._pregather(data)
-            mv = lambda x: self._matvec_val(val, x)
+        def solve(data, b, x0, m_state, tol, ell_sel, ell_col):
+            data_p = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+            val = data_p[ell_sel]
+            dr, dc, dc1 = m_state["dr"], m_state["dc"], m_state["dc1"]
+            # Solve the Ruiz-equilibrated system (Dr A Dc) y = Dr b,
+            # x = Dc y; the preconditioner was built in this space.
+            val_eq = dr[:, None] * val * dc1[ell_col]
+
+            def mv_eq(y):
+                y_p = jnp.concatenate([y, jnp.zeros(1, y.dtype)])
+                return jnp.sum(val_eq * y_p[ell_col], axis=1)
+
+            def mv_raw(x):
+                x_p = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+                return jnp.sum(val * x_p[ell_col], axis=1)
+
             M = lambda r: self._m_apply(m_state, r)
-            atol = tol * jnp.maximum(jnp.linalg.norm(b), 1e-300)
-            return _fgmres(mv, M, b, x0, atol, restart, max_cycles)
+            b_eq = dr * b
+            b_eq_norm = jnp.maximum(jnp.linalg.norm(b_eq), 1e-300)
+            atol = tol * b_eq_norm
+            y, res_eq, iters = _fgmres(
+                mv_eq, M, b_eq, x0 / dc, atol, restart, max_cycles
+            )
+            x = dc * y
+            # Convergence is measured in the EQUILIBRATED norm (rescaled to
+            # the original |b| for the caller's relative contract): the
+            # diagonal scaling spans ~10 orders on contact systems, so the
+            # raw-residual norm is dominated by a few wild rows and says
+            # little about solution accuracy — spsolve's own raw residual
+            # is no better on these systems.
+            res = res_eq / b_eq_norm * jnp.linalg.norm(b)
+            return x, res, iters
 
         return solve
 
@@ -455,8 +542,12 @@ class DeviceLinearSolver:
                 jnp.abs(data), rows, num_segments=self.n
             )
             sinv = 0.5 / jnp.maximum(l1, 1e-300)
-            val = self._pregather(data)
-            mv = lambda x: self._matvec_val(val, x)
+            data_p = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+            val = data_p[self._ell_sel]
+
+            def mv(x):
+                x_p = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+                return jnp.sum(val * x_p[self._ell_col], axis=1)
             atol = jnp.asarray(target) * jnp.maximum(
                 jnp.linalg.norm(b), 1e-300
             )
