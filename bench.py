@@ -50,7 +50,20 @@ def _timed(base):
         def __init__(self, params):
             super().__init__(params)
             self.iter_times: list[tuple[float, float]] = []
+            self.fused_times: list[tuple[float, int]] = []
             self._t_assembly = 0.0
+
+        def fused_newton_loop(self, nl_params):
+            # The fused device loop bypasses the per-call hooks; record
+            # (wall, newton_iters) per converged time step instead.
+            before = self.nonlinear_solver_statistics.num_iteration
+            t0 = time.perf_counter()
+            out = super().fused_newton_loop(nl_params)
+            dt = time.perf_counter() - t0
+            if out:
+                k = self.nonlinear_solver_statistics.num_iteration - before
+                self.fused_times.append((dt, max(int(k), 1)))
+            return out
 
         def assemble_linear_system(self):
             import jax
@@ -78,20 +91,35 @@ def _timed(base):
 
 def _summarize(m, skip: int) -> dict:
     """Median per-iteration split, excluding the first ``skip`` iterations
-    (XLA compile)."""
-    times = np.array(m.iter_times[skip:])
+    (XLA compile). When the fused device Newton loop handled the steps the
+    per-call split does not exist; per-iteration wall is then
+    (time-step wall / newton iterations), first time step excluded."""
     nnz = 0
     for cs in m.equation_system._compiled_systems.values():
         nnz = max(nnz, cs.indices_np.shape[0])
-    solve_s = float(np.median(times[:, 1]))
     out = {
         "num_dofs": int(m.equation_system.num_dofs()),
         "nnz": int(nnz),
-        "iters_measured": len(times),
-        "assembly_ms": round(float(np.median(times[:, 0])) * 1000.0, 3),
-        "solve_ms": round(solve_s * 1000.0, 3),
-        "total_ms": round(float(np.median(times.sum(axis=1))) * 1000.0, 3),
     }
+    if m.iter_times:
+        times = np.array(m.iter_times[skip:])
+        solve_s = float(np.median(times[:, 1]))
+        out.update(
+            iters_measured=len(times),
+            assembly_ms=round(float(np.median(times[:, 0])) * 1000.0, 3),
+            solve_ms=round(solve_s * 1000.0, 3),
+            total_ms=round(float(np.median(times.sum(axis=1))) * 1000.0, 3),
+        )
+    else:
+        fused = m.fused_times[1:] if len(m.fused_times) > 1 else m.fused_times
+        per_iter = [dt / k for dt, k in fused]
+        solve_s = float(np.median(per_iter))
+        out.update(
+            fused=True,
+            iters_measured=int(sum(k for _dt, k in fused)),
+            solve_ms=round(solve_s * 1000.0, 3),
+            total_ms=round(solve_s * 1000.0, 3),
+        )
     # Exact Krylov iteration count of the last solve (AMG-preconditioned
     # FGMRES reports actuals, not chunk bounds).
     stats = None

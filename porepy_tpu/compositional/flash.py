@@ -104,7 +104,7 @@ class ConstantKFlash(Flash):
 
             def body(_i, V):
                 step = h_fun(V) / jnp.where(
-                    jnp.abs(dh_fun(V)) > 1e-300, dh_fun(V), -1.0
+                    jnp.abs(dh_fun(V)) > 1e-30, dh_fun(V), -1.0
                 )
                 return jnp.clip(V - step, lo, hi)
 

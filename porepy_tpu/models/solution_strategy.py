@@ -541,7 +541,7 @@ class SolutionStrategy(FluidMixin):
                     eta = jnp.clip(eta, tight, 0.1)
                 else:
                     eta = jnp.asarray(tight)
-                b_unit = b / jnp.maximum(bnorm, 1e-300)
+                b_unit = b / jnp.maximum(bnorm, 1e-30)
                 dx_u, _res, _it = solver._jit_solve(
                     data, b_unit, jnp.zeros(n, b.dtype), m_state, eta
                 )

@@ -166,6 +166,13 @@ def solve_and_contract(
         q_max_b = float(q_all.max())
         per_region = n * (n + m_max_b + q_max_b) + q_max_b * m_max_b
         chunk = max(1, int(max_batch_elements / max(per_region, 1.0)))
+        # TPU: the batched LU/triangular-solve custom calls stage the whole
+        # (B, n, n) f32 operand in ~16 MB of scoped vmem; bound the chunk so
+        # the factorization operand stays well under that.
+        import jax
+
+        if jax.default_backend() == "tpu":
+            chunk = min(chunk, max(1, int(1.5e6 / max(n * n, 1))))
         for lo in range(0, members.size, chunk):
             regs = members[lo : lo + chunk]
             B = regs.size

@@ -48,7 +48,12 @@ def _fgmres(matvec, M, b, x0, atol, restart, max_cycles):
     via ``lax.while_loop``. Right preconditioning keeps the recurrence in
     TRUE residual norms (``|g[j]|``), so the tolerance check needs no extra
     matvec and a frozen/approximate ``M`` cannot distort convergence
-    reporting. Returns ``(x, residual_norm, total_iterations)``."""
+    reporting. Returns ``(x, residual_norm, total_iterations)``.
+
+    TPU hazard: f64 literals below the f32 normal range (~1e-38) flush to
+    0.0 in compiled TPU programs (observed on v5e: ``jnp.asarray(1e-290)``
+    is exactly 0), silently disabling division guards and zero-pivot
+    patches. All guard constants here must stay >= 1e-30."""
     n = b.shape[0]
     dtype = b.dtype
 
@@ -56,7 +61,7 @@ def _fgmres(matvec, M, b, x0, atol, restart, max_cycles):
         r = b - matvec(x)
         beta = jnp.linalg.norm(r)
         V = jnp.zeros((restart + 1, n), dtype).at[0].set(
-            r / jnp.maximum(beta, 1e-300)
+            r / jnp.maximum(beta, 1e-30)
         )
         Z = jnp.zeros((restart, n), dtype)
         H = jnp.zeros((restart + 1, restart), dtype)
@@ -79,7 +84,7 @@ def _fgmres(matvec, M, b, x0, atol, restart, max_cycles):
             w = w - V.T @ h2
             h = h + h2
             hj1 = jnp.linalg.norm(w)
-            V = V.at[j + 1].set(w / jnp.maximum(hj1, 1e-300))
+            V = V.at[j + 1].set(w / jnp.maximum(hj1, 1e-30))
             Z = Z.at[j].set(z)
             hfull = h.at[j + 1].set(hj1)
 
@@ -90,8 +95,8 @@ def _fgmres(matvec, M, b, x0, atol, restart, max_cycles):
 
             hfull = jax.lax.fori_loop(0, j, rot, hfull)
             denom = jnp.sqrt(hfull[j] ** 2 + hfull[j + 1] ** 2)
-            c_new = hfull[j] / jnp.maximum(denom, 1e-300)
-            s_new = hfull[j + 1] / jnp.maximum(denom, 1e-300)
+            c_new = hfull[j] / jnp.maximum(denom, 1e-30)
+            s_new = hfull[j + 1] / jnp.maximum(denom, 1e-30)
             cs = cs.at[j].set(c_new)
             sn = sn.at[j].set(s_new)
             hfull = hfull.at[j].set(denom).at[j + 1].set(0.0)
@@ -107,10 +112,20 @@ def _fgmres(matvec, M, b, x0, atol, restart, max_cycles):
         # Columns beyond the early-exit point (and happy breakdowns) have a
         # zero pivot; neutralizing the pivot with a matching zero rhs keeps
         # the triangular solve finite and those y entries zero.
-        bad = jnp.abs(diag) < 1e-290
+        bad = jnp.abs(diag) < 1e-30
         R = R + jnp.diag(jnp.where(bad, 1.0, 0.0))
         gr = jnp.where(bad, 0.0, g[:restart])
-        y = jax.scipy.linalg.solve_triangular(R, gr, lower=False)
+        # Explicit back-substitution: the TPU TriangularSolve custom call
+        # returns NaN for f64 operands (observed on v5e even with a
+        # well-conditioned R); a fori_loop over a 40x40 system is free.
+        def backsub(i, y):
+            row = restart - 1 - i
+            s = gr[row] - jnp.dot(R[row], y)
+            return y.at[row].set(s / R[row, row])
+
+        y = jax.lax.fori_loop(
+            0, restart, backsub, jnp.zeros(restart, dtype)
+        )
         x = x + Z.T @ y
         res = jnp.abs(g[jnp.minimum(j, restart)])
         return x, res, iters + j
@@ -506,7 +521,7 @@ class DeviceLinearSolver:
 
             M = lambda r: self._m_apply(m_state, r)
             b_eq = dr * b
-            b_eq_norm = jnp.maximum(jnp.linalg.norm(b_eq), 1e-300)
+            b_eq_norm = jnp.maximum(jnp.linalg.norm(b_eq), 1e-30)
             atol = tol * b_eq_norm
             y, res_eq, iters = _fgmres(
                 mv_eq, M, b_eq, x0 / dc, atol, restart, max_cycles
@@ -541,7 +556,7 @@ class DeviceLinearSolver:
             l1 = jax.ops.segment_sum(
                 jnp.abs(data), rows, num_segments=self.n
             )
-            sinv = 0.5 / jnp.maximum(l1, 1e-300)
+            sinv = 0.5 / jnp.maximum(l1, 1e-30)
             data_p = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
             val = data_p[self._ell_sel]
 
@@ -549,7 +564,7 @@ class DeviceLinearSolver:
                 x_p = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
                 return jnp.sum(val * x_p[self._ell_col], axis=1)
             atol = jnp.asarray(target) * jnp.maximum(
-                jnp.linalg.norm(b), 1e-300
+                jnp.linalg.norm(b), 1e-30
             )
             x, res, _ = _fgmres(
                 mv,

@@ -134,7 +134,7 @@ class TpfaFlowKernel:
         diag = diag * w
         diag = diag + self.pv * self.comp * self.density(p) / self.dt
         _ = contrib
-        return jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
+        return jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
 
 
 def build_cart_flow_kernel(
