@@ -167,12 +167,15 @@ def solve_and_contract(
         per_region = n * (n + m_max_b + q_max_b) + q_max_b * m_max_b
         chunk = max(1, int(max_batch_elements / max(per_region, 1.0)))
         # TPU: the batched LU/triangular-solve custom calls stage the whole
-        # (B, n, n) f32 operand in ~16 MB of scoped vmem; bound the chunk so
-        # the factorization operand stays well under that.
+        # (B, n, n) f32 operand in ~16 MB of scoped vmem, and the operand is
+        # tile-padded to (8, 128) — an 81x81 block stages as 88x128. Bound
+        # the chunk by the PADDED footprint (observed: B=228, n=81 dies with
+        # "17.45M > 16.00M scoped vmem" despite a 6 MB nominal operand).
         import jax
 
         if jax.default_backend() == "tpu":
-            chunk = min(chunk, max(1, int(1.5e6 / max(n * n, 1))))
+            pad = (-(-n // 8) * 8) * (-(-n // 128) * 128)
+            chunk = min(chunk, max(1, int(1.0e6 / max(pad, 1))))
         for lo in range(0, members.size, chunk):
             regs = members[lo : lo + chunk]
             B = regs.size

@@ -223,6 +223,10 @@ class _BlockPrecondBuilder:
         # solve), not as closure captures: captured device arrays lower to
         # HLO literals that XLA's constant folding grinds through.
         self._splits = np.cumsum([r.size for r, _c in self.blocks])[:-1]
+        # Per-block Jacobi sweep counts, frozen at the FIRST build: the
+        # consumer's jitted solve bakes the apply structure in, so later
+        # value refreshes must not change static sweep counts.
+        self._jac_sweeps: dict[int, int] = {}
 
     def build(
         self,
@@ -233,10 +237,17 @@ class _BlockPrecondBuilder:
     ):
         """Build (or value-refresh) the frozen preconditioner.
 
-        ``A`` may be an equilibrated operator; ``row_scale``/``col_scale``
-        are then the applied diagonals, used to transform user-supplied
-        stabilization diagonals and near-nullspace modes into the
-        equilibrated space.
+        ``A`` is the RAW (unequilibrated) operator; ``row_scale`` /
+        ``col_scale`` are the outer Krylov's Ruiz diagonals. The block
+        solves run in RAW space — the apply maps the equilibrated residual
+        in and the equilibrated correction out via the diagonals
+        (``M_eq(r) = Dc^{-1} M_raw(Dr^{-1} r)``). Building the blocks on
+        the equilibrated operator instead was measured to DESTROY the
+        elliptic blocks for SA-AMG: global two-sided Ruiz amplifies tiny
+        nonsymmetric (upwinded-density) entries of fracture pressure rows
+        until the pressure block is ~50% asymmetric and the V-cycle
+        diverges (tracer md case: outer FGMRES stalled at 3e-3; raw-space
+        blocks converge the same system to 3e-13 in two restart cycles).
 
         Returns ``(state, apply, hierarchies)``: ``state`` is the pure-array
         pytree consumed by the jitted solve, ``apply(state, r)`` the
@@ -265,6 +276,9 @@ class _BlockPrecondBuilder:
                 elim.remove(j)
         sweep = [i for i, m in enumerate(self.methods) if m != "eliminate"]
 
+        n = A.shape[0]
+        mdr = 1.0 / row_scale if row_scale is not None else np.ones(n)
+        mdc = 1.0 / col_scale if col_scale is not None else np.ones(n)
         state = {
             "dinv": {},
             "cpl": {},
@@ -272,6 +286,8 @@ class _BlockPrecondBuilder:
             "jac": {},
             "perm_rows": self._rows_concat,
             "perm_inv": self._scatter_inv,
+            "mdr": jnp.asarray(mdr),
+            "mdc": jnp.asarray(mdc),
         }
         hierarchies = {}
         for j in elim:
@@ -285,18 +301,14 @@ class _BlockPrecondBuilder:
                         Aij @ sps.diags(1.0 / sub[(j, j)].diagonal()) @ sub[(j, i)]
                     )
             Sii = Sii.tocsr()
-            ri, ci = self.blocks[i]
             if i in self.stab:
-                stab = np.asarray(self.stab[i], dtype=np.float64)
-                if row_scale is not None:
-                    stab = stab * row_scale[ri] * col_scale[ci]
-                Sii = Sii + sps.diags(stab)
+                # Raw space: user stabilization diagonals apply unscaled.
+                Sii = Sii + sps.diags(
+                    np.asarray(self.stab[i], dtype=np.float64)
+                )
             if self.methods[i] == "amg":
                 nns = self.nns.get(i)
                 B, bs = (nns if nns is not None else (None, 1))
-                if B is not None and col_scale is not None:
-                    # x = Dc y: near-nullspace modes live in y-space.
-                    B = B / col_scale[ci][:, None]
                 prev = (prev_hierarchies or {}).get(i)
                 if prev is not None:
                     prev.update_values(Sii)
@@ -306,10 +318,24 @@ class _BlockPrecondBuilder:
                 state["amg"][i] = hierarchies[i].state
             else:  # jacobi
                 val, col = amg._ell_arrays(Sii, np.float64)
+                # Upwind transport / complementarity blocks are acyclic in
+                # their significant couplings: true-diagonal UNDAMPED Jacobi
+                # is then nilpotent and solves the block exactly in depth+1
+                # sweeps (damped l1 stalls on advection chains). Frozen at
+                # first build; value refreshes recompute sinv only.
+                if i not in self._jac_sweeps:
+                    cfg = amg.flow_ordered_jacobi(Sii)
+                    self._jac_sweeps[i] = cfg[1] if cfg is not None else 0
+                sweeps = self._jac_sweeps[i]
+                if sweeps:
+                    dg = Sii.diagonal()
+                    sinv = np.where(dg != 0.0, 1.0 / np.where(dg == 0, 1, dg), 0.0)
+                else:
+                    sinv = amg._l1_smoother(Sii)
                 state["jac"][i] = {
                     "val": jnp.asarray(val),
                     "col": jnp.asarray(col),
-                    "sinv": jnp.asarray(amg._l1_smoother(Sii)),
+                    "sinv": jnp.asarray(sinv),
                 }
         # Couplings used during application (frozen values, ELL form):
         # sweep blocks consume earlier sweep blocks and all elim blocks;
@@ -333,6 +359,8 @@ class _BlockPrecondBuilder:
         methods = list(self.methods)
 
         def apply(state, r):
+            # Equilibrated residual in -> raw space; block GS runs raw.
+            r = r * state["mdr"]
             parts = jnp.split(r[state["perm_rows"]], splits)
             y = [None] * nb
             # Forward elimination of diagonal blocks.
@@ -358,7 +386,9 @@ class _BlockPrecondBuilder:
                 else:
                     jb = state["jac"][i]
                     mv = lambda x, jb=jb: amg.ell_matvec(jb["val"], jb["col"], x)
-                    y[i] = _jacobi_sweeps(mv, jb["sinv"], ri, 8)
+                    y[i] = _jacobi_sweeps(
+                        mv, jb["sinv"], ri, self._jac_sweeps.get(i) or 8
+                    )
             # Back-substitute the eliminated blocks.
             for j in elim:
                 rj = parts[j]
@@ -368,8 +398,9 @@ class _BlockPrecondBuilder:
                         rj = rj - amg.ell_matvec(cpl[0], cpl[1], y[i])
                 y[j] = state["dinv"][j] * rj
             # Scatter-free reassembly: one gather by the precomputed inverse
-            # permutation of the concatenated block order.
-            return jnp.concatenate(y)[state["perm_inv"]]
+            # permutation of the concatenated block order; raw correction
+            # out -> equilibrated space.
+            return jnp.concatenate(y)[state["perm_inv"]] * state["mdc"]
 
         return state, apply, hierarchies
 
@@ -469,9 +500,11 @@ class DeviceLinearSolver:
         exists."""
         A = self._host_matrix(data)
         d_r, d_c = _ruiz_scaling(A)
-        A_eq = (sps.diags(d_r) @ A @ sps.diags(d_c)).tocsr()
+        # The Krylov iterates on the equilibrated operator; the block
+        # preconditioner is built on the RAW matrix (see build()) and maps
+        # between the spaces with the Ruiz diagonals itself.
         self._m_state, self._m_apply, self._hierarchies = self._builder.build(
-            A_eq,
+            A,
             prev_hierarchies=self._hierarchies,
             row_scale=d_r,
             col_scale=d_c,
