@@ -73,6 +73,7 @@ dm.prepare_simulation()
 dm.assemble_linear_system()
 diag = dm.run_diagnostics(grouping=None)
 for (eq, var), info in sorted(diag.items()):
-    if info.get("is_empty_block", True):
+    if info.get("is_empty_block", False):
         continue
-    print(f"block ({eq}, {var}): max {info['max']:.2e}")
+    print(f"block ({eq}, {var}): shape {info['block_size']}, "
+          f"max |entry| {info['max']:.2e}")

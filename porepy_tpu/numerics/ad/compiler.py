@@ -459,7 +459,8 @@ def _trace_node(node, rec, x, env, env_spec, eq_sys, const_mats):
     if isinstance(node, Variable):
         if node.is_current_iterate:
             idx = eq_sys.dofs_of([node])
-            return x[jnp.asarray(idx)]
+            # int32 gather: int64 indexing serializes on TPU.
+            return x[jnp.asarray(np.asarray(idx, dtype=np.int32))]
         slot = env_spec.slot(_var_key(node), _fetch_variable(node))
         return env[slot]
     if isinstance(node, TimeDependentDenseArray):

@@ -114,8 +114,9 @@ class _CompiledSystem:
         # identical per-equation programs run fine. Everything stays
         # device-resident either way.
         def make_eq_fn(ce):
-            gc = jnp.asarray(ce.gather_color)
-            rj = jnp.asarray(ce.rows)
+            # int32 gather indices: int64 indexing serializes on TPU.
+            gc = jnp.asarray(np.asarray(ce.gather_color, dtype=np.int32))
+            rj = jnp.asarray(np.asarray(ce.rows, dtype=np.int32))
 
             def eq_fn(x, seeds, gc, rj, env):
                 val, jvp_fn = jax.linearize(lambda xx: ce.fn(xx, *env), x)

@@ -18,7 +18,13 @@ module solves with right-preconditioned FGMRES where
   preconditioner across Newton iterations trades a slightly stale
   approximate inverse (still a valid right preconditioner) for zero
   per-iteration host work; it is refreshed automatically when a solve
-  stalls.
+  stalls,
+- precision is mixed (FGMRES-IR): the Krylov cycles run in float32 on the
+  Ruiz-equilibrated operator (TPU-native — f64 is software-emulated and
+  int64 addressing serializes gathers), wrapped in float64 iterative
+  refinement: one f64 true-residual matvec per restart cycle restores the
+  full-precision convergence contract (rel residual down to 1e-11+). All
+  device index arrays are int32.
 
 Falls back (counted + logged) to host spsolve if the device iteration misses
 tolerance — same contract as :mod:`porepy_tpu.numerics.linalg.krylov`.
@@ -215,10 +221,10 @@ class _BlockPrecondBuilder:
         if np.unique(cols_concat).size != n:
             raise ValueError("Field blocks must cover every dof exactly once")
         rows_concat = np.concatenate([r for r, _c in self.blocks])
-        self._rows_concat = jnp.asarray(rows_concat)
+        self._rows_concat = jnp.asarray(rows_concat.astype(np.int32))
         inv = np.empty(n, np.int64)
         inv[cols_concat] = np.arange(n)
-        self._scatter_inv = jnp.asarray(inv)
+        self._scatter_inv = jnp.asarray(inv.astype(np.int32))
         # Index arrays ride in the state pytree (arguments of the jitted
         # solve), not as closure captures: captured device arrays lower to
         # HLO literals that XLA's constant folding grinds through.
@@ -279,6 +285,9 @@ class _BlockPrecondBuilder:
         n = A.shape[0]
         mdr = 1.0 / row_scale if row_scale is not None else np.ones(n)
         mdc = 1.0 / col_scale if col_scale is not None else np.ones(n)
+        # The preconditioner is an approximate inverse applied inside the
+        # float32 inner Krylov cycles (FGMRES-IR): every value array is f32
+        # (half the gather bytes, no emulated-f64 arithmetic on TPU).
         state = {
             "dinv": {},
             "cpl": {},
@@ -286,12 +295,14 @@ class _BlockPrecondBuilder:
             "jac": {},
             "perm_rows": self._rows_concat,
             "perm_inv": self._scatter_inv,
-            "mdr": jnp.asarray(mdr),
-            "mdc": jnp.asarray(mdc),
+            "mdr": jnp.asarray(mdr.astype(np.float32)),
+            "mdc": jnp.asarray(mdc.astype(np.float32)),
         }
         hierarchies = {}
         for j in elim:
-            state["dinv"][j] = jnp.asarray(1.0 / sub[(j, j)].diagonal())
+            state["dinv"][j] = jnp.asarray(
+                (1.0 / sub[(j, j)].diagonal()).astype(np.float32)
+            )
         for i in sweep:
             Sii = sub[(i, i)]
             for j in elim:
@@ -317,7 +328,7 @@ class _BlockPrecondBuilder:
                     hierarchies[i] = amg.build_hierarchy(Sii, B=B, block_size=bs)
                 state["amg"][i] = hierarchies[i].state
             else:  # jacobi
-                val, col = amg._ell_arrays(Sii, np.float64)
+                val, col = amg._ell_arrays(Sii, np.float32)
                 # Upwind transport / complementarity blocks are acyclic in
                 # their significant couplings: true-diagonal UNDAMPED Jacobi
                 # is then nilpotent and solves the block exactly in depth+1
@@ -335,7 +346,7 @@ class _BlockPrecondBuilder:
                 state["jac"][i] = {
                     "val": jnp.asarray(val),
                     "col": jnp.asarray(col),
-                    "sinv": jnp.asarray(sinv),
+                    "sinv": jnp.asarray(sinv.astype(np.float32)),
                 }
         # Couplings used during application (frozen values, ELL form):
         # sweep blocks consume earlier sweep blocks and all elim blocks;
@@ -352,7 +363,7 @@ class _BlockPrecondBuilder:
         for key in needed:
             mat = sub[key]
             if mat.nnz:
-                val, col = amg._ell_arrays(mat, np.float64)
+                val, col = amg._ell_arrays(mat, np.float32)
                 state["cpl"][key] = (jnp.asarray(val), jnp.asarray(col))
 
         splits = self._splits
@@ -465,8 +476,11 @@ class DeviceLinearSolver:
         pos_in_row = np.arange(rows.size) - np.repeat(
             np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
         )
-        ell_sel = np.full((n, K), rows.size, dtype=np.int64)
-        ell_col = np.full((n, K), n, dtype=np.int64)
+        # int32 throughout: TPU has no native int64 — 64-bit index arithmetic
+        # lowers to paired-word ops and serializes the gathers that dominate
+        # every Krylov iteration.
+        ell_sel = np.full((n, K), rows.size, dtype=np.int32)
+        ell_col = np.full((n, K), n, dtype=np.int32)
         ell_sel[r_sorted, pos_in_row] = order
         ell_col[r_sorted, pos_in_row] = cols[order]
         self._ell_sel = jnp.asarray(ell_sel)
@@ -543,21 +557,61 @@ class DeviceLinearSolver:
             # Solve the Ruiz-equilibrated system (Dr A Dc) y = Dr b,
             # x = Dc y; the preconditioner was built in this space.
             val_eq = dr[:, None] * val * dc1[ell_col]
+            val32 = val_eq.astype(jnp.float32)
 
             def mv_eq(y):
                 y_p = jnp.concatenate([y, jnp.zeros(1, y.dtype)])
                 return jnp.sum(val_eq * y_p[ell_col], axis=1)
 
-            def mv_raw(x):
-                x_p = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
-                return jnp.sum(val * x_p[ell_col], axis=1)
+            def mv32(y):
+                y_p = jnp.concatenate([y, jnp.zeros(1, y.dtype)])
+                return jnp.sum(val32 * y_p[ell_col], axis=1)
 
             M = lambda r: self._m_apply(m_state, r)
             b_eq = dr * b
             b_eq_norm = jnp.maximum(jnp.linalg.norm(b_eq), 1e-30)
             atol = tol * b_eq_norm
-            y, res_eq, iters = _fgmres(
-                mv_eq, M, b_eq, x0 / dc, atol, restart, max_cycles
+            n = b.shape[0]
+
+            # FGMRES-IR: f32 Krylov cycles on the equilibrated operator,
+            # f64 true-residual refinement between cycles. One emulated-f64
+            # matvec per cycle buys full f64 convergence while the ~restart
+            # inner iterations run at native f32 speed.
+            def cycle_cond(st):
+                _y, _r, rn, _it, k = st
+                return (rn > atol) & (k < max_cycles) & jnp.isfinite(rn)
+
+            def cycle(st):
+                y, r, rn, iters, k = st
+                rs = jnp.maximum(rn, 1e-30)
+                # Inner relative target: whatever the outer contract still
+                # needs, floored at f32 resolution.
+                inner_atol = jnp.maximum(atol / rs, 1e-7).astype(jnp.float32)
+                d32, _ri, it = _fgmres(
+                    mv32,
+                    M,
+                    (r / rs).astype(jnp.float32),
+                    jnp.zeros(n, jnp.float32),
+                    inner_atol,
+                    restart,
+                    1,
+                )
+                d = rs * d32.astype(y.dtype)
+                # Guard: a NaN/Inf inner result must not poison y — keep the
+                # old iterate and let the outer loop exit on rn.
+                ok = jnp.all(jnp.isfinite(d))
+                y_new = jnp.where(ok, y + d, y)
+                r_new = b_eq - mv_eq(y_new)
+                rn_new = jnp.linalg.norm(r_new)
+                rn_new = jnp.where(ok, rn_new, jnp.nan)
+                return y_new, r_new, rn_new, iters + it, k + 1
+
+            y0 = x0 / dc
+            r0 = b_eq - mv_eq(y0)
+            y, _r, res_eq, iters, _k = jax.lax.while_loop(
+                cycle_cond,
+                cycle,
+                (y0, r0, jnp.linalg.norm(r0), jnp.zeros((), jnp.int32), 0),
             )
             x = dc * y
             # Convergence is measured in the EQUILIBRATED norm (rescaled to
