@@ -46,7 +46,10 @@ import numpy as np
 import scipy.sparse as sps
 
 from porepy_tpu.geometry import map_geometry
-from porepy_tpu.numerics.fv.local_solves import RegionBatches, solve_and_contract
+from porepy_tpu.numerics.fv.local_solves import (
+    RegionBatches,
+    iter_solve_and_contract,
+)
 from porepy_tpu.numerics.fv.regions import build_regions, continuity_geometry
 from porepy_tpu.utils import common_constants as cc
 
@@ -378,13 +381,12 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
         w_region=wout.reg(), w_row=wout.row(), w_col=wout.col(),
         w_val=wout.val(),
     )
-    o_reg_all, o_row_all, o_col_all, o_val_all = solve_and_contract(rb)
-
-    # -- globalize --------------------------------------------------------------
-    # Processed in bounded slices: the row/column decode needs ~20 full-
-    # length work arrays, which at benchmark grid sizes (hundreds of
-    # millions of output triplets) would dominate peak memory if
-    # materialized at once (scale-path memory bound).
+    # -- globalize (streamed) ----------------------------------------------------
+    # Device chunks are consumed as they arrive (iter_solve_and_contract)
+    # and decoded in bounded slices: the row/column decode needs ~20 full-
+    # length work arrays, and the all-regions triplet array itself (hundreds
+    # of millions of entries at benchmark grid sizes) would dominate peak
+    # memory if materialized at once (scale-path memory bound).
     _parts: dict = {}
 
     def _accumulate(tag, sel, rows, cols, vals, weight=None):
@@ -460,12 +462,13 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
             _accumulate(("cons", k), dsel & psel, div_cell, p_cell, o_val)
 
     _slice_len = 4_000_000
-    for lo in range(0, o_val_all.size, _slice_len):
-        sl = slice(lo, lo + _slice_len)
-        _globalize_slice(
-            o_reg_all[sl], o_row_all[sl], o_col_all[sl], o_val_all[sl]
-        )
-    del o_reg_all, o_row_all, o_col_all, o_val_all
+    for o_reg_c, o_row_c, o_col_c, o_val_c in iter_solve_and_contract(rb):
+        for lo in range(0, o_val_c.size, _slice_len):
+            sl = slice(lo, lo + _slice_len)
+            _globalize_slice(
+                o_reg_c[sl], o_row_c[sl], o_col_c[sl], o_val_c[sl]
+            )
+        del o_reg_c, o_row_c, o_col_c, o_val_c
 
     def build_from_parts(tag, shape):
         rows_l, cols_l, vals_l = _parts.pop(
