@@ -31,6 +31,18 @@ rows. The asymmetric (averaged) contribution is dropped on subfaces of
 nodes where Neumann/Robin component counts exceed the gradient count (the
 reference's ``_eliminate_ncasym`` invertibility guard).
 
+Subface-resolved boundary conditions: a ``BoundaryConditionVectorial``
+sized to the unique subfaces (``_fvutils.subface_numbering`` order; build
+one with ``_fvutils.boundary_to_sub_boundary``) switches types, values and
+output granularity to subfaces — ``stress``/``bound_stress`` rows and
+boundary columns are per subface, Neumann values are subface-integrated
+tractions. Capability counterpart of the reference's ``subface_rhs``
+branch (reference ``numerics/fv/mpsa.py:715-754``), which in v1.11 crashes
+for any Dirichlet subface and silently degrades to face output for
+all-Neumann input; correctness here is established by face-mode
+consistency and analytic patch tests instead
+(``tests/numerics/fv/test_mpsa.py``).
+
 Outputs: ``stress``/``bound_stress`` stencils from the designated side of
 each subface (summed to faces) and the displacement-trace reconstruction
 ``bound_displacement_cell``/``bound_displacement_face`` (averaged over
@@ -147,9 +159,23 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
     """
     if bnd.bc_type != "vectorial":
         raise AttributeError("MPSA needs a vectorial boundary condition")
-    if bnd.num_faces != sd.num_faces:
+    # A boundary condition sized to the unique subfaces (canonical
+    # ``_fvutils.subface_numbering`` order, = the reference's
+    # ``SubcellTopology.subfno_unique``) selects the subface-resolved mode:
+    # BC types/values vary per subface and the stress/bound_stress output
+    # stays at subface rows and boundary columns (reference
+    # ``numerics/fv/mpsa.py:715-754``, ``subface_rhs``).
+    n_subf = int(sd.face_nodes.nnz)
+    subface_mode = bnd.num_faces == n_subf and n_subf != sd.num_faces
+    if not subface_mode and bnd.num_faces != sd.num_faces:
+        raise ValueError(
+            "Boundary condition must be sized to faces or unique subfaces"
+        )
+    if subface_mode and alphas:
         raise NotImplementedError(
-            "Subface-resolved boundary conditions are not supported yet"
+            "Subface-resolved boundary conditions are not supported for "
+            "the Biot coupling (reference biot.py:757 also discretizes "
+            "with face-wise conditions)"
         )
     if sd.dim == 2:
         sd, cv = Mpsa._reduce_grid_constit_2d(sd, constit)
@@ -181,8 +207,26 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
     is_rob = np.asarray(bnd.is_rob[:d], dtype=bool)
     bnd_inc = ~rt.sf_interior[rt.t_sf]  # boundary incidence mask
     int_inc = ~bnd_inc
+    # ``sf_ent``: per region-subface, the entity indexing the BC arrays and
+    # the boundary dof numbering — the face in face mode, the canonical
+    # unique-subface id in subface mode.
+    if subface_mode:
+        from porepy_tpu.numerics.fv._fvutils import subface_numbering
+
+        fno_u, nno_u = subface_numbering(sd)
+        ref_code = nno_u.astype(np.int64) * nf + fno_u
+        ref_order = np.argsort(ref_code)
+        sf_ent = ref_order[
+            np.searchsorted(
+                ref_code[ref_order],
+                rt.sf_v.astype(np.int64) * nf + rt.sf_f,
+            )
+        ]
+    else:
+        sf_ent = rt.sf_f
+    t_bc = sf_ent[rt.t_sf]  # BC-array column per incidence
     if not np.all(
-        (is_neu | is_dir | is_rob)[:, rt.sf_f[rt.bnd_idx]]
+        (is_neu | is_dir | is_rob)[:, sf_ent[rt.bnd_idx]]
     ):
         raise ValueError("Boundary subfaces need a condition per component")
 
@@ -193,6 +237,10 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
     # -- geometry / constitutive coefficients per incidence --------------------
     w, n_tilde, dist = continuity_geometry(sd, rt, eta, d)
     area_w = sd.face_areas[rt.t_f] * w
+    # Neumann/Robin RHS coefficient: in face mode the face-integrated value
+    # is split over the subfaces (weight w); in subface mode the value IS
+    # the subface-integrated traction (reference ``mpsa.py:1128-1139``).
+    bc_w = np.ones_like(w) if subface_mode else w
 
     sym, asym = _split_stiffness(cv, d)
     # n~ . Csym : traction coefficients (d, d2) per incidence. The asym part
@@ -204,7 +252,7 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
 
     # Invertibility guard: drop the averaged (asym) contribution at nodes
     # where Neumann or Robin component counts exceed the gradient count.
-    elim = _asym_elimination_mask(rt, is_neu, is_rob, d)  # (d, n_subfaces)
+    elim = _asym_elimination_mask(rt, is_neu, is_rob, d, sf_ent)
     keep_asym = ~elim[:, rt.t_sf]  # (d, T)
 
     basis = np.asarray(bnd.basis[:d, :d], dtype=float)
@@ -254,9 +302,9 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
             )
 
         # Boundary rows, with the (possibly non-identity) basis applied.
-        neu_m = bnd_inc & is_neu[i, rt.t_f]
-        dir_m = bnd_inc & is_dir[i, rt.t_f]
-        rob_m = bnd_inc & is_rob[i, rt.t_f]
+        neu_m = bnd_inc & is_neu[i, t_bc]
+        dir_m = bnd_inc & is_dir[i, t_bc]
+        rob_m = bnd_inc & is_rob[i, t_bc]
 
         # Asym usage: n~_j on the aux dofs (m*d + j), per raw component m.
         # The elimination guard zeroes the raw component before any basis.
@@ -266,7 +314,7 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
             tr_asym_val = n_tilde * keep_asym[i]  # (d, T) at aux_use_col
             bw = None
         else:
-            bvals = basis[i][:, rt.t_f]  # (d, T): B[i, m]
+            bvals = basis[i][:, t_bc]  # (d, T): B[i, m]
             tr_sym = np.einsum("mt,mkt->kt", bvals, nc_sym)
             bw = bvals
 
@@ -285,7 +333,7 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
                         rt.t_sgn * bw[mm] * keep_asym[mm] * n_tilde,
                         mask=sel,
                     )
-            rhs.add(rt.t_r, row, b_col0 + i, w, mask=sel)
+            rhs.add(rt.t_r, row, b_col0 + i, bc_w, mask=sel)
             for ki, k in enumerate(keys):
                 if identity_basis:
                     na_i = n_alpha[k][i]
@@ -297,8 +345,8 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
                 )
             if robin:
                 # + (area w) [B W (u + G.dist)]_i
-                eff = rob_w[i][:, rt.t_f] if identity_basis else np.einsum(
-                    "mt,mkt->kt", bw, rob_w[:, :, rt.t_f]
+                eff = rob_w[i][:, t_bc] if identity_basis else np.einsum(
+                    "mt,mkt->kt", bw, rob_w[:, :, t_bc]
                 )  # (d, T): (B W)[i, m]
                 for mm in range(d):
                     a.add(
@@ -386,17 +434,47 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
     # and decoded in bounded slices: the row/column decode needs ~20 full-
     # length work arrays, and the all-regions triplet array itself (hundreds
     # of millions of entries at benchmark grid sizes) would dominate peak
-    # memory if materialized at once (scale-path memory bound).
+    # memory if materialized at once (scale-path memory bound). Pending
+    # triplets are folded into CSR accumulators (which sum duplicates)
+    # whenever they exceed a fixed budget, so the host high-water mark is
+    # final-stencil-sized, not total-triplet-sized.
+    n_bent = n_subf if subface_mode else nf  # stress-row / bound-col entities
+    _shapes = {
+        "stress": (n_bent * d, nc * d),
+        "bound_stress": (n_bent * d, n_bent * d),
+        "hf_cell": (nf * d, nc * d),
+        "hf_bound": (nf * d, n_bent * d),
+    }
+    for k in keys:
+        _shapes[("sg", k)] = (nf * d, nc)
+        _shapes[("dp", k)] = (nf * d, nc)
+        _shapes[("dd", k)] = (nc, nc * d)
+        _shapes[("bdd", k)] = (nc, nf * d)
+        _shapes[("cons", k)] = (nc, nc)
     _parts: dict = {}
+    _acc: dict = {}
+    _pending = [0]
+    _FOLD_AT = 50_000_000  # pending triplets (~0.8 GB at 16 B each)
 
     def _accumulate(tag, sel, rows, cols, vals, weight=None):
         v = vals[sel]
         if weight is not None:
             v = v * weight[sel]
         _parts.setdefault(tag, ([], [], []))
-        _parts[tag][0].append(rows[sel])
-        _parts[tag][1].append(cols[sel])
+        _parts[tag][0].append(rows[sel].astype(np.int32, copy=False))
+        _parts[tag][1].append(cols[sel].astype(np.int32, copy=False))
         _parts[tag][2].append(v)
+        _pending[0] += v.size
+
+    def _fold():
+        for tag, (rl, cl, vl) in _parts.items():
+            m = sps.csr_matrix(
+                (np.concatenate(vl), (np.concatenate(rl), np.concatenate(cl))),
+                shape=_shapes[tag],
+            )
+            _acc[tag] = (_acc[tag] + m) if tag in _acc else m
+        _parts.clear()
+        _pending[0] = 0
 
     def _globalize_slice(o_reg, o_row, o_col, o_val):
         nsf_o = d * rt.nsf_r[o_reg]
@@ -407,8 +485,10 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
         # Row decode.
         sf_local_scalar = np.where(kind_trace, o_row - nsf_o, o_row) // d
         comp = np.where(kind_div, 0, o_row % d)
-        sf_of_out = rt.sf_start[o_reg] + sf_local_scalar
-        face_of_out = rt.sf_f[np.minimum(sf_of_out, rt.sf_f.size - 1)]
+        sf_of_out = np.minimum(rt.sf_start[o_reg] + sf_local_scalar,
+                               rt.sf_f.size - 1)
+        face_of_out = rt.sf_f[sf_of_out]
+        ent_of_out = sf_ent[sf_of_out]  # == face_of_out in face mode
         div_local = o_row - 2 * nsf_o
         div_key = np.where(
             kind_div, div_local // np.maximum(rt.nc_r[o_reg], 1), 0
@@ -431,7 +511,7 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
             idx = np.minimum(
                 rt.b_start[o_reg] + b_loc // d, rt.bnd_idx.size - 1
             )
-            b_face = rt.sf_f[rt.bnd_idx[idx]]
+            b_face = sf_ent[rt.bnd_idx[idx]]
         else:
             b_face = np.zeros(o_col.size, dtype=int)
         b_gcol = b_face * d + b_loc % d
@@ -442,19 +522,20 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
         ]
 
         trace_w = 1.0 / rt.nnpf[face_of_out]
-        srow = face_of_out * d + comp
+        srow = ent_of_out * d + comp  # stress rows: subface-level in subface mode
+        trow = face_of_out * d + comp  # trace rows: always averaged to faces
 
         _accumulate("stress", kind_stress & col_u, srow, u_gcol, o_val)
         _accumulate("bound_stress", kind_stress & col_b, srow, b_gcol, o_val)
-        _accumulate("hf_cell", kind_trace & col_u, srow, u_gcol, o_val, trace_w)
+        _accumulate("hf_cell", kind_trace & col_u, trow, u_gcol, o_val, trace_w)
         _accumulate(
-            "hf_bound", kind_trace & col_b, srow, b_gcol, o_val, trace_w
+            "hf_bound", kind_trace & col_b, trow, b_gcol, o_val, trace_w
         )
         for ki, k in enumerate(keys):
             psel = col_p & (p_key == ki)
             _accumulate(("sg", k), kind_stress & psel, srow, p_cell, o_val)
             _accumulate(
-                ("dp", k), kind_trace & psel, srow, p_cell, o_val, trace_w
+                ("dp", k), kind_trace & psel, trow, p_cell, o_val, trace_w
             )
             dsel = kind_div & (div_key == ki)
             _accumulate(("dd", k), dsel & col_u, div_cell, u_gcol, o_val)
@@ -468,24 +549,18 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
             _globalize_slice(
                 o_reg_c[sl], o_row_c[sl], o_col_c[sl], o_val_c[sl]
             )
+            if _pending[0] > _FOLD_AT:
+                _fold()
         del o_reg_c, o_row_c, o_col_c, o_val_c
+    _fold()
 
     def build_from_parts(tag, shape):
-        rows_l, cols_l, vals_l = _parts.pop(
-            tag, ([np.zeros(0, int)], [np.zeros(0, int)], [np.zeros(0)])
-        )
-        return sps.coo_matrix(
-            (
-                np.concatenate(vals_l),
-                (np.concatenate(rows_l), np.concatenate(cols_l)),
-            ),
-            shape=shape,
-        )
+        return _acc.pop(tag, sps.csr_matrix(shape))
 
-    stress = build_from_parts("stress", (nf * d, nc * d))
-    bound_stress = build_from_parts("bound_stress", (nf * d, nf * d))
-    hf_cell = build_from_parts("hf_cell", (nf * d, nc * d))
-    hf_bound = build_from_parts("hf_bound", (nf * d, nf * d))
+    stress = build_from_parts("stress", _shapes["stress"])
+    bound_stress = build_from_parts("bound_stress", _shapes["bound_stress"])
+    hf_cell = build_from_parts("hf_cell", _shapes["hf_cell"])
+    hf_bound = build_from_parts("hf_bound", _shapes["hf_bound"])
 
     # Direct cell term of the displacement trace.
     direct_u = sps.coo_matrix(
@@ -540,17 +615,18 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
     )
 
 
-def _asym_elimination_mask(rt, is_neu, is_rob, d) -> np.ndarray:
+def _asym_elimination_mask(rt, is_neu, is_rob, d, sf_ent) -> np.ndarray:
     """(d, n_subfaces) mask: True where the averaged-gradient term must be
     dropped (more Neumann — or Robin — component conditions at the node than
-    gradients; reference ``mpsa.py:1932``)."""
+    gradients; reference ``mpsa.py:1932``). ``sf_ent`` indexes the BC
+    arrays per subface (face or canonical-subface id)."""
     elim = np.zeros((d, rt.sf_f.size), dtype=bool)
     bnd_sf = rt.bnd_idx
     for i in range(d):
         for flags in (is_neu, is_rob):
             cnt = np.zeros(rt.R, dtype=np.int64)
             this_type = np.zeros(rt.sf_f.size, dtype=bool)
-            this_type[bnd_sf] = flags[i, rt.sf_f[bnd_sf]]
+            this_type[bnd_sf] = flags[i, sf_ent[bnd_sf]]
             np.add.at(cnt, rt.sf_r[this_type], 1)
             bad_region = cnt > rt.nc_r
             # Only the condition's own (component, subface) rows are zeroed.

@@ -40,6 +40,7 @@ class RegionTopology:
 
     # Subfaces, sorted by region.
     sf_f: np.ndarray
+    sf_v: np.ndarray  # node of the subface
     sf_r: np.ndarray
     sf_cnt: np.ndarray  # 1 or 2 incidences
     sf_start: np.ndarray
@@ -147,6 +148,7 @@ def build_regions(sd, is_neu, is_dir, is_rob) -> RegionTopology:
         sc_c=sc_c,
         sc_start=sc_start,
         sf_f=sf_f,
+        sf_v=sf_v,
         sf_r=sf_r,
         sf_cnt=sf_cnt,
         sf_start=sf_start,
