@@ -75,3 +75,46 @@ def test_tpsa_matrix_parity(ref_pp, nx, bc_kind):
         assert A.shape == B.shape, key
         diff = abs(A - B)
         assert (diff.max() if diff.nnz else 0.0) < 1e-12, key
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "tweak", ["basis", "robin_offdiag", "robin_mixed"]
+)
+def test_tpsa_bc_restrictions_match_reference(ref_pp, tweak):
+    """The three unsupported BC envelopes raise NotImplementedError in BOTH
+    frameworks: non-trivial basis, non-diagonal Robin weight, and Robin
+    mixed with Dirichlet/Neumann on one face (reference
+    ``numerics/fv/tpsa.py:572-618`` raises for exactly the same cases —
+    the supported envelope is at parity, not reduced)."""
+
+    def build(mod):
+        g = mod.CartGrid([3, 3])
+        g.compute_geometry()
+        C = mod.FourthOrderTensor(
+            np.ones(g.num_cells), np.ones(g.num_cells)
+        )
+        bf = g.get_boundary_faces()
+        bc = mod.BoundaryConditionVectorial(g, bf, ["rob"] * bf.size)
+        if tweak == "basis":
+            bc.basis[0, 1, :] = 0.5
+        elif tweak == "robin_offdiag":
+            bc.robin_weight[0, 1, :] = 0.3
+        else:
+            bc.is_rob[0, bf[0]] = False
+            bc.is_neu[0, bf[0]] = True
+        return g, C, bc
+
+    g, C, bc = build(pt)
+    d = pt.initialize_data(
+        {}, "m", {"fourth_order_tensor": C, "bc": bc}
+    )
+    with pytest.raises(NotImplementedError):
+        pt.Tpsa("m").discretize(g, d)
+
+    gr, Cr, bcr = build(ref_pp)
+    dr = ref_pp.initialize_data(
+        {}, "m", {"fourth_order_tensor": Cr, "bc": bcr}
+    )
+    with pytest.raises(NotImplementedError):
+        ref_pp.Tpsa("m").discretize(gr, dr)
