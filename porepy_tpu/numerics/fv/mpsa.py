@@ -43,6 +43,13 @@ all-Neumann input; correctness here is established by face-mode
 consistency and analytic patch tests instead
 (``tests/numerics/fv/test_mpsa.py``).
 
+Memory bound: regions are assembled, solved and globalized in BLOCKS of
+bounded incidence count, and the scattered outputs are folded into CSR
+accumulators under a fixed pending budget — the host high-water mark is
+final-stencil-sized plus one block, independent of grid size (the
+reference's memory-bounded subproblem partitioning, reference
+``numerics/fv/mpfa.py:150-300``).
+
 Outputs: ``stress``/``bound_stress`` stencils from the designated side of
 each subface (summed to faces) and the displacement-trace reconstruction
 ``bound_displacement_cell``/``bound_displacement_face`` (averaged over
@@ -62,7 +69,12 @@ from porepy_tpu.numerics.fv.local_solves import (
     RegionBatches,
     iter_solve_and_contract,
 )
-from porepy_tpu.numerics.fv.regions import build_regions, continuity_geometry
+from porepy_tpu.numerics.fv.regions import (
+    build_regions,
+    continuity_geometry,
+    region_blocks,
+    slice_regions,
+)
 from porepy_tpu.utils import common_constants as cc
 
 __all__ = ["Mpsa"]
@@ -147,8 +159,16 @@ def _split_stiffness(cv: np.ndarray, d: int) -> tuple[np.ndarray, np.ndarray]:
     return sym, cv - sym
 
 
-def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
-    """Shared MPSA/Biot assembly.
+def _assemble_mpsa_w(
+    sd,
+    constit,
+    bnd,
+    eta,
+    hf_eta,
+    alphas=None,
+    max_block_incidences: int = 1_500_000,
+):
+    """Shared MPSA/Biot assembly, region-blocked for bounded host memory.
 
     ``alphas``: optional dict ``{key: (3, 3, nc) coupling tensor values}``
     adding, per key, pressure RHS columns and divergence output rows.
@@ -192,21 +212,18 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
     keys = list(alphas)
 
     nc, nf = sd.num_cells, sd.num_faces
-    rt = build_regions(
+    rt_full = build_regions(
         sd,
         is_neu=np.ones(nf, dtype=bool),  # per-component types handled below
         is_dir=np.zeros(nf, dtype=bool),
         is_rob=np.zeros(nf, dtype=bool),
     )
-    T = rt.t_f.size
     d2 = d * d
 
     # Per-component boundary classification (raw vectorial flags).
     is_neu = np.asarray(bnd.is_neu[:d], dtype=bool)
     is_dir = np.asarray(bnd.is_dir[:d], dtype=bool)
     is_rob = np.asarray(bnd.is_rob[:d], dtype=bool)
-    bnd_inc = ~rt.sf_interior[rt.t_sf]  # boundary incidence mask
-    int_inc = ~bnd_inc
     # ``sf_ent``: per region-subface, the entity indexing the BC arrays and
     # the boundary dof numbering — the face in face mode, the canonical
     # unique-subface id in subface mode.
@@ -216,23 +233,169 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
         fno_u, nno_u = subface_numbering(sd)
         ref_code = nno_u.astype(np.int64) * nf + fno_u
         ref_order = np.argsort(ref_code)
-        sf_ent = ref_order[
+        sf_ent_full = ref_order[
             np.searchsorted(
                 ref_code[ref_order],
-                rt.sf_v.astype(np.int64) * nf + rt.sf_f,
+                rt_full.sf_v.astype(np.int64) * nf + rt_full.sf_f,
             )
         ]
     else:
-        sf_ent = rt.sf_f
-    t_bc = sf_ent[rt.t_sf]  # BC-array column per incidence
+        sf_ent_full = rt_full.sf_f
     if not np.all(
-        (is_neu | is_dir | is_rob)[:, sf_ent[rt.bnd_idx]]
+        (is_neu | is_dir | is_rob)[:, sf_ent_full[rt_full.bnd_idx]]
     ):
         raise ValueError("Boundary subfaces need a condition per component")
+
+    basis = np.asarray(bnd.basis[:d, :d], dtype=float)
+    identity_basis = bool(
+        np.allclose(basis, np.eye(d)[:, :, None], atol=0, rtol=0)
+    )
+    rob_w = np.asarray(bnd.robin_weight[:d, :d], dtype=float)
+    sym, asym = _split_stiffness(cv, d)
+    num_cell_nodes = sd.num_cell_nodes()
+    m_idx = np.arange(d2)
+
+    # -- output accumulation ----------------------------------------------------
+    # Scattered triplets are folded into CSR accumulators (which sum
+    # duplicates) under a fixed pending budget, so the host high-water mark
+    # is final-stencil-sized, not total-triplet-sized.
+    n_bent = n_subf if subface_mode else nf  # stress-row / bound-col entities
+    _shapes = {
+        "stress": (n_bent * d, nc * d),
+        "bound_stress": (n_bent * d, n_bent * d),
+        "hf_cell": (nf * d, nc * d),
+        "hf_bound": (nf * d, n_bent * d),
+    }
+    for k in keys:
+        _shapes[("sg", k)] = (nf * d, nc)
+        _shapes[("dp", k)] = (nf * d, nc)
+        _shapes[("dd", k)] = (nc, nc * d)
+        _shapes[("bdd", k)] = (nc, nf * d)
+        _shapes[("cons", k)] = (nc, nc)
+    _parts: dict = {}
+    _acc: dict = {}
+    _pending = [0]
+    _FOLD_AT = 50_000_000  # pending triplets (~0.8 GB at 16 B each)
+
+    def _accumulate(tag, sel, rows, cols, vals, weight=None):
+        v = vals[sel]
+        if weight is not None:
+            v = v * weight[sel]
+        _parts.setdefault(tag, ([], [], []))
+        _parts[tag][0].append(rows[sel].astype(np.int32, copy=False))
+        _parts[tag][1].append(cols[sel].astype(np.int32, copy=False))
+        _parts[tag][2].append(v)
+        _pending[0] += v.size
+
+    def _fold():
+        for tag, (rl, cl, vl) in _parts.items():
+            m = sps.csr_matrix(
+                (np.concatenate(vl), (np.concatenate(rl), np.concatenate(cl))),
+                shape=_shapes[tag],
+            )
+            _acc[tag] = (_acc[tag] + m) if tag in _acc else m
+        _parts.clear()
+        _pending[0] = 0
+
+    for r0b, r1b in region_blocks(rt_full, max_block_incidences):
+        _assemble_mpsa_block(
+            sd,
+            slice_regions(rt_full, r0b, r1b),
+            sf_ent_full[rt_full.sf_start[r0b] : rt_full.sf_start[r1b]],
+            d,
+            eta,
+            hf_eta,
+            keys,
+            alphas,
+            is_neu,
+            is_dir,
+            is_rob,
+            basis,
+            identity_basis,
+            rob_w,
+            sym,
+            asym,
+            num_cell_nodes,
+            subface_mode,
+            _accumulate,
+            _fold,
+            _pending,
+            _FOLD_AT,
+        )
+    _fold()
+
+    def build_from_parts(tag):
+        return _acc.pop(tag, sps.csr_matrix(_shapes[tag]))
+
+    stress = build_from_parts("stress")
+    bound_stress = build_from_parts("bound_stress")
+    hf_cell = build_from_parts("hf_cell")
+    hf_bound = build_from_parts("hf_bound")
+
+    scalar_gradient = {}
+    displacement_divergence = {}
+    bound_displacement_divergence = {}
+    consistency = {}
+    disp_pressure = {}
+    for k in keys:
+        scalar_gradient[k] = build_from_parts(("sg", k))
+        disp_pressure[k] = build_from_parts(("dp", k))
+        displacement_divergence[k] = build_from_parts(("dd", k))
+        bound_displacement_divergence[k] = build_from_parts(("bdd", k))
+        consistency[k] = build_from_parts(("cons", k))
+
+    return (
+        stress.tocsr(),
+        bound_stress.tocsr(),
+        hf_cell.tocsr(),
+        hf_bound.tocsr(),
+        scalar_gradient,
+        displacement_divergence,
+        bound_displacement_divergence,
+        consistency,
+        disp_pressure,
+    )
+
+
+def _assemble_mpsa_block(
+    sd,
+    rt,
+    sf_ent,
+    d,
+    eta,
+    hf_eta,
+    keys,
+    alphas,
+    is_neu,
+    is_dir,
+    is_rob,
+    basis,
+    identity_basis,
+    rob_w,
+    sym,
+    asym,
+    num_cell_nodes,
+    subface_mode,
+    _accumulate,
+    _fold,
+    _pending,
+    _FOLD_AT,
+):
+    """Assemble, solve and globalize one region block into the caller's
+    accumulators. ``rt`` is the block-restricted topology (region ids
+    local, entity ids global); ``sf_ent`` its BC-entity per subface."""
+    d2 = d * d
+    T = rt.t_f.size
+    t_bc = sf_ent[rt.t_sf]  # BC-array column per incidence
+    bnd_inc = ~rt.sf_interior[rt.t_sf]  # boundary incidence mask
+    int_inc = ~bnd_inc
+    m_idx = np.arange(d2)
 
     n_r = d2 * (rt.nc_r + 1)  # gradients + auxiliary average
     m_r = d * rt.nc_r + d * rt.nb_r + len(keys) * rt.nc_r
     q_r = 2 * d * rt.nsf_r + len(keys) * rt.nc_r
+    if not np.all(d * (rt.nsf_r + rt.nint_r) + d2 == n_r):
+        raise ValueError("MPSA local systems are not square on this grid")
 
     # -- geometry / constitutive coefficients per incidence --------------------
     w, n_tilde, dist = continuity_geometry(sd, rt, eta, d)
@@ -242,7 +405,6 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
     # the subface-integrated traction (reference ``mpsa.py:1128-1139``).
     bc_w = np.ones_like(w) if subface_mode else w
 
-    sym, asym = _split_stiffness(cv, d)
     # n~ . Csym : traction coefficients (d, d2) per incidence. The asym part
     # enters through the auxiliary averaged-stress unknown Hbar (see below),
     # so its usage coefficient is just the subface normal.
@@ -255,12 +417,6 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
     elim = _asym_elimination_mask(rt, is_neu, is_rob, d, sf_ent)
     keep_asym = ~elim[:, rt.t_sf]  # (d, T)
 
-    basis = np.asarray(bnd.basis[:d, :d], dtype=float)
-    identity_basis = bool(
-        np.allclose(basis, np.eye(d)[:, :, None], atol=0, rtol=0)
-    )
-    rob_w = np.asarray(bnd.robin_weight[:d, :d], dtype=float)
-
     # Local index helpers.
     g_col = d2 * rt.t_loc_cell  # first gradient col of the incidence's cell
     aux_col = d2 * rt.nc_r[rt.t_r]  # first auxiliary col of the region
@@ -272,7 +428,6 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
     rhs = _Trip()
     wout = _Trip()
 
-    m_idx = np.arange(d2)
     # Pressure-coupling coefficients n~ . alpha per key: (d, T).
     n_alpha = {
         k: np.einsum("jt,ijt->it", n_tilde, np.asarray(v)[:d, :d][:, :, rt.t_c])
@@ -391,7 +546,6 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
     # differs from Casym : Gbar for heterogeneous stiffness).
     sc_r = np.repeat(np.arange(rt.R), rt.nc_r)
     sc_loc = np.arange(rt.sc_c.size) - rt.sc_start[sc_r]
-    num_cell_nodes = sd.num_cell_nodes()
     vol_sc = sd.cell_volumes[rt.sc_c] / num_cell_nodes[rt.sc_c]
     vol_node = np.zeros(rt.R)
     np.add.at(vol_node, sc_r, vol_sc)
@@ -418,9 +572,6 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
                 vol_sc * al[i],
             )
 
-    if not np.all(d * (rt.nsf_r + rt.nint_r) + d2 == n_r):
-        raise ValueError("MPSA local systems are not square on this grid")
-
     rb = RegionBatches(
         n=n_r, m=m_r, q=q_r,
         a_region=a.reg(), a_row=a.row(), a_col=a.col(), a_val=a.val(),
@@ -429,53 +580,13 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
         w_region=wout.reg(), w_row=wout.row(), w_col=wout.col(),
         w_val=wout.val(),
     )
+    del a, rhs, wout
+
     # -- globalize (streamed) ----------------------------------------------------
     # Device chunks are consumed as they arrive (iter_solve_and_contract)
     # and decoded in bounded slices: the row/column decode needs ~20 full-
-    # length work arrays, and the all-regions triplet array itself (hundreds
-    # of millions of entries at benchmark grid sizes) would dominate peak
-    # memory if materialized at once (scale-path memory bound). Pending
-    # triplets are folded into CSR accumulators (which sum duplicates)
-    # whenever they exceed a fixed budget, so the host high-water mark is
-    # final-stencil-sized, not total-triplet-sized.
-    n_bent = n_subf if subface_mode else nf  # stress-row / bound-col entities
-    _shapes = {
-        "stress": (n_bent * d, nc * d),
-        "bound_stress": (n_bent * d, n_bent * d),
-        "hf_cell": (nf * d, nc * d),
-        "hf_bound": (nf * d, n_bent * d),
-    }
-    for k in keys:
-        _shapes[("sg", k)] = (nf * d, nc)
-        _shapes[("dp", k)] = (nf * d, nc)
-        _shapes[("dd", k)] = (nc, nc * d)
-        _shapes[("bdd", k)] = (nc, nf * d)
-        _shapes[("cons", k)] = (nc, nc)
-    _parts: dict = {}
-    _acc: dict = {}
-    _pending = [0]
-    _FOLD_AT = 50_000_000  # pending triplets (~0.8 GB at 16 B each)
-
-    def _accumulate(tag, sel, rows, cols, vals, weight=None):
-        v = vals[sel]
-        if weight is not None:
-            v = v * weight[sel]
-        _parts.setdefault(tag, ([], [], []))
-        _parts[tag][0].append(rows[sel].astype(np.int32, copy=False))
-        _parts[tag][1].append(cols[sel].astype(np.int32, copy=False))
-        _parts[tag][2].append(v)
-        _pending[0] += v.size
-
-    def _fold():
-        for tag, (rl, cl, vl) in _parts.items():
-            m = sps.csr_matrix(
-                (np.concatenate(vl), (np.concatenate(rl), np.concatenate(cl))),
-                shape=_shapes[tag],
-            )
-            _acc[tag] = (_acc[tag] + m) if tag in _acc else m
-        _parts.clear()
-        _pending[0] = 0
-
+    # length work arrays, and the block's triplet array itself would
+    # dominate peak memory if materialized at once.
     def _globalize_slice(o_reg, o_row, o_col, o_val):
         nsf_o = d * rt.nsf_r[o_reg]
         kind_stress = o_row < nsf_o
@@ -552,67 +663,22 @@ def _assemble_mpsa_w(sd, constit, bnd, eta, hf_eta, alphas=None):
             if _pending[0] > _FOLD_AT:
                 _fold()
         del o_reg_c, o_row_c, o_col_c, o_val_c
-    _fold()
 
-    def build_from_parts(tag, shape):
-        return _acc.pop(tag, sps.csr_matrix(shape))
-
-    stress = build_from_parts("stress", _shapes["stress"])
-    bound_stress = build_from_parts("bound_stress", _shapes["bound_stress"])
-    hf_cell = build_from_parts("hf_cell", _shapes["hf_cell"])
-    hf_bound = build_from_parts("hf_bound", _shapes["hf_bound"])
-
-    # Direct cell term of the displacement trace.
-    direct_u = sps.coo_matrix(
-        (
-            np.tile(inv_cnt / rt.nnpf[rt.t_f], d),
-            (
-                (rt.t_f[None] * d + np.arange(d)[:, None]).ravel(),
-                (rt.t_c[None] * d + np.arange(d)[:, None]).ravel(),
-            ),
-        ),
-        shape=(nf * d, nc * d),
-    )
-    hf_cell = hf_cell + direct_u
-
-    scalar_gradient = {}
-    displacement_divergence = {}
-    bound_displacement_divergence = {}
-    consistency = {}
-    disp_pressure = {}
+    # -- block direct terms -------------------------------------------------------
+    # Direct cell term of the displacement trace: (1/cnt/nnpf) u_c per
+    # incidence, and the designated-side pressure term of the stress.
+    ones = np.ones(T, dtype=bool)
+    du_val = inv_cnt / rt.nnpf[rt.t_f]
+    for i in range(d):
+        _accumulate("hf_cell", ones, rt.t_f * d + i, rt.t_c * d + i, du_val)
     for k in keys:
-        scalar_gradient[k] = build_from_parts(("sg", k), (nf * d, nc))
-        # Direct term: -(n~.alpha)_i p from the designated side.
-        fi = rt.first_inc
-        direct_p = sps.coo_matrix(
-            (
-                -n_alpha[k][:, fi].ravel(),
-                (
-                    (rt.t_f[fi][None] * d + np.arange(d)[:, None]).ravel(),
-                    np.tile(rt.t_c[fi], d),
-                ),
-            ),
-            shape=(nf * d, nc),
-        )
-        scalar_gradient[k] = scalar_gradient[k] + direct_p
-        disp_pressure[k] = build_from_parts(("dp", k), (nf * d, nc))
-        displacement_divergence[k] = build_from_parts(("dd", k), (nc, nc * d))
-        bound_displacement_divergence[k] = build_from_parts(
-            ("bdd", k), (nc, nf * d)
-        )
-        consistency[k] = build_from_parts(("cons", k), (nc, nc))
-
-    return (
-        stress.tocsr(),
-        bound_stress.tocsr(),
-        hf_cell.tocsr(),
-        hf_bound.tocsr(),
-        scalar_gradient,
-        displacement_divergence,
-        bound_displacement_divergence,
-        consistency,
-        disp_pressure,
-    )
+        fi_m = rt.first_inc
+        for i in range(d):
+            _accumulate(
+                ("sg", k), fi_m, rt.t_f * d + i, rt.t_c, -n_alpha[k][i]
+            )
+    if _pending[0] > _FOLD_AT:
+        _fold()
 
 
 def _asym_elimination_mask(rt, is_neu, is_rob, d, sf_ent) -> np.ndarray:

@@ -17,7 +17,7 @@ import numpy as np
 
 from porepy_tpu.utils.array_operations import expand_index_pointers
 
-__all__ = ["RegionTopology", "build_regions"]
+__all__ = ["RegionTopology", "build_regions", "slice_regions", "region_blocks"]
 
 
 @dataclass
@@ -167,6 +167,75 @@ def build_regions(sd, is_neu, is_dir, is_rob) -> RegionTopology:
         nint_r=nint_r,
         nb_r=nb_r,
         nnpf=nnpf,
+    )
+
+
+def region_blocks(rt: RegionTopology, max_incidences: int) -> list:
+    """Split the region range into ``[r0, r1)`` blocks of at most
+    ``max_incidences`` incidence triples each (at least one region per
+    block). Incidences are region-sorted, so blocks slice contiguously."""
+    blocks = []
+    r0 = 0
+    t_per_r = np.bincount(rt.t_r, minlength=rt.R)
+    csum = np.concatenate([[0], np.cumsum(t_per_r)])
+    while r0 < rt.R:
+        r1 = int(np.searchsorted(csum, csum[r0] + max_incidences, "right")) - 1
+        r1 = max(r1, r0 + 1)
+        blocks.append((r0, min(r1, rt.R)))
+        r0 = min(r1, rt.R)
+    return blocks
+
+
+def slice_regions(rt: RegionTopology, r0: int, r1: int) -> RegionTopology:
+    """Restrict the topology to regions ``[r0, r1)`` with region ids
+    renumbered to ``0..r1-r0``. Entity-valued fields (``t_c``, ``sf_f``,
+    ``sc_c``, ``sf_v``, ``nnpf``) keep their GLOBAL ids so block outputs
+    globalize directly; region-local index fields need no change. Used to
+    bound host memory: MPSA/MPFA assemble, solve and globalize one block
+    at a time (the reference's memory-bounded subproblem partitioning,
+    reference ``numerics/fv/mpfa.py:150-300``)."""
+    if r0 == 0 and r1 >= rt.R:
+        return rt
+    t0, t1 = np.searchsorted(rt.t_r, [r0, r1])
+    s0, s1 = rt.sc_start[r0], rt.sc_start[r1]
+    f0, f1 = rt.sf_start[r0], rt.sf_start[r1]
+    b0, b1 = rt.b_start[r0], rt.b_start[r1]
+    bnd_idx = rt.bnd_idx[b0:b1] - f0
+    sf_prow = rt.sf_prow[f0:f1]
+    sf_bcol = rt.sf_bcol[f0:f1]
+    return RegionTopology(
+        t_c=rt.t_c[t0:t1],
+        t_f=rt.t_f[t0:t1],
+        t_v=rt.t_v[t0:t1],
+        t_sgn=rt.t_sgn[t0:t1],
+        t_r=rt.t_r[t0:t1] - r0,
+        t_sc=rt.t_sc[t0:t1] - s0,
+        t_sf=rt.t_sf[t0:t1] - f0,
+        t_loc_cell=rt.t_loc_cell[t0:t1],
+        t_row=rt.t_row[t0:t1],
+        first_inc=rt.first_inc[t0:t1],
+        sc_c=rt.sc_c[s0:s1],
+        sc_start=rt.sc_start[r0 : r1 + 1] - s0,
+        sf_f=rt.sf_f[f0:f1],
+        sf_v=rt.sf_v[f0:f1],
+        sf_r=rt.sf_r[f0:f1] - r0,
+        sf_cnt=rt.sf_cnt[f0:f1],
+        sf_start=rt.sf_start[r0 : r1 + 1] - f0,
+        sf_loc=rt.sf_loc[f0:f1],
+        sf_interior=rt.sf_interior[f0:f1],
+        sf_neu=rt.sf_neu[f0:f1],
+        sf_dir=rt.sf_dir[f0:f1],
+        sf_rob=rt.sf_rob[f0:f1],
+        sf_prow=sf_prow,
+        sf_bcol=sf_bcol,
+        bnd_idx=bnd_idx,
+        b_start=rt.b_start[r0 : r1 + 1] - b0,
+        R=int(r1 - r0),
+        nc_r=rt.nc_r[r0:r1],
+        nsf_r=rt.nsf_r[r0:r1],
+        nint_r=rt.nint_r[r0:r1],
+        nb_r=rt.nb_r[r0:r1],
+        nnpf=rt.nnpf,
     )
 
 

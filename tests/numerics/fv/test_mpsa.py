@@ -251,3 +251,28 @@ def test_mpsa_subface_mixed_types_patch(nx):
     ] @ ub
     u_face_exact = (A @ g.face_centers[:d_]).ravel("F")
     assert np.abs(hf - u_face_exact).max() < 1e-10
+
+
+@pytest.mark.parametrize("nx", [[5, 4], [3, 3, 2]])
+def test_mpsa_region_blocked_assembly_equivalence(nx):
+    """The memory-bounding region-block split is exact: forcing many tiny
+    blocks reproduces the single-block discretization bit-for-bit."""
+    from porepy_tpu.numerics.fv.mpsa import _assemble_mpsa_w
+
+    rng = np.random.default_rng(9)
+    g = pt.CartGrid(nx)
+    g.compute_geometry()
+    C = pt.FourthOrderTensor(
+        rng.uniform(0.5, 2.0, g.num_cells), rng.uniform(0.5, 2.0, g.num_cells)
+    )
+    bf = g.get_boundary_faces()
+    kinds = ["dir", "neu", "rob"]
+    bc = pt.BoundaryConditionVectorial(
+        g, bf, [kinds[i % 3] for i in range(bf.size)]
+    )
+    one = _assemble_mpsa_w(g, C, bc, None, None)
+    many = _assemble_mpsa_w(g, C, bc, None, None, max_block_incidences=40)
+    for a, b in zip(one[:4], many[:4]):
+        assert a.shape == b.shape
+        d = abs(a - b)
+        assert (d.max() if d.nnz else 0.0) < 1e-13
