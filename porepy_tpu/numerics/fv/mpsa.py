@@ -166,7 +166,7 @@ def _assemble_mpsa_w(
     eta,
     hf_eta,
     alphas=None,
-    max_block_incidences: int = 1_500_000,
+    max_block_incidences: int = 600_000,
 ):
     """Shared MPSA/Biot assembly, region-blocked for bounded host memory.
 
@@ -722,9 +722,12 @@ class _Trip:
         val = np.broadcast_to(val, (k, n))[:, mask]
         reg = np.broadcast_to(reg, (k, n))[:, mask] if reg.ndim == 1 else reg
         row = np.broadcast_to(row, (k, n))[:, mask]
-        self._reg.append(reg.ravel())
-        self._row.append(row.ravel())
-        self._col.append(col.ravel())
+        # int32 triplet indices: region/row/col are block-local (each far
+        # below 2^31); the downstream device path narrows to int32 anyway,
+        # and the 8->4 byte cut matters at the memory high-water mark.
+        self._reg.append(reg.ravel().astype(np.int32, copy=False))
+        self._row.append(row.ravel().astype(np.int32, copy=False))
+        self._col.append(col.ravel().astype(np.int32, copy=False))
         self._val.append(val.ravel())
 
     def reg(self):

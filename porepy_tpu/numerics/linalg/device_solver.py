@@ -270,13 +270,26 @@ class _BlockPrecondBuilder:
         elim = [i for i, m in enumerate(self.methods) if m == "eliminate"]
         for j in list(elim):
             Ajj = sub[(j, j)]
-            off = Ajj - sps.diags(Ajj.diagonal())
-            if off.nnz or np.any(Ajj.diagonal() == 0.0):
+            dg = Ajj.diagonal()
+            off = (Ajj - sps.diags(dg)).tocoo()
+            # Diagonality is judged RELATIVE to the diagonal scale:
+            # AD-assembled mortar blocks carry O(1e-28) numerical-noise
+            # couplings (products of tiny constants) that are structureless;
+            # demoting the exact elimination to damped Jacobi over them
+            # collapses the whole preconditioner at scale (md flow at 320^2
+            # stalls at rel res ~1 where 64^2 converges).
+            dscale = np.abs(dg).max() if dg.size else 1.0
+            significant = (
+                int(np.count_nonzero(np.abs(off.data) > 1e-12 * dscale))
+                if off.nnz
+                else 0
+            )
+            if significant or np.any(dg == 0.0):
                 logger.info(
-                    "Block %d not diagonal (%d off-diagonal nnz); demoting "
-                    "eliminate -> jacobi",
+                    "Block %d not diagonal (%d significant off-diagonal "
+                    "entries); demoting eliminate -> jacobi",
                     j,
-                    off.nnz,
+                    significant,
                 )
                 self.methods[j] = "jacobi"
                 elim.remove(j)
