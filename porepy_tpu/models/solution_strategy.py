@@ -394,12 +394,18 @@ class SolutionStrategy(FluidMixin):
         if not self._is_nonlinear_problem():
             return None
         tight = self.params.get("linear_solver_tol", 1e-11)
+        # First solve of each Newton loop: a LOOSE eta here trades Krylov
+        # iterations for extra Newton iterations (extra assemblies). On the
+        # bench Biot problem eta0=0.1 needs 28 Newton / 259 Krylov where
+        # eta0=1e-5 needs 15 / 291 (reference's direct solves: 16 Newton);
+        # 1e-4 is the robust middle for genuinely nonlinear models.
+        eta0 = float(self.params.get("inexact_newton_eta0", 1e-4))
         b_norm = float(np.linalg.norm(b))
         prev = getattr(self, "_ew_prev_residual", None)
         if prev is not None and prev > 0.0 and np.isfinite(prev):
             eta = 0.9 * (b_norm / prev) ** 2
         else:
-            eta = 0.1
+            eta = eta0
         self._ew_prev_residual = b_norm
         return float(np.clip(eta, tight, 0.1))
 
@@ -476,6 +482,7 @@ class SolutionStrategy(FluidMixin):
             float(nl_params["nl_convergence_tol_res"]),
             float(nl_params["nl_divergence_tol"]),
             bool(self.params.get("inexact_newton", True)),
+            float(self.params.get("inexact_newton_eta0", 1e-4)),
         )
         fn = getattr(self, "_fused_loop_cache", {}).get(key)
         if fn is None:
@@ -526,6 +533,7 @@ class SolutionStrategy(FluidMixin):
         need_res = tol_res is not np.inf or div_tol is not np.inf
         inexact = bool(self.params.get("inexact_newton", True))
         tight = float(self.params.get("linear_solver_tol", 1e-11))
+        eta0 = float(self.params.get("inexact_newton_eta0", 1e-4))
         n = solver.n
         sqrt_n = float(np.sqrt(max(n, 1)))
 
@@ -536,7 +544,7 @@ class SolutionStrategy(FluidMixin):
                 bnorm = jnp.linalg.norm(b)
                 if inexact:
                     eta = jnp.where(
-                        prev_b > 0.0, 0.9 * (bnorm / prev_b) ** 2, 0.1
+                        prev_b > 0.0, 0.9 * (bnorm / prev_b) ** 2, eta0
                     )
                     eta = jnp.clip(eta, tight, 0.1)
                 else:

@@ -14,7 +14,164 @@ __all__ = [
     "subface_numbering",
     "boundary_to_sub_boundary",
     "map_subface_to_face",
+    "active_entities_for_partial_update",
+    "partial_update_discretization",
 ]
+
+
+def active_entities_for_partial_update(sd, cells=None, faces=None):
+    """Stencil closure of a modification set for the multi-point methods.
+
+    Given modified cells and/or faces, returns
+    ``(nodes_needed, active_faces)``:
+
+    - ``active_faces``: every face whose discretization row may have
+      changed — any face sharing a node (interaction region) with a
+      modified cell or face;
+    - ``nodes_needed``: the nodes whose interaction regions must be
+      re-assembled to recompute those rows in full (all nodes of all
+      active faces).
+
+    Counterpart of the reference's ``cell_ind_for_partial_update``
+    (reference ``numerics/fv/_fvutils.py:1260``), stated in the region
+    framework's node terms.
+    """
+    fn = sd.face_nodes.tocsc()
+    nnpf = np.diff(fn.indptr)
+    face_of_entry = np.repeat(np.arange(sd.num_faces), nnpf)
+    node_mask = np.zeros(sd.num_nodes, dtype=bool)
+    if cells is not None and np.asarray(cells).size:
+        cn = sd.cell_nodes().tocsc()
+        lo, hi = cn.indptr[np.asarray(cells)], cn.indptr[np.asarray(cells) + 1]
+        from porepy_tpu.utils.array_operations import expand_index_pointers
+
+        node_mask[cn.indices[expand_index_pointers(lo, hi)]] = True
+    if faces is not None and np.asarray(faces).size:
+        lo, hi = fn.indptr[np.asarray(faces)], fn.indptr[np.asarray(faces) + 1]
+        from porepy_tpu.utils.array_operations import expand_index_pointers
+
+        node_mask[fn.indices[expand_index_pointers(lo, hi)]] = True
+    touched = (
+        np.bincount(
+            face_of_entry, node_mask[fn.indices], minlength=sd.num_faces
+        )
+        > 0
+    )
+    active_faces = np.flatnonzero(touched)
+    needed = np.zeros(sd.num_nodes, dtype=bool)
+    needed[fn.indices[np.isin(face_of_entry, active_faces)]] = True
+    return np.flatnonzero(needed), active_faces
+
+
+def restriction_from_params(sd, param):
+    """``(nodes_needed, active_faces)`` when the parameters carry a
+    partial-update request (``specified_cells`` / ``specified_faces``),
+    else None."""
+    spec_c = param.get("specified_cells", None)
+    spec_f = param.get("specified_faces", None)
+    if spec_c is None and spec_f is None:
+        return None
+    return active_entities_for_partial_update(sd, cells=spec_c, faces=spec_f)
+
+
+def partial_update_discretization(
+    sd,
+    data,
+    keyword: str,
+    discretize,
+    dim=None,
+    scalar_cell_right=(),
+    vector_cell_right=(),
+    scalar_face_right=(),
+    vector_face_right=(),
+    scalar_face_left=(),
+    vector_face_left=(),
+):
+    """Update stored discretization matrices after a local modification.
+
+    Reads ``data['update_discretization']`` with optional keys
+    ``modified_cells``, ``modified_faces`` (index arrays) and
+    ``map_cells``, ``map_faces`` (sparse new-from-old index maps for
+    changed grids). Old matrices are mapped to the new numbering, rows of
+    faces whose stencil changed are zeroed, and the fresh partial
+    discretization (``discretize`` honouring ``specified_cells`` /
+    ``specified_faces`` in the parameters) is added. The left/right
+    keyword lists classify each matrix's row/column spaces exactly as in
+    the reference (``_fvutils.partial_update_discretization:1090``).
+    Cell-row (divergence) matrices are not supported here — callers with
+    those (Biot) fall back to a full rediscretization.
+    """
+    import scipy.sparse as sps
+
+    from porepy_tpu.utils.common_constants import (
+        DISCRETIZATION_MATRICES,
+        PARAMETERS,
+    )
+
+    if dim is None:
+        dim = sd.dim
+    info = data["update_discretization"]
+    mod_cells = np.asarray(info.get("modified_cells", np.zeros(0, int)))
+    mod_faces = np.asarray(info.get("modified_faces", np.zeros(0, int)))
+    cell_map = info.get("map_cells", sps.identity(sd.num_cells))
+    face_map = info.get("map_faces", sps.identity(sd.num_faces))
+
+    _nodes, active_faces = active_entities_for_partial_update(
+        sd, cells=mod_cells, faces=mod_faces
+    )
+
+    def mapped(key, mat):
+        if key in scalar_cell_right:
+            mat = mat @ cell_map.T
+        elif key in vector_cell_right:
+            mat = mat @ sps.kron(cell_map.T, sps.eye(dim))
+        elif key in scalar_face_right:
+            mat = mat @ face_map.T
+        elif key in vector_face_right:
+            mat = mat @ sps.kron(face_map.T, sps.eye(dim))
+        if key in scalar_face_left:
+            mat = (face_map @ mat).tocsr()
+            rows = active_faces
+            bs = 1
+        elif key in vector_face_left:
+            mat = (sps.kron(face_map, sps.eye(dim)) @ mat).tocsr()
+            rows = active_faces
+            bs = dim
+        else:
+            return mat
+        from porepy_tpu.numerics.linalg.matrix_operations import zero_rows
+
+        zero_rows(
+            mat,
+            (rows[:, None] * bs + np.arange(bs)[None]).ravel(),
+        )
+        return mat
+
+    old = {
+        key: mapped(key, val)
+        for key, val in data[DISCRETIZATION_MATRICES][keyword].items()
+    }
+
+    if not (mod_cells.size or mod_faces.size):
+        # Pure renumbering: the mapped matrices ARE the update.
+        data[DISCRETIZATION_MATRICES][keyword].update(old)
+        return
+
+    param = data[PARAMETERS][keyword]
+    if mod_cells.size:
+        param["specified_cells"] = mod_cells
+    if mod_faces.size:
+        param["specified_faces"] = mod_faces
+    try:
+        discretize(sd, data)
+    finally:
+        param.pop("specified_cells", None)
+        param.pop("specified_faces", None)
+
+    new = data[DISCRETIZATION_MATRICES][keyword]
+    for key in new:
+        if key in old:
+            new[key] = (old[key] + new[key]).tocsr()
 
 
 def subface_numbering(sd):

@@ -47,6 +47,13 @@ class Biot(Mpsa):
     def ndof(self, sd) -> int:
         return sd.num_cells * (sd.dim + 1)
 
+    def update_discretization(self, sd, data: dict) -> None:
+        """Biot carries cell-row (divergence) matrices whose partial
+        update needs expanded overlaps (reference ``biot.py``'s
+        ``scalar_cell_left`` handling); this build recomputes in full —
+        exact, at full assembly cost."""
+        self.discretize(sd, data)
+
     def discretize(self, sd, data: dict) -> None:
         param = data[cc.PARAMETERS][self.keyword]
         matrices = data[cc.DISCRETIZATION_MATRICES][self.keyword]

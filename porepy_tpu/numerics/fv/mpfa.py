@@ -86,8 +86,15 @@ class Mpfa:
             )
             return
 
+        from porepy_tpu.numerics.fv._fvutils import restriction_from_params
+
         out = self._flux_discretization(
-            sd, k, bnd, ambient_dimension=vs_dim, eta=eta
+            sd,
+            k,
+            bnd,
+            ambient_dimension=vs_dim,
+            eta=eta,
+            restrict=restriction_from_params(sd, param),
         )
         for key, mat in zip(
             (
@@ -104,6 +111,46 @@ class Mpfa:
 
     # -- core -----------------------------------------------------------------
 
+    def update_discretization(self, sd, data: dict) -> None:
+        """Partial update after a local modification (reference
+        ``numerics/fv/mpfa.py:510``): only interaction regions whose
+        contributions changed are re-assembled; unchanged rows are mapped
+        through ``data['update_discretization']``'s index maps."""
+        from porepy_tpu.numerics.fv._fvutils import (
+            partial_update_discretization,
+        )
+
+        vs_dim = data[cc.PARAMETERS][self.keyword].get(
+            "ambient_dimension", sd.dim
+        )
+        partial_update_discretization(
+            sd,
+            data,
+            self.keyword,
+            self.discretize,
+            dim=vs_dim,
+            scalar_cell_right=(
+                self.flux_matrix_key,
+                self.bound_pressure_cell_matrix_key,
+            ),
+            vector_cell_right=(
+                self.vector_source_matrix_key,
+                self.bound_pressure_vector_source_matrix_key,
+            ),
+            scalar_face_right=(
+                self.bound_flux_matrix_key,
+                self.bound_pressure_face_matrix_key,
+            ),
+            scalar_face_left=(
+                self.flux_matrix_key,
+                self.bound_flux_matrix_key,
+                self.vector_source_matrix_key,
+                self.bound_pressure_vector_source_matrix_key,
+                self.bound_pressure_cell_matrix_key,
+                self.bound_pressure_face_matrix_key,
+            ),
+        )
+
     def _flux_discretization(
         self,
         sd,
@@ -111,6 +158,7 @@ class Mpfa:
         bnd,
         ambient_dimension: Optional[int] = None,
         eta: Optional[float] = None,
+        restrict=None,
     ):
         if ambient_dimension is None:
             ambient_dimension = sd.dim
@@ -132,7 +180,7 @@ class Mpfa:
             )
             Tpfa(self.keyword).discretize(sd, d)
             md = d[cc.DISCRETIZATION_MATRICES][self.keyword]
-            return (
+            out = (
                 md["flux"],
                 md["bound_flux"],
                 md["bound_pressure_cell"],
@@ -140,6 +188,22 @@ class Mpfa:
                 md["vector_source"],
                 md["bound_pressure_vector_source"],
             )
+            if restrict is not None:
+                # TPFA is cheap enough to recompute in full; the partial
+                # contract still wants zero rows off the active faces.
+                from porepy_tpu.numerics.linalg.matrix_operations import (
+                    zero_rows,
+                )
+
+                _nodes, active_faces = restrict
+                keep = np.zeros(sd.num_faces, dtype=bool)
+                keep[active_faces] = True
+                drop = np.flatnonzero(~keep)
+                out = tuple(m.tocsr() for m in out)
+                for m in out:
+                    zero_rows(m, drop)
+                    m.eliminate_zeros()
+            return out
 
         d = sd.dim
         rot = None
@@ -162,7 +226,7 @@ class Mpfa:
 
             eta = determine_eta(sd)
 
-        mats = _assemble_mpfa(sd, kv, bnd, float(eta), d)
+        mats = _assemble_mpfa(sd, kv, bnd, float(eta), d, restrict=restrict)
         (flux, bound_flux, bp_cell, bp_face, vs_loc, bp_vs_loc) = mats
 
         # Map the vector-source columns from the grid-local frame to the
@@ -204,11 +268,14 @@ def _rotation_expansion(rot, dims, num_cells, ambient_dimension):
     ).tocsr()
 
 
-def _assemble_mpfa(sd, kv, bnd, eta, d):
+def _assemble_mpfa(sd, kv, bnd, eta, d, restrict=None):
     """Build, solve and scatter all interaction regions.
 
     ``kv``: (d, d, nc) permeability in the grid-local frame.
-    Returns the six matrices with vector-source columns in the local frame.
+    ``restrict``: optional ``(nodes_needed, active_faces)`` partial-update
+    closure — only those regions are assembled and only active-face rows
+    are produced. Returns the six matrices with vector-source columns in
+    the local frame.
     """
     nc, nf = sd.num_cells, sd.num_faces
     rt = build_regions(
@@ -217,6 +284,13 @@ def _assemble_mpfa(sd, kv, bnd, eta, d):
         is_dir=bnd.is_dir & ~bnd.is_internal,
         is_rob=bnd.is_rob & ~bnd.is_internal,
     )
+    if restrict is not None:
+        from porepy_tpu.numerics.fv.regions import subset_regions
+
+        nodes_needed, active_faces = restrict
+        rt = subset_regions(
+            rt, np.flatnonzero(np.isin(rt.r_node, nodes_needed))
+        )
     (t_c, t_f, t_sgn, t_r, t_sf, t_loc_cell, t_row, first_inc) = (
         rt.t_c, rt.t_f, rt.t_sgn, rt.t_r, rt.t_sf, rt.t_loc_cell, rt.t_row,
         rt.first_inc,
@@ -391,4 +465,17 @@ def _assemble_mpfa(sd, kv, bnd, eta, d):
     )
     bp_cell = bp_cell + direct_pc
 
-    return flux, bound_flux, bp_cell, bp_face, vector_source, bp_vs
+    out = (flux, bound_flux, bp_cell, bp_face, vector_source, bp_vs)
+    if restrict is not None:
+        # Rim faces of the assembled region set have partial rows; the
+        # update contract is full rows exactly on the active faces.
+        from porepy_tpu.numerics.linalg.matrix_operations import zero_rows
+
+        keep = np.zeros(nf, dtype=bool)
+        keep[active_faces] = True
+        drop = np.flatnonzero(~keep)
+        out = tuple(m.tocsr() for m in out)
+        for m in out:
+            zero_rows(m, drop)
+            m.eliminate_zeros()
+    return out

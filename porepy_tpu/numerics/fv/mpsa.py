@@ -74,6 +74,7 @@ from porepy_tpu.numerics.fv.regions import (
     continuity_geometry,
     region_blocks,
     slice_regions,
+    subset_regions,
 )
 from porepy_tpu.utils import common_constants as cc
 
@@ -109,8 +110,11 @@ class Mpsa:
                 matrices[key] = sps.csr_matrix((0, 0))
             return
 
+        from porepy_tpu.numerics.fv._fvutils import restriction_from_params
+
+        restrict = restriction_from_params(sd, param)
         stress, bound_stress, hf_cell, hf_bound = self._stress_discretization(
-            sd, constit, bound, eta=eta, hf_eta=hf_eta
+            sd, constit, bound, eta=eta, hf_eta=hf_eta, restrict=restrict
         )
         matrices[self.stress_matrix_key] = stress
         matrices[self.bound_stress_matrix_key] = bound_stress
@@ -119,6 +123,38 @@ class Mpsa:
 
     # -- core -----------------------------------------------------------------
 
+    def update_discretization(self, sd, data: dict) -> None:
+        """Partial update after a local modification (reference
+        ``numerics/fv/mpsa.py:update_discretization``): only interaction
+        regions whose contributions changed are re-assembled; unchanged
+        rows are mapped through ``data['update_discretization']``'s index
+        maps."""
+        from porepy_tpu.numerics.fv._fvutils import (
+            partial_update_discretization,
+        )
+
+        partial_update_discretization(
+            sd,
+            data,
+            self.keyword,
+            self.discretize,
+            dim=sd.dim,
+            vector_cell_right=(
+                self.stress_matrix_key,
+                self.bound_displacement_cell_matrix_key,
+            ),
+            vector_face_right=(
+                self.bound_stress_matrix_key,
+                self.bound_displacement_face_matrix_key,
+            ),
+            vector_face_left=(
+                self.stress_matrix_key,
+                self.bound_stress_matrix_key,
+                self.bound_displacement_cell_matrix_key,
+                self.bound_displacement_face_matrix_key,
+            ),
+        )
+
     def _stress_discretization(
         self,
         sd,
@@ -126,8 +162,11 @@ class Mpsa:
         bound,
         eta: Optional[float] = None,
         hf_eta: Optional[float] = None,
+        restrict=None,
     ):
-        out = _assemble_mpsa_w(sd, constit, bound, eta, hf_eta, alphas=None)
+        out = _assemble_mpsa_w(
+            sd, constit, bound, eta, hf_eta, alphas=None, restrict=restrict
+        )
         return out[:4]
 
     @staticmethod
@@ -167,6 +206,7 @@ def _assemble_mpsa_w(
     hf_eta,
     alphas=None,
     max_block_incidences: int = 600_000,
+    restrict=None,
 ):
     """Shared MPSA/Biot assembly, region-blocked for bounded host memory.
 
@@ -218,6 +258,16 @@ def _assemble_mpsa_w(
         is_dir=np.zeros(nf, dtype=bool),
         is_rob=np.zeros(nf, dtype=bool),
     )
+    if restrict is not None:
+        if subface_mode or alphas:
+            raise NotImplementedError(
+                "Partial rediscretization supports face-wise BCs without "
+                "Biot couplings; Biot falls back to full rediscretization"
+            )
+        nodes_needed, active_faces = restrict
+        rt_full = subset_regions(
+            rt_full, np.flatnonzero(np.isin(rt_full.r_node, nodes_needed))
+        )
     d2 = d * d
 
     # Per-component boundary classification (raw vectorial flags).
@@ -331,6 +381,22 @@ def _assemble_mpsa_w(
     bound_stress = build_from_parts("bound_stress")
     hf_cell = build_from_parts("hf_cell")
     hf_bound = build_from_parts("hf_bound")
+
+    if restrict is not None:
+        # Faces on the rim of the assembled region set have only partial
+        # rows (some of their regions were not assembled); the update
+        # contract is: full rows exactly on the active faces, zero rows
+        # elsewhere.
+        from porepy_tpu.numerics.linalg.matrix_operations import zero_rows
+
+        keep = np.zeros(nf, dtype=bool)
+        keep[active_faces] = True
+        drop = (
+            np.flatnonzero(~keep)[:, None] * d + np.arange(d)[None]
+        ).ravel()
+        for m in (stress, bound_stress, hf_cell, hf_bound):  # csr by build
+            zero_rows(m, drop)
+            m.eliminate_zeros()
 
     scalar_gradient = {}
     displacement_divergence = {}

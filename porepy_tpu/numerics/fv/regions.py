@@ -17,7 +17,13 @@ import numpy as np
 
 from porepy_tpu.utils.array_operations import expand_index_pointers
 
-__all__ = ["RegionTopology", "build_regions", "slice_regions", "region_blocks"]
+__all__ = [
+    "RegionTopology",
+    "build_regions",
+    "slice_regions",
+    "subset_regions",
+    "region_blocks",
+]
 
 
 @dataclass
@@ -63,6 +69,7 @@ class RegionTopology:
 
     # Grid-level helpers.
     nnpf: np.ndarray  # nodes per face
+    r_node: np.ndarray = None  # grid node id of each region
 
 
 def build_regions(sd, is_neu, is_dir, is_rob) -> RegionTopology:
@@ -167,6 +174,7 @@ def build_regions(sd, is_neu, is_dir, is_rob) -> RegionTopology:
         nint_r=nint_r,
         nb_r=nb_r,
         nnpf=nnpf,
+        r_node=nodes,
     )
 
 
@@ -236,6 +244,65 @@ def slice_regions(rt: RegionTopology, r0: int, r1: int) -> RegionTopology:
         nint_r=rt.nint_r[r0:r1],
         nb_r=rt.nb_r[r0:r1],
         nnpf=rt.nnpf,
+        r_node=rt.r_node[r0:r1] if rt.r_node is not None else None,
+    )
+
+
+def subset_regions(rt: RegionTopology, sel: np.ndarray) -> RegionTopology:
+    """Restrict the topology to an arbitrary sorted array of region ids,
+    renumbered to ``0..len(sel)``. Entity-valued fields keep global ids
+    (like :func:`slice_regions`). Basis of partial rediscretization: only
+    the regions whose stencil contributions changed are re-assembled
+    (reference ``_fvutils.partial_update_discretization:1090``)."""
+    sel = np.asarray(sel, dtype=np.int64)
+    if sel.size == rt.R:
+        return rt
+    t_start = np.searchsorted(rt.t_r, np.arange(rt.R + 1))
+    t_idx = expand_index_pointers(t_start[sel], t_start[sel + 1])
+    sf_idx = expand_index_pointers(rt.sf_start[sel], rt.sf_start[sel + 1])
+    sc_idx = expand_index_pointers(rt.sc_start[sel], rt.sc_start[sel + 1])
+    b_idx = expand_index_pointers(rt.b_start[sel], rt.b_start[sel + 1])
+    sf_map = np.full(rt.sf_f.size, -1, dtype=np.int64)
+    sf_map[sf_idx] = np.arange(sf_idx.size)
+    sc_map = np.full(rt.sc_c.size, -1, dtype=np.int64)
+    sc_map[sc_idx] = np.arange(sc_idx.size)
+    nc_r = rt.nc_r[sel]
+    nsf_r = rt.nsf_r[sel]
+    nb_r = rt.nb_r[sel]
+    return RegionTopology(
+        t_c=rt.t_c[t_idx],
+        t_f=rt.t_f[t_idx],
+        t_v=rt.t_v[t_idx],
+        t_sgn=rt.t_sgn[t_idx],
+        t_r=np.searchsorted(sel, rt.t_r[t_idx]),
+        t_sc=sc_map[rt.t_sc[t_idx]],
+        t_sf=sf_map[rt.t_sf[t_idx]],
+        t_loc_cell=rt.t_loc_cell[t_idx],
+        t_row=rt.t_row[t_idx],
+        first_inc=rt.first_inc[t_idx],
+        sc_c=rt.sc_c[sc_idx],
+        sc_start=np.concatenate([[0], np.cumsum(nc_r)]),
+        sf_f=rt.sf_f[sf_idx],
+        sf_v=rt.sf_v[sf_idx],
+        sf_r=np.searchsorted(sel, rt.sf_r[sf_idx]),
+        sf_cnt=rt.sf_cnt[sf_idx],
+        sf_start=np.concatenate([[0], np.cumsum(nsf_r)]),
+        sf_loc=rt.sf_loc[sf_idx],
+        sf_interior=rt.sf_interior[sf_idx],
+        sf_neu=rt.sf_neu[sf_idx],
+        sf_dir=rt.sf_dir[sf_idx],
+        sf_rob=rt.sf_rob[sf_idx],
+        sf_prow=rt.sf_prow[sf_idx],
+        sf_bcol=rt.sf_bcol[sf_idx],
+        bnd_idx=sf_map[rt.bnd_idx[b_idx]],
+        b_start=np.concatenate([[0], np.cumsum(nb_r)]),
+        R=int(sel.size),
+        nc_r=nc_r,
+        nsf_r=nsf_r,
+        nint_r=rt.nint_r[sel],
+        nb_r=nb_r,
+        nnpf=rt.nnpf,
+        r_node=rt.r_node[sel] if rt.r_node is not None else None,
     )
 
 

@@ -153,6 +153,14 @@ class Tpfa:
     def ndof(self, sd) -> int:
         return sd.num_cells
 
+    def update_discretization(self, sd, data: dict) -> None:
+        """TPFA's stencil is face-local and the vectorized discretization
+        is O(nnz); a full recompute on the (possibly updated) grid is both
+        exact and cheaper than bookkeeping a partial map (reference
+        ``numerics/fv/tpfa.py`` routes through the generic partial-update
+        machinery instead)."""
+        self.discretize(sd, data)
+
     def discretize(self, sd, data: dict) -> None:
         param = data[cc.PARAMETERS][self.keyword]
         matrices = data[cc.DISCRETIZATION_MATRICES][self.keyword]
