@@ -172,6 +172,7 @@ from porepy_tpu.compositional import utils as composite_utils  # noqa: E402,F401
 
 # -- model framework ---------------------------------------------------------
 from porepy_tpu.models.geometry import ModelGeometry  # noqa: E402,F401
+from porepy_tpu.models.protocol import PorePyModel  # noqa: E402,F401
 from porepy_tpu.models.abstract_equations import (  # noqa: E402,F401
     BalanceEquation,
     LocalElimination,
