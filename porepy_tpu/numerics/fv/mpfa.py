@@ -278,12 +278,31 @@ def _assemble_mpfa(sd, kv, bnd, eta, d, restrict=None):
     the local frame.
     """
     nc, nf = sd.num_cells, sd.num_faces
-    rt = build_regions(
-        sd,
-        is_neu=bnd.is_neu | bnd.is_internal,
-        is_dir=bnd.is_dir & ~bnd.is_internal,
-        is_rob=bnd.is_rob & ~bnd.is_internal,
-    )
+    # Subface-resolved boundary conditions: a BC sized to the unique
+    # subfaces (``_fvutils.subface_numbering`` order) switches types,
+    # values and output granularity to subfaces — mirrors MPSA's subface
+    # mode (reference ``numerics/fv/mpfa.py:767``, ``subface_rhs``).
+    n_subf = int(sd.face_nodes.nnz)
+    subface_mode = bnd.num_faces == n_subf and n_subf != nf
+    if subface_mode and restrict is not None:
+        raise NotImplementedError(
+            "Partial rediscretization with subface-resolved boundary "
+            "conditions is not supported"
+        )
+    if subface_mode:
+        rt = build_regions(
+            sd,
+            is_neu=np.ones(nf, dtype=bool),  # overridden per subface below
+            is_dir=np.zeros(nf, dtype=bool),
+            is_rob=np.zeros(nf, dtype=bool),
+        )
+    else:
+        rt = build_regions(
+            sd,
+            is_neu=bnd.is_neu | bnd.is_internal,
+            is_dir=bnd.is_dir & ~bnd.is_internal,
+            is_rob=bnd.is_rob & ~bnd.is_internal,
+        )
     if restrict is not None:
         from porepy_tpu.numerics.fv.regions import subset_regions
 
@@ -291,6 +310,32 @@ def _assemble_mpfa(sd, kv, bnd, eta, d, restrict=None):
         rt = subset_regions(
             rt, np.flatnonzero(np.isin(rt.r_node, nodes_needed))
         )
+    if subface_mode:
+        from porepy_tpu.numerics.fv._fvutils import subface_numbering
+
+        fno_u, nno_u = subface_numbering(sd)
+        ref_code = nno_u.astype(np.int64) * nf + fno_u
+        ref_order = np.argsort(ref_code)
+        sf_ent = ref_order[
+            np.searchsorted(
+                ref_code[ref_order],
+                rt.sf_v.astype(np.int64) * nf + rt.sf_f,
+            )
+        ]
+        # All BC arrays (incl. is_internal) are subface-sized here.
+        is_int = np.asarray(bnd.is_internal)[sf_ent]
+        bnd_sub = ~rt.sf_interior
+        rt.sf_neu[:] = bnd_sub & (np.asarray(bnd.is_neu)[sf_ent] | is_int)
+        rt.sf_dir[:] = bnd_sub & np.asarray(bnd.is_dir)[sf_ent] & ~is_int
+        rt.sf_rob[:] = bnd_sub & np.asarray(bnd.is_rob)[sf_ent] & ~is_int
+        if not np.all(
+            rt.sf_interior | rt.sf_neu | rt.sf_dir | rt.sf_rob
+        ):
+            raise ValueError(
+                "Boundary subfaces must be Dirichlet, Neumann or Robin"
+            )
+    else:
+        sf_ent = rt.sf_f
     (t_c, t_f, t_sgn, t_r, t_sf, t_loc_cell, t_row, first_inc) = (
         rt.t_c, rt.t_f, rt.t_sgn, rt.t_r, rt.t_sf, rt.t_loc_cell, rt.t_row,
         rt.first_inc,
@@ -319,7 +364,12 @@ def _assemble_mpfa(sd, kv, bnd, eta, d, restrict=None):
     t_type_dir = rt.sf_dir[t_sf]
     t_type_rob = rt.sf_rob[t_sf]
 
-    rob_w = bnd.robin_weight[t_f] * sd.face_areas[t_f] * w  # per-subface w*A
+    # Robin weight indexed per BC entity (face, or canonical subface id in
+    # subface mode — ``sf_ent[t_sf] == t_f`` in face mode).
+    rob_w = bnd.robin_weight[sf_ent[t_sf]] * sd.face_areas[t_f] * w
+    # Neumann/Robin RHS coefficient: face-integrated values split over the
+    # subfaces (w) in face mode; subface-integrated values as-is otherwise.
+    bc_w = np.ones_like(w) if subface_mode else w
 
     a_reg, a_row, a_col, a_val = [], [], [], []
     r_reg, r_row, r_col, r_val = [], [], [], []
@@ -354,7 +404,7 @@ def _assemble_mpfa(sd, kv, bnd, eta, d, restrict=None):
     # RHS, boundary-value columns (per-region offset nc_r).
     t_bcol = nc_r[t_r] + sf_bcol[t_sf]
     add_rhs(t_type_dir, t_row, t_bcol, np.ones(t_f.size))
-    add_rhs(t_type_neu | t_type_rob, t_row, t_bcol, -w)
+    add_rhs(t_type_neu | t_type_rob, t_row, t_bcol, -bc_w)
     # RHS, vector-source columns (cell-major, d per local cell).
     vs_cols = nc_r[t_r] + nb_r[t_r] + t_gcols  # (d, T)
     vsel = fluxish
@@ -406,57 +456,70 @@ def _assemble_mpfa(sd, kv, bnd, eta, d, restrict=None):
     is_trace = o_row >= nsf_r[o_reg]
     sf_of_out = sf_start[o_reg] + np.where(is_trace, o_row - nsf_r[o_reg], o_row)
     face_of_out = sf_f[sf_of_out]
+    ent_of_out = sf_ent[sf_of_out]  # == face_of_out in face mode
     # Column decode: cell | boundary face | vector source.
     col_cell = o_col < nc_r[o_reg]
     col_bc = ~col_cell & (o_col < nc_r[o_reg] + nb_r[o_reg])
     col_vs = ~col_cell & ~col_bc
 
     cell_table = sc_c  # indexed by sc_start[region] + local cell
-    bc_faces = sf_f[bnd_idx]  # indexed by b_start[region] + local bc col
+    bc_faces = sf_ent[bnd_idx]  # indexed by b_start[region] + local bc col
+    n_rent = n_subf if subface_mode else nf  # flux-row / bound-col entities
 
     # Weights: flux rows sum over subfaces; trace rows average (1/nn).
     row_w = np.where(is_trace, 1.0 / nnpf[face_of_out], 1.0)
 
-    def build(sel, ncols, cols):
+    def build(sel, ncols, cols, rows, nrows):
         return sps.coo_matrix(
-            (o_val[sel] * row_w[sel], (face_of_out[sel], cols)),
-            shape=(nf, ncols),
+            (o_val[sel] * row_w[sel], (rows[sel], cols)),
+            shape=(nrows, ncols),
         )
 
     sel = ~is_trace & col_cell
-    flux = build(sel, nc, cell_table[sc_start[o_reg[sel]] + o_col[sel]])
+    flux = build(
+        sel, nc, cell_table[sc_start[o_reg[sel]] + o_col[sel]],
+        ent_of_out, n_rent,
+    )
     sel = ~is_trace & col_bc
     bound_flux = build(
-        sel, nf, bc_faces[b_start[o_reg[sel]] + o_col[sel] - nc_r[o_reg[sel]]]
+        sel, n_rent,
+        bc_faces[b_start[o_reg[sel]] + o_col[sel] - nc_r[o_reg[sel]]],
+        ent_of_out, n_rent,
     )
     sel = ~is_trace & col_vs
     k_loc = o_col[sel] - nc_r[o_reg[sel]] - nb_r[o_reg[sel]]
     vs_gcol = cell_table[sc_start[o_reg[sel]] + k_loc // d] * d + k_loc % d
-    vector_source = build(sel, nc * d, vs_gcol)
+    vector_source = build(sel, nc * d, vs_gcol, ent_of_out, n_rent)
 
     sel = is_trace & col_cell
-    bp_cell = build(sel, nc, cell_table[sc_start[o_reg[sel]] + o_col[sel]])
+    bp_cell = build(
+        sel, nc, cell_table[sc_start[o_reg[sel]] + o_col[sel]],
+        face_of_out, nf,
+    )
     sel = is_trace & col_bc
     bp_face = build(
-        sel, nf, bc_faces[b_start[o_reg[sel]] + o_col[sel] - nc_r[o_reg[sel]]]
+        sel, n_rent,
+        bc_faces[b_start[o_reg[sel]] + o_col[sel] - nc_r[o_reg[sel]]],
+        face_of_out, nf,
     )
     sel = is_trace & col_vs
     k_loc = o_col[sel] - nc_r[o_reg[sel]] - nb_r[o_reg[sel]]
     vs_gcol = cell_table[sc_start[o_reg[sel]] + k_loc // d] * d + k_loc % d
-    bp_vs = build(sel, nc * d, vs_gcol)
+    bp_vs = build(sel, nc * d, vs_gcol, face_of_out, nf)
 
     # Direct terms outside the local solves.
     # Flux from the vector source on the designated side: +(n~.K) s.
     fi = np.flatnonzero(first_inc)
+    t_ent = sf_ent[t_sf]
     direct_vs = sps.coo_matrix(
         (
             nk[:, fi].ravel(),
             (
-                np.broadcast_to(t_f[fi], (d, fi.size)).ravel(),
+                np.broadcast_to(t_ent[fi], (d, fi.size)).ravel(),
                 (d * t_c[fi][None, :] + np.arange(d)[:, None]).ravel(),
             ),
         ),
-        shape=(nf, nc * d),
+        shape=(n_rent, nc * d),
     )
     vector_source = vector_source + direct_vs
     # Trace: the cell-pressure part of p_c + dist.g, averaged as the stencil.
