@@ -33,6 +33,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# Honor an explicit platform request (e.g. JAX_PLATFORMS=cpu for a smoke
+# run): the TPU plugin force-registers itself regardless of the env var,
+# so the config update below is the authoritative switch.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 FRACTURES_2D = [
     np.array([[0.125, 0.875], [0.25, 0.25]]),
     np.array([[0.125, 0.875], [0.5, 0.5]]),
@@ -160,6 +168,63 @@ def run_md_flow() -> dict:
     m = Model(params)
     pt.run_time_dependent_model(m, params)
     return _summarize(m, skip=2)
+
+
+def run_sharded_anchor() -> dict:
+    """Sanity anchor for the sharded path on the single real chip: one
+    Newton solve of the md-flow config through ``ShardedNewton`` on a
+    1-device mesh. Should track the unsharded solve time — a large gap
+    means the sharding layer itself adds overhead."""
+    import time
+
+    import porepy_tpu as pt
+    from porepy_tpu.parallel.sharded import ShardedNewton, make_dof_mesh
+
+    class Model(pt.SinglePhaseFlow):
+        def set_fractures(self):
+            self._fractures = [pt.LineFracture(f) for f in FRACTURES_2D]
+
+        def bc_values_pressure(self, bg):
+            return 1.0 - bg.cell_centers[1]
+
+        def initialize_data_saving(self):
+            pass
+
+        def save_data_time_step(self):
+            pass
+
+    params = {
+        "grid_type": "cartesian",
+        "meshing_arguments": {"cell_size": 1.0 / 128},
+        "material_constants": {
+            "solid": pt.SolidConstants(
+                permeability=1.0,
+                porosity=0.1,
+                residual_aperture=0.01,
+                normal_permeability=1.0,
+            ),
+            "fluid": pt.FluidComponent(
+                compressibility=1e-6, viscosity=1e-3, density=1000.0
+            ),
+        },
+        "time_manager": pt.TimeManager([0, 1.0], 1.0, constant_dt=True),
+        "linear_solver": "device_gmres",
+    }
+    m = Model(params)
+    m.prepare_simulation()
+    m.before_nonlinear_loop()
+    m.before_nonlinear_iteration()
+    sn = ShardedNewton(m, make_dof_mesh(1))
+    sn.solve_once()  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sn.solve_once()
+        times.append(time.perf_counter() - t0)
+    return {
+        "num_dofs": int(m.equation_system.num_dofs()),
+        "total_ms": round(float(np.median(times)) * 1000.0, 3),
+    }
 
 
 def run_biot() -> dict:
@@ -409,7 +474,7 @@ def main() -> None:
     # per-case progress lines go to stderr so a killed run still leaves
     # usable partial numbers.
     selected = os.environ.get(
-        "BENCH_CASES", "md,biot,3d,tracer,thm,structured"
+        "BENCH_CASES", "md,biot,3d,tracer,thm,structured,sharded"
     ).split(",")
     cases = {}
 
@@ -449,6 +514,12 @@ def main() -> None:
         "tpfa_structured_3d_32cubed",
         run_structured,
         "tpfa_flow_3d_32cubed",
+    )
+    run_case(
+        "sharded",
+        "mdflow_sharded_1dev_anchor",
+        run_sharded_anchor,
+        "mdflow_mpfa_2d_128",
     )
 
     cases["device_fallbacks"] = FALLBACK_COUNTER["count"]
