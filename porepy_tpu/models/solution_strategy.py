@@ -192,7 +192,9 @@ class SolutionStrategy(FluidMixin):
                     if discr.keyword == keyword and sd.dim <= lim:
                         discr.discretize(sd, data)
                         break
-            self.equation_system.clear_compiled()
+            # Same grids, new matrix values: swap the compiled kernels'
+            # constant arguments instead of retracing every equation.
+            self.equation_system.refresh_compiled_constants()
 
     # -- discretization ------------------------------------------------------
 

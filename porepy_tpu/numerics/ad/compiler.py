@@ -72,6 +72,9 @@ class _EnvSpec:
         # the payload, so a collected payload would let a later one reuse
         # the id and ALIAS the wrong slot.
         self._pinned: list = []
+        # Refreshable constant matrices: (producer, record) pairs allowing a
+        # VALUE-ONLY swap after rediscretization (see refresh_constants).
+        self._const_mats: list[dict] = []
         # True if any slot reads the *iterate* ring (previous_iteration
         # states): such envs change within a Newton loop, which rules out
         # the fused device-resident Newton loop for this equation.
@@ -104,6 +107,33 @@ class _EnvSpec:
         idx = self.slot(key, lambda _es, _d=dev: _d)
         self.static_slots.add(idx)
         return idx
+
+    def refresh_constants(self) -> bool:
+        """Swap refreshable constant-matrix VALUES in place after a
+        rediscretization, keeping the compiled function (same shapes, same
+        sparsity). Returns False — caller must rebuild — if any matrix's
+        sparsity layout changed (different ELL/BCOO index arrays), since
+        the compiled Jacobian gather is baked to the old pattern."""
+        for rec in self._const_mats:
+            mat = rec["producer"]()
+            kind, a, b, shape = _host_const_arrays(mat)
+            if (
+                kind != rec["kind"]
+                or shape != rec["shape"]
+                or a.shape != rec["a"].shape
+                or not np.array_equal(b, rec["b"])
+            ):
+                return False
+            if np.array_equal(a, rec["a"]):
+                continue
+            dev = jnp.asarray(a)
+            idx = rec["slot_a"]
+            self.fetchers[idx] = lambda _es, _d=dev: _d
+            if self._cache is not None:
+                self._cache[idx] = dev
+                self._cache_host[idx] = a
+            rec["a"] = a
+        return True
 
     def fetch(self, eq_sys) -> list[jnp.ndarray]:
         return [jnp.asarray(f(eq_sys)) for f in self.fetchers]
@@ -263,7 +293,10 @@ def _collect_env(
     ):
         mat = constant_sparse_matrix(op)
         if mat is not None:
-            const_mats[id(op)] = _register_const_matrix(env_spec, mat)
+            const_mats[id(op)] = _register_const_matrix(
+                env_spec, mat,
+                producer=lambda _op=op: constant_sparse_matrix(_op),
+            )
             return
     if isinstance(op, MixedDimensionalVariable):
         for v in op.sub_vars:
@@ -290,7 +323,9 @@ def _collect_env(
         const_mats[id(op)] = _register_const_matrix(env_spec, op.mat)
         return
     if type(op).__name__ == "MergedOperator" and hasattr(op, "fetch"):
-        const_mats[id(op)] = _register_const_matrix(env_spec, op.fetch())
+        const_mats[id(op)] = _register_const_matrix(
+            env_spec, op.fetch(), producer=op.fetch
+        )
         return
     for c in op.children:
         _collect_env(c, env_spec, eq_sys, seen, const_mats)
@@ -359,25 +394,36 @@ class _ConstMatRef:
         )
 
 
-def _register_const_matrix(env_spec: "_EnvSpec", mat: sps.spmatrix) -> _ConstMatRef:
+def _host_const_arrays(mat: sps.spmatrix) -> tuple:
+    """Host ELL/BCOO arrays of a constant matrix: ``(kind, values, indices,
+    shape)``; ELL when padding is reasonable, BCOO for pathological rows."""
+    csr = sps.csr_matrix(mat)
+    counts = np.diff(csr.indptr)
+    K = int(counts.max()) if counts.size else 0
+    nnz = max(csr.nnz, 1)
+    if K <= 64 or K * csr.shape[0] <= 8 * nnz:
+        val, col, shape = _ell_host_arrays(csr)
+        return ("ell", val, col, shape)
+    coo = csr.tocoo()
+    idx = np.ascontiguousarray(
+        np.column_stack([coo.row, coo.col]).astype(np.int32)
+    )
+    data = np.array(coo.data, dtype=np.float64, copy=True)
+    return ("bcoo", data, idx, coo.shape)
+
+
+def _register_const_matrix(
+    env_spec: "_EnvSpec", mat: sps.spmatrix, producer=None
+) -> _ConstMatRef:
     """Cache the host ELL/BCOO arrays on the scipy object and register env
-    slots so the matrix reaches the compiled function as an argument."""
+    slots so the matrix reaches the compiled function as an argument.
+
+    ``producer``: optional zero-arg callable re-reading the CURRENT matrix
+    (e.g. from the data dictionary after a rediscretization); registering
+    it makes the slot value-refreshable via ``refresh_constants``."""
     host = getattr(mat, "_ppt_host", None)
     if host is None:
-        csr = sps.csr_matrix(mat)
-        counts = np.diff(csr.indptr)
-        K = int(counts.max()) if counts.size else 0
-        nnz = max(csr.nnz, 1)
-        if K <= 64 or K * csr.shape[0] <= 8 * nnz:
-            val, col, shape = _ell_host_arrays(csr)
-            host = ("ell", val, col, shape)
-        else:
-            coo = csr.tocoo()
-            idx = np.ascontiguousarray(
-                np.column_stack([coo.row, coo.col]).astype(np.int32)
-            )
-            data = np.array(coo.data, dtype=np.float64, copy=True)
-            host = ("bcoo", data, idx, coo.shape)
+        host = _host_const_arrays(mat)
         try:
             mat._ppt_host = host
         except AttributeError:
@@ -386,6 +432,18 @@ def _register_const_matrix(env_spec: "_EnvSpec", mat: sps.spmatrix) -> _ConstMat
     kind, a, b, shape = host
     sa = env_spec.const_slot(("constmat", id(host), 0), a)
     sb = env_spec.const_slot(("constmat", id(host), 1), b)
+    if producer is not None:
+        env_spec._const_mats.append(
+            {
+                "producer": producer,
+                "kind": kind,
+                "a": a,
+                "b": b,
+                "shape": shape,
+                "slot_a": sa,
+                "slot_b": sb,
+            }
+        )
     return _ConstMatRef(kind, sa, sb, shape)
 
 

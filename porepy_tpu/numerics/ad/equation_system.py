@@ -536,6 +536,20 @@ class EquationSystem:
         self._compiled.clear()
         self._compiled_systems.clear()
 
+    def refresh_compiled_constants(self) -> None:
+        """After a VALUE-ONLY rediscretization (same grids, same sparsity),
+        swap the compiled kernels' constant-matrix arguments in place
+        instead of dropping the kernels — ``clear_compiled`` forces a
+        retrace (and, on shape changes, an XLA recompile) of every
+        equation at every nonlinear iteration for models with nonlinear
+        discretizations (the reference's partial ``update_discretization``
+        has no recompilation to avoid, being host scipy). Falls back to
+        :meth:`clear_compiled` if any constant's sparsity layout changed."""
+        for ce in self._compiled.values():
+            if not ce.env_spec.refresh_constants():
+                self.clear_compiled()
+                return
+
     def _get_compiled(self, name: str) -> _CompiledEquation:
         ce = self._compiled.get(name)
         if ce is None:
