@@ -55,7 +55,15 @@ from porepy_tpu.utils.common_constants import (  # noqa: E402,F401
 )
 
 # -- geometry ---------------------------------------------------------------
-from porepy_tpu.geometry import map_geometry  # noqa: E402,F401
+from porepy_tpu.geometry import (  # noqa: E402,F401
+    constrain_geometry,
+    distances,
+    half_space,
+    intersections,
+    map_geometry,
+    point_in_polyhedron,
+    sort_points,
+)
 
 # -- grids -------------------------------------------------------------------
 from porepy_tpu.grids.grid import Grid  # noqa: E402,F401

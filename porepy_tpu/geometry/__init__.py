@@ -1,1 +1,9 @@
-from porepy_tpu.geometry import map_geometry  # noqa: F401
+from porepy_tpu.geometry import (  # noqa: F401
+    constrain_geometry,
+    distances,
+    half_space,
+    intersections,
+    map_geometry,
+    point_in_polyhedron,
+    sort_points,
+)
