@@ -240,3 +240,97 @@ from porepy_tpu.viz.data_saving_model_mixin import DataSavingMixin  # noqa: E402
 from porepy_tpu.viz.solver_statistics import SolverStatistics  # noqa: E402,F401
 from porepy_tpu.viz.diagnostics_mixin import DiagnosticsMixin  # noqa: E402,F401
 from porepy_tpu.viz.plot_grid import plot_grid, save_img  # noqa: E402,F401
+
+# -- reference-parity namespace breadth (modules, classes, helpers) -----------
+from porepy_tpu.utils.common_constants import (  # noqa: E402,F401
+    DISCRETIZATION,
+    PRIMARY_VARIABLES,
+    SECOND,
+    YEAR,
+    METER,
+    KILOGRAM,
+    GRAM,
+    NEWTON,
+    JOULE,
+    WATT,
+    KELVIN,
+    MOLE,
+    RADIAN,
+    DEGREE,
+    Celsius_to_Kelvin,
+    Kelvin_to_Celsius,
+)
+from porepy_tpu.utils.porepy_types import (  # noqa: E402,F401
+    DomainFunctionType,
+    ExtendedDomainFunctionType,
+    GridLike,
+    GridLikeSequence,
+    SubdomainsOrBoundaries,
+    discretization_type,
+    fracture_network,
+    number,
+)
+from porepy_tpu.utils import adtree  # noqa: E402,F401
+from porepy_tpu.utils import array_operations  # noqa: E402,F401
+from porepy_tpu.utils import grid_utils  # noqa: E402,F401
+from porepy_tpu.utils import permutations  # noqa: E402,F401
+from porepy_tpu.utils.interpolation_tables import (  # noqa: E402,F401
+    AdaptiveInterpolationTable,
+    InterpolationTable,
+)
+from porepy_tpu.utils.tangential_normal_projection import (  # noqa: E402,F401
+    TangentialNormalProjection,
+    set_local_coordinate_projections,
+    sides_of_fracture,
+)
+from porepy_tpu.numerics.linalg import matrix_operations  # noqa: E402,F401
+from porepy_tpu.numerics.ad.equation_system import EquationSystem  # noqa: E402,F401
+from porepy_tpu.numerics.ad.operators import (  # noqa: E402,F401
+    wrap_as_dense_ad_array,
+    wrap_as_sparse_ad_array,
+)
+from porepy_tpu.numerics.fv.upwind import UpwindCoupling  # noqa: E402,F401
+from porepy_tpu.numerics.vem.dual_elliptic import project_flux  # noqa: E402,F401
+from porepy_tpu.numerics import displacement_correlation  # noqa: E402,F401
+from porepy_tpu.numerics.fracture_deformation import (  # noqa: E402,F401
+    propagate_fracture,
+)
+from porepy_tpu.params.bc import face_on_side  # noqa: E402,F401
+from porepy_tpu.grids.mortar_grid import MortarGrid  # noqa: E402,F401
+from porepy_tpu.grids import grid_extrusion, partition, refinement  # noqa: E402,F401
+from porepy_tpu.geometry import geometry_property_checks  # noqa: E402,F401
+from porepy_tpu.geometry import domain as domain  # noqa: E402,F401
+from porepy_tpu.fracs import utils as frac_utils  # noqa: E402,F401
+from porepy_tpu.fracs import fracture_importer, meshing  # noqa: E402,F401
+from porepy_tpu.models import (  # noqa: E402,F401
+    contact_mechanics,
+    fluid_mass_balance,
+    mass_and_energy_balance,
+    momentum_balance,
+    poromechanics,
+    thermoporomechanics,
+)
+from porepy_tpu import models  # noqa: E402,F401
+from porepy_tpu.viz.exporter import Exporter  # noqa: E402,F401
+from porepy_tpu.viz.fracture_visualization import (  # noqa: E402,F401
+    plot_fractures,
+    plot_wells,
+)
+from porepy_tpu import applications  # noqa: E402,F401
+from porepy_tpu.applications.md_grids import (  # noqa: E402,F401
+    domains,
+    fracture_sets,
+    mdg_library,
+    model_geometries,
+)
+from porepy_tpu.applications.boundary_conditions import (  # noqa: E402,F401
+    model_boundary_conditions,
+)
+from porepy_tpu.applications.material_values import (  # noqa: E402,F401
+    fluid_values,
+    numerical_values,
+    reference_values,
+    solid_values,
+)
+from porepy_tpu.numerics.fv.fv_elliptic import FVElliptic  # noqa: E402,F401
+from porepy_tpu.models.contact_mechanics import ContactMechanics  # noqa: E402,F401

@@ -14,11 +14,15 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from porepy_tpu.compositional.compositional_mixins import FluidMixin
 from porepy_tpu.models import constitutive_laws
 from porepy_tpu.models.abstract_equations import BalanceEquation, VariableMixin
+from porepy_tpu.models.boundary_condition import BoundaryConditionMixin
+from porepy_tpu.models.geometry import ModelGeometry
 from porepy_tpu.models.initial_condition import InitialConditionMixin
 from porepy_tpu.models.solution_strategy import SolutionStrategy
 from porepy_tpu.numerics import ad
+from porepy_tpu.viz.data_saving_model_mixin import DataSavingMixin
 
 __all__ = [
     "ContactMechanicsEquations",
@@ -194,3 +198,79 @@ def _characteristic_jax(tol, x):
 
     x = jax.lax.stop_gradient(x)
     return jnp.where(jnp.abs(x) <= tol, 1.0, 0.0)
+
+
+class InterfaceDisplacementArray:
+    """Interface displacement as a PARAMETER (time-dependent dense array),
+    not a primary variable — for running contact mechanics standalone with
+    prescribed interface movement (reference ``contact_mechanics.py:258``)."""
+
+    interface_displacement_parameter_key: str = "interface_displacement"
+
+    def interface_displacement(self, interfaces: Sequence) -> ad.Operator:
+        return ad.TimeDependentDenseArray(
+            self.interface_displacement_parameter_key, interfaces
+        )
+
+    def interface_displacement_parameter_values(self, interface) -> np.ndarray:
+        """Values per interface, shape ``(nd, num_cells)``; override to
+        drive the fracture walls."""
+        return np.zeros((self.nd, interface.num_cells))
+
+    def update_time_dependent_ad_arrays(self) -> None:
+        super().update_time_dependent_ad_arrays()
+        self.update_interface_displacement_parameter()
+
+    def update_interface_displacement_parameter(self) -> None:
+        from porepy_tpu.utils import common_constants as cc
+        from porepy_tpu.utils.solution_storage import (
+            get_solution_values,
+            set_solution_values,
+            shift_solution_values,
+        )
+
+        name = self.interface_displacement_parameter_key
+        for intf, data in self.mdg.interfaces(return_data=True):
+            if intf.dim != self.nd - 1:
+                continue
+            if cc.ITERATE_SOLUTIONS in data and name in data[cc.ITERATE_SOLUTIONS]:
+                vals = get_solution_values(name, data, iterate_index=0)
+            else:
+                vals = self.interface_displacement_parameter_values(
+                    intf
+                ).ravel("F")
+            shift_solution_values(
+                name,
+                data,
+                cc.TIME_STEP_SOLUTIONS,
+                max_index=len(self.time_step_indices),
+            )
+            set_solution_values(name, vals, data, time_step_index=0)
+            vals_new = self.interface_displacement_parameter_values(
+                intf
+            ).ravel("F")
+            set_solution_values(name, vals_new, data, iterate_index=0)
+
+
+class BoundaryConditionsContactMechanics(BoundaryConditionMixin):
+    """No boundary values in pure contact mechanics; present for the model
+    contract (reference ``contact_mechanics.py:442``)."""
+
+
+class ContactMechanics(
+    ContactMechanicsEquations,
+    InterfaceDisplacementArray,
+    ConstitutiveLawsContactMechanics,
+    constitutive_laws.ElasticModuli,
+    ContactTractionVariable,
+    InitialConditionsContactTraction,
+    BoundaryConditionsContactMechanics,
+    SolutionStrategyContactMechanics,
+    FluidMixin,
+    ModelGeometry,
+    DataSavingMixin,
+):
+    """Standalone contact mechanics: fracture deformation driven by a
+    prescribed interface displacement parameter (reference
+    ``contact_mechanics.py:577``). Primarily intended as mixin stock for
+    the momentum balance model; usable alone for contact-state studies."""

@@ -45,12 +45,13 @@ import scipy.sparse as sps
 from porepy_tpu.geometry import map_geometry
 from porepy_tpu.numerics.fv.local_solves import RegionBatches, solve_and_contract
 from porepy_tpu.numerics.fv.regions import build_regions, continuity_geometry
+from porepy_tpu.numerics.fv.fv_elliptic import FVElliptic
 from porepy_tpu.utils import common_constants as cc
 
 __all__ = ["Mpfa"]
 
 
-class Mpfa:
+class Mpfa(FVElliptic):
     def __init__(self, keyword: str) -> None:
         self.keyword = keyword
         self.flux_matrix_key = "flux"

@@ -41,6 +41,7 @@ import numpy as np
 import scipy.sparse as sps
 
 from porepy_tpu.numerics.fv.fv_mesh import BoundaryMasks, FvMesh
+from porepy_tpu.numerics.fv.fv_elliptic import FVElliptic
 from porepy_tpu.utils import common_constants as cc
 
 __all__ = [
@@ -133,7 +134,7 @@ def boundary_flux_coefficients(
     return jnp.where(n_adj == 1, coeff, 0.0)
 
 
-class Tpfa:
+class Tpfa(FVElliptic):
     """Two-point flux discretization with the reference's matrix contract.
 
     ``discretize(sd, data)`` fills ``data[pp.DISCRETIZATION_MATRICES][kw]``

@@ -206,3 +206,28 @@ class BoundaryConditionVectorial(AbstractBoundaryCondition):
             f"dir={int(self.is_dir.any(axis=0).sum())}, "
             f"neu={int(self.is_neu.all(axis=0).sum())})"
         )
+
+
+def face_on_side(sd, side, tol: float = 1e-8) -> list:
+    """Global indices of faces on named sides of a box-shaped grid:
+    ``west/xmin, east/xmax, south/ymin, north/ymax, bottom/zmin, top/zmax``
+    (reference ``params/bc.py:423``). One array per requested side."""
+    if isinstance(side, str):
+        side = [side]
+    axis_lo = {"west": 0, "xmin": 0, "south": 1, "ymin": 1,
+               "bottom": 2, "bot": 2, "zmin": 2}
+    axis_hi = {"east": 0, "xmax": 0, "north": 1, "ymax": 1,
+               "top": 2, "zmax": 2}
+    out = []
+    for s in side:
+        s = s.lower().strip()
+        if s in axis_lo:
+            ax, ext = axis_lo[s], sd.nodes[axis_lo[s]].min()
+        elif s in axis_hi:
+            ax, ext = axis_hi[s], sd.nodes[axis_hi[s]].max()
+        else:
+            raise ValueError(f"Unknown face side {s!r}")
+        out.append(
+            np.squeeze(np.where(np.abs(sd.face_centers[ax] - ext) < tol))
+        )
+    return out

@@ -22,6 +22,12 @@ TIME_STEP_SOLUTIONS = "time_step_solutions"
 ITERATE_SOLUTIONS = "iterate_solutions"
 """Key for storing solutions of previous nonlinear iterates (ring buffer)."""
 
+DISCRETIZATION = "discretization"
+"""Key for discretization-object storage (legacy assembler schema)."""
+
+PRIMARY_VARIABLES = "primary_variables"
+"""Key for primary-variable declarations (legacy assembler schema)."""
+
 # Unit conversions (SI base) ---------------------------------------------
 
 NANO = 1e-9
@@ -33,9 +39,22 @@ KILO = 1e3
 MEGA = 1e6
 GIGA = 1e9
 
-DAY = 86400.0
-HOUR = 3600.0
+SECOND = 1.0
 MINUTE = 60.0
+HOUR = 3600.0
+DAY = 86400.0
+YEAR = 365 * DAY
+
+METER = 1.0
+KILOGRAM = 1.0
+GRAM = 1e-3
+NEWTON = 1.0  # kg m / s^2 in SI base
+JOULE = 1.0
+WATT = 1.0
+KELVIN = 1.0
+MOLE = 1.0
+RADIAN = 1.0
+DEGREE = 3.141592653589793 / 180.0
 
 DARCY = 9.869233e-13
 MILLIDARCY = 9.869233e-16
@@ -56,6 +75,11 @@ def CELSIUS_to_KELVIN(celsius: float) -> float:
 
 def KELVIN_to_CELSIUS(kelvin: float) -> float:
     return kelvin - CELSIUS
+
+
+# Reference-compatible converter names.
+Celsius_to_Kelvin = CELSIUS_to_KELVIN
+Kelvin_to_Celsius = KELVIN_to_CELSIUS
 
 
 # Standard tag keys -------------------------------------------------------

@@ -139,3 +139,43 @@ def set_local_coordinate_projections(mdg, interfaces=None) -> None:
         mdg.subdomain_data(sd_secondary)["tangential_normal_projection"] = (
             TangentialNormalProjection(on_secondary)
         )
+
+
+def sides_of_fracture(intf, sd_primary, direction):
+    """Split a planar interface's mortar cells into the positive and
+    negative side relative to ``direction`` (outward matrix normals with
+    positive/negative inner product), and report whether the positive side
+    is the mortar grid's FIRST side — which fixes the sign convention of
+    jumps across the interface (reference
+    ``utils/tangential_normal_projection.py:370``).
+
+    Returns ``(positive_cells, negative_cells, positive_side_first)``.
+    """
+    from porepy_tpu.utils.grid_utils import switch_sign_if_inwards_normal
+
+    faces = np.where(sd_primary.tags["fracture_faces"])[0]
+    switch = switch_sign_if_inwards_normal(sd_primary, 3, faces)
+    normal_primary = switch @ sd_primary.face_normals.ravel(order="F")
+    normal_intf = (
+        intf.primary_to_mortar_avg(3) @ normal_primary
+    ).reshape((3, -1), order="F")
+    direction = np.broadcast_to(
+        np.reshape(np.asarray(direction, dtype=float), (3, -1)),
+        normal_intf.shape,
+    )
+    inner = np.sum(normal_intf * direction, axis=0)
+    if np.allclose(inner, 0):
+        raise ValueError("The direction vector is orthogonal to the normals")
+    negative = np.where(inner < 0)[0]
+    positive = np.where(inner >= 0)[0]
+    # Mortar cells are numbered all of side 1, then all of side 2.
+    n_first = next(iter(intf.side_grids.values())).num_cells
+    if np.array_equal(positive, np.arange(n_first)):
+        positive_side_first = True
+    elif np.array_equal(negative, np.arange(n_first)):
+        positive_side_first = False
+    else:
+        raise ValueError(
+            "Could not identify the positive side with a mortar side"
+        )
+    return positive, negative, positive_side_first
