@@ -23,44 +23,51 @@ def active_entities_for_partial_update(sd, cells=None, faces=None):
     """Stencil closure of a modification set for the multi-point methods.
 
     Given modified cells and/or faces, returns
-    ``(nodes_needed, active_faces)``:
+    ``(nodes_needed, active_faces, active_cells)``:
 
     - ``active_faces``: every face whose discretization row may have
       changed — any face sharing a node (interaction region) with a
       modified cell or face;
+    - ``active_cells``: every cell whose divergence row (Biot) may have
+      changed — any cell sharing a node with the modification set;
     - ``nodes_needed``: the nodes whose interaction regions must be
       re-assembled to recompute those rows in full (all nodes of all
-      active faces).
+      active faces and active cells).
 
     Counterpart of the reference's ``cell_ind_for_partial_update``
     (reference ``numerics/fv/_fvutils.py:1260``), stated in the region
     framework's node terms.
     """
+    from porepy_tpu.utils.array_operations import expand_index_pointers
+
     fn = sd.face_nodes.tocsc()
+    cn = sd.cell_nodes().tocsc()
     nnpf = np.diff(fn.indptr)
     face_of_entry = np.repeat(np.arange(sd.num_faces), nnpf)
+    cell_of_entry = np.repeat(np.arange(sd.num_cells), np.diff(cn.indptr))
     node_mask = np.zeros(sd.num_nodes, dtype=bool)
     if cells is not None and np.asarray(cells).size:
-        cn = sd.cell_nodes().tocsc()
         lo, hi = cn.indptr[np.asarray(cells)], cn.indptr[np.asarray(cells) + 1]
-        from porepy_tpu.utils.array_operations import expand_index_pointers
-
         node_mask[cn.indices[expand_index_pointers(lo, hi)]] = True
     if faces is not None and np.asarray(faces).size:
         lo, hi = fn.indptr[np.asarray(faces)], fn.indptr[np.asarray(faces) + 1]
-        from porepy_tpu.utils.array_operations import expand_index_pointers
-
         node_mask[fn.indices[expand_index_pointers(lo, hi)]] = True
-    touched = (
+    active_faces = np.flatnonzero(
         np.bincount(
             face_of_entry, node_mask[fn.indices], minlength=sd.num_faces
         )
         > 0
     )
-    active_faces = np.flatnonzero(touched)
+    active_cells = np.flatnonzero(
+        np.bincount(
+            cell_of_entry, node_mask[cn.indices], minlength=sd.num_cells
+        )
+        > 0
+    )
     needed = np.zeros(sd.num_nodes, dtype=bool)
     needed[fn.indices[np.isin(face_of_entry, active_faces)]] = True
-    return np.flatnonzero(needed), active_faces
+    needed[cn.indices[np.isin(cell_of_entry, active_cells)]] = True
+    return np.flatnonzero(needed), active_faces, active_cells
 
 
 def restriction_from_params(sd, param):
@@ -86,6 +93,7 @@ def partial_update_discretization(
     vector_face_right=(),
     scalar_face_left=(),
     vector_face_left=(),
+    scalar_cell_left=(),
 ):
     """Update stored discretization matrices after a local modification.
 
@@ -93,13 +101,13 @@ def partial_update_discretization(
     ``modified_cells``, ``modified_faces`` (index arrays) and
     ``map_cells``, ``map_faces`` (sparse new-from-old index maps for
     changed grids). Old matrices are mapped to the new numbering, rows of
-    faces whose stencil changed are zeroed, and the fresh partial
-    discretization (``discretize`` honouring ``specified_cells`` /
-    ``specified_faces`` in the parameters) is added. The left/right
-    keyword lists classify each matrix's row/column spaces exactly as in
-    the reference (``_fvutils.partial_update_discretization:1090``).
-    Cell-row (divergence) matrices are not supported here — callers with
-    those (Biot) fall back to a full rediscretization.
+    faces (or, for ``scalar_cell_left`` divergence matrices, cells) whose
+    stencil changed are zeroed, and the fresh partial discretization
+    (``discretize`` honouring ``specified_cells`` / ``specified_faces`` in
+    the parameters) is added. The left/right keyword lists classify each
+    matrix's row/column spaces exactly as in the reference
+    (``_fvutils.partial_update_discretization:1090``); dict-valued
+    entries (Biot's per-coupling-key matrices) are mapped per sub-matrix.
     """
     import scipy.sparse as sps
 
@@ -116,11 +124,13 @@ def partial_update_discretization(
     cell_map = info.get("map_cells", sps.identity(sd.num_cells))
     face_map = info.get("map_faces", sps.identity(sd.num_faces))
 
-    _nodes, active_faces = active_entities_for_partial_update(
+    _nodes, active_faces, active_cells = active_entities_for_partial_update(
         sd, cells=mod_cells, faces=mod_faces
     )
 
     def mapped(key, mat):
+        if isinstance(mat, dict):
+            return {k: mapped(key, v) for k, v in mat.items()}
         if key in scalar_cell_right:
             mat = mat @ cell_map.T
         elif key in vector_cell_right:
@@ -137,6 +147,10 @@ def partial_update_discretization(
             mat = (sps.kron(face_map, sps.eye(dim)) @ mat).tocsr()
             rows = active_faces
             bs = dim
+        elif key in scalar_cell_left:
+            mat = (cell_map @ mat).tocsr()
+            rows = active_cells
+            bs = 1
         else:
             return mat
         from porepy_tpu.numerics.linalg.matrix_operations import zero_rows
@@ -170,7 +184,13 @@ def partial_update_discretization(
 
     new = data[DISCRETIZATION_MATRICES][keyword]
     for key in new:
-        if key in old:
+        if key not in old:
+            continue
+        if isinstance(new[key], dict):
+            new[key] = {
+                k: (old[key][k] + v).tocsr() for k, v in new[key].items()
+            }
+        else:
             new[key] = (old[key] + new[key]).tocsr()
 
 

@@ -48,11 +48,49 @@ class Biot(Mpsa):
         return sd.num_cells * (sd.dim + 1)
 
     def update_discretization(self, sd, data: dict) -> None:
-        """Biot carries cell-row (divergence) matrices whose partial
-        update needs expanded overlaps (reference ``biot.py``'s
-        ``scalar_cell_left`` handling); this build recomputes in full —
-        exact, at full assembly cost."""
-        self.discretize(sd, data)
+        """Partial update after a local modification, including the
+        cell-row (divergence) matrices (reference
+        ``biot.py:update_discretization``): cells sharing a node with the
+        modification set are re-assembled along with the face closure."""
+        from porepy_tpu.numerics.fv._fvutils import (
+            partial_update_discretization,
+        )
+
+        partial_update_discretization(
+            sd,
+            data,
+            self.keyword,
+            self.discretize,
+            dim=sd.dim,
+            scalar_cell_right=(
+                self.scalar_gradient_matrix_key,
+                self.consistency_matrix_key,
+                self.bound_pressure_matrix_key,
+            ),
+            vector_cell_right=(
+                self.stress_matrix_key,
+                self.bound_displacement_cell_matrix_key,
+                self.displacement_divergence_matrix_key,
+            ),
+            vector_face_right=(
+                self.bound_stress_matrix_key,
+                self.bound_displacement_face_matrix_key,
+                self.bound_displacement_divergence_matrix_key,
+            ),
+            scalar_cell_left=(
+                self.displacement_divergence_matrix_key,
+                self.consistency_matrix_key,
+                self.bound_displacement_divergence_matrix_key,
+            ),
+            vector_face_left=(
+                self.stress_matrix_key,
+                self.bound_stress_matrix_key,
+                self.scalar_gradient_matrix_key,
+                self.bound_displacement_cell_matrix_key,
+                self.bound_displacement_face_matrix_key,
+                self.bound_pressure_matrix_key,
+            ),
+        )
 
     def discretize(self, sd, data: dict) -> None:
         param = data[cc.PARAMETERS][self.keyword]
@@ -68,6 +106,8 @@ class Biot(Mpsa):
                 alpha = SecondOrderTensor(float(alpha) * np.ones(sd.num_cells))
             alphas[key] = alpha.values
 
+        from porepy_tpu.numerics.fv._fvutils import restriction_from_params
+
         (
             stress,
             bound_stress,
@@ -78,7 +118,15 @@ class Biot(Mpsa):
             bound_displacement_divergence,
             consistency,
             disp_pressure,
-        ) = _assemble_mpsa_w(sd, constit, bound, eta, eta, alphas=alphas)
+        ) = _assemble_mpsa_w(
+            sd,
+            constit,
+            bound,
+            eta,
+            eta,
+            alphas=alphas,
+            restrict=restriction_from_params(sd, param),
+        )
 
         matrices[self.stress_matrix_key] = stress
         matrices[self.bound_stress_matrix_key] = bound_stress

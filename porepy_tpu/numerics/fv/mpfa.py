@@ -196,7 +196,7 @@ class Mpfa(FVElliptic):
                     zero_rows,
                 )
 
-                _nodes, active_faces = restrict
+                _nodes, active_faces, _cells = restrict
                 keep = np.zeros(sd.num_faces, dtype=bool)
                 keep[active_faces] = True
                 drop = np.flatnonzero(~keep)
@@ -307,7 +307,7 @@ def _assemble_mpfa(sd, kv, bnd, eta, d, restrict=None):
     if restrict is not None:
         from porepy_tpu.numerics.fv.regions import subset_regions
 
-        nodes_needed, active_faces = restrict
+        nodes_needed, active_faces, _active_cells = restrict
         rt = subset_regions(
             rt, np.flatnonzero(np.isin(rt.r_node, nodes_needed))
         )

@@ -259,12 +259,12 @@ def _assemble_mpsa_w(
         is_rob=np.zeros(nf, dtype=bool),
     )
     if restrict is not None:
-        if subface_mode or alphas:
+        if subface_mode:
             raise NotImplementedError(
-                "Partial rediscretization supports face-wise BCs without "
-                "Biot couplings; Biot falls back to full rediscretization"
+                "Partial rediscretization with subface-resolved boundary "
+                "conditions is not supported"
             )
-        nodes_needed, active_faces = restrict
+        nodes_needed, active_faces, active_cells = restrict
         rt_full = subset_regions(
             rt_full, np.flatnonzero(np.isin(rt_full.r_node, nodes_needed))
         )
@@ -409,6 +409,24 @@ def _assemble_mpsa_w(
         displacement_divergence[k] = build_from_parts(("dd", k))
         bound_displacement_divergence[k] = build_from_parts(("bdd", k))
         consistency[k] = build_from_parts(("cons", k))
+        if restrict is not None:
+            from porepy_tpu.numerics.linalg.matrix_operations import (
+                zero_rows,
+            )
+
+            keep_c = np.zeros(nc, dtype=bool)
+            keep_c[active_cells] = True
+            drop_c = np.flatnonzero(~keep_c)
+            for m in (scalar_gradient[k], disp_pressure[k]):
+                zero_rows(m, drop)  # face rows (nf * d)
+                m.eliminate_zeros()
+            for m in (
+                displacement_divergence[k],
+                bound_displacement_divergence[k],
+                consistency[k],
+            ):
+                zero_rows(m, drop_c)  # cell rows
+                m.eliminate_zeros()
 
     return (
         stress.tocsr(),

@@ -140,3 +140,70 @@ def test_mpfa_pure_renumbering_maps_matrices():
     flux_after = d[pt.DISCRETIZATION_MATRICES]["flow"]["flux"]
     diff = abs(face_map @ flux_before @ cell_map.T - flux_after)
     assert (diff.max() if diff.nnz else 0.0) == 0.0
+
+
+BIOT_KEYS = [
+    "stress",
+    "bound_stress",
+    "bound_displacement_cell",
+    "bound_displacement_face",
+]
+BIOT_DICT_KEYS = [
+    "scalar_gradient",
+    "displacement_divergence",
+    "boundary_displacement_divergence",
+    "mpsa_consistency",
+    "bound_displacement_pressure",
+]
+
+
+def _biot_data(g, mu, lam):
+    bf = g.get_boundary_faces()
+    kinds = ["dir", "neu"]
+    bc = pt.BoundaryConditionVectorial(
+        g, bf, [kinds[i % 2] for i in range(bf.size)]
+    )
+    return pt.initialize_data(
+        {},
+        "mech",
+        {
+            "fourth_order_tensor": pt.FourthOrderTensor(mu, lam),
+            "bc": bc,
+            "scalar_vector_mappings": {"flow": 0.8},
+        },
+    )
+
+
+@pytest.mark.parametrize("nx", [[6, 5], [3, 3, 2]])
+def test_biot_partial_update_matches_full(nx):
+    """Biot partial update incl. the cell-row divergence matrices."""
+    g = _grid(nx)
+    rng = np.random.default_rng(13)
+    mu = rng.uniform(0.5, 2.0, g.num_cells)
+    lam = rng.uniform(0.5, 2.0, g.num_cells)
+    d_old = _biot_data(g, mu.copy(), lam.copy())
+    pt.Biot("mech").discretize(g, d_old)
+
+    mod = np.array([2, g.num_cells - 3])
+    mu2, lam2 = mu.copy(), lam.copy()
+    mu2[mod] *= 2.0
+    lam2[mod] *= 0.7
+
+    d_old[pt.PARAMETERS]["mech"]["fourth_order_tensor"] = pt.FourthOrderTensor(
+        mu2, lam2
+    )
+    d_old["update_discretization"] = {"modified_cells": mod}
+    pt.Biot("mech").update_discretization(g, d_old)
+
+    d_full = _biot_data(g, mu2, lam2)
+    pt.Biot("mech").discretize(g, d_full)
+    for key in BIOT_KEYS:
+        a = d_old[pt.DISCRETIZATION_MATRICES]["mech"][key]
+        b = d_full[pt.DISCRETIZATION_MATRICES]["mech"][key]
+        diff = abs(a - b)
+        assert (diff.max() if diff.nnz else 0.0) < 1e-12, key
+    for key in BIOT_DICT_KEYS:
+        a = d_old[pt.DISCRETIZATION_MATRICES]["mech"][key]["flow"]
+        b = d_full[pt.DISCRETIZATION_MATRICES]["mech"][key]["flow"]
+        diff = abs(a - b)
+        assert (diff.max() if diff.nnz else 0.0) < 1e-12, key
