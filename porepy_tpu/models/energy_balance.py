@@ -295,7 +295,7 @@ class SolutionStrategyEnergyBalance(SolutionStrategy):
                     "ambient_dimension": self.nd,
                 },
             )
-            self._discretizations.append((discr, sd, data))
+            self._register_discretization(discr, sd, data)
 
     def _is_nonlinear_problem(self) -> bool:
         return True

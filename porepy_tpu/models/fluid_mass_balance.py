@@ -259,7 +259,7 @@ class SolutionStrategySinglePhaseFlow(SolutionStrategy):
                     "ambient_dimension": self.nd,
                 },
             )
-            self._discretizations.append((discr, sd, data))
+            self._register_discretization(discr, sd, data)
 
     def _is_nonlinear_problem(self) -> bool:
         """Compressible flow is nonlinear; incompressible subclasses

@@ -221,8 +221,8 @@ class SolutionStrategyMomentumBalance(SolutionStrategy):
                         "fourth_order_tensor": self.stiffness_tensor(sd),
                     },
                 )
-                self._discretizations.append(
-                    (Mpsa(self.stress_keyword), sd, data)
+                self._register_discretization(
+                    Mpsa(self.stress_keyword), sd, data
                 )
 
     def _is_nonlinear_problem(self) -> bool:

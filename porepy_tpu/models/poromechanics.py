@@ -116,8 +116,8 @@ class SolutionStrategyPoromechanics(
             svm = params.get("scalar_vector_mappings", {})
             svm[self.darcy_keyword] = self.biot_tensor([sd])
             params["scalar_vector_mappings"] = svm
-            self._discretizations.append(
-                (Biot(self.stress_keyword), sd, data)
+            self._register_discretization(
+                Biot(self.stress_keyword), sd, data
             )
 
     def set_nonlinear_discretizations(self) -> None:

@@ -214,10 +214,41 @@ class SolutionStrategy(FluidMixin):
     def update_discretization_parameters(self) -> None:
         pass
 
+    def _register_discretization(self, discr, sd, data) -> None:
+        """Register (or re-register) a discretizer for a grid. Re-running
+        ``update_discretization_parameters`` (e.g. after fracture
+        propagation rebuilds the model) replaces the previous entry of the
+        same type/keyword/grid instead of duplicating it — a duplicate
+        both doubles assembly work and breaks partial updates (the second
+        pass would map already-updated matrices again)."""
+        if not hasattr(self, "_discretizations"):
+            self._discretizations = []
+        kw = getattr(discr, "keyword", None)
+        self._discretizations = [
+            t
+            for t in self._discretizations
+            if not (
+                t[1] is sd
+                and type(t[0]) is type(discr)
+                and getattr(t[0], "keyword", None) == kw
+            )
+        ]
+        self._discretizations.append((discr, sd, data))
+
     def discretize(self) -> None:
+        """(Re)compute every registered discretization. A grid whose data
+        dictionary carries ``update_discretization`` info (set by e.g.
+        fracture propagation) is routed through the discretizer's partial
+        ``update_discretization`` when it has one — only the interaction
+        regions whose contributions changed are re-assembled."""
         tic = _time.time()
         for discr, sd, data in getattr(self, "_discretizations", []):
-            discr.discretize(sd, data)
+            if "update_discretization" in data and hasattr(
+                discr, "update_discretization"
+            ):
+                discr.update_discretization(sd, data)
+            else:
+                discr.discretize(sd, data)
         logger.info(f"Discretized in {_time.time() - tic:.2e} s")
 
     # -- Newton callbacks ----------------------------------------------------

@@ -138,7 +138,7 @@ class SolutionStrategyThermoporomechanics(
             )
             svm[self.darcy_keyword] = self.biot_tensor([sd])
             params["scalar_vector_mappings"] = svm
-            self._discretizations.append((Biot(self.stress_keyword), sd, data))
+            self._register_discretization(Biot(self.stress_keyword), sd, data)
 
     def set_nonlinear_discretizations(self) -> None:
         """Darcy and Fourier fluxes on sub-dimensional grids depend on the

@@ -80,6 +80,50 @@ class FracturePropagation:
             self._device_solvers = {}
         self.set_equations()
         self.update_discretization_parameters()
-        self.discretize()
+        # Partial rediscretization of the host grid: faces appended by the
+        # split keep all pre-existing indices, so the stored matrices map
+        # through an injection and only the regions around the split/new
+        # faces are re-assembled (``update_discretization``; disable with
+        # params['partial_rediscretization'] = False).
+        import scipy.sparse as sps
+
+        tagged = []
+        if self.params.get("partial_rediscretization", True):
+            for sd, data in self.mdg.subdomains(return_data=True):
+                if not data.pop("partial_update", False):
+                    continue
+                new_faces = np.asarray(
+                    data.get("new_faces", np.zeros(0, int))
+                )
+                split_faces = np.asarray(
+                    data.get("split_faces", np.zeros(0, int))
+                )
+                new_cells = np.asarray(
+                    data.get("new_cells", np.zeros(0, int))
+                )
+                if new_cells.size or sd.dim != self.nd:
+                    # Grids that gained cells (the fractures) rediscretize
+                    # in full — TPFA there is O(nnz) anyway.
+                    continue
+                n_old_f = sd.num_faces - new_faces.size
+                face_map = sps.coo_matrix(
+                    (
+                        np.ones(n_old_f),
+                        (np.arange(n_old_f), np.arange(n_old_f)),
+                    ),
+                    shape=(sd.num_faces, n_old_f),
+                ).tocsr()
+                data["update_discretization"] = {
+                    "modified_faces": np.unique(
+                        np.concatenate([new_faces, split_faces])
+                    ),
+                    "map_faces": face_map,
+                }
+                tagged.append(data)
+        try:
+            self.discretize()
+        finally:
+            for data in tagged:
+                data.pop("update_discretization", None)
         self.update_time_dependent_ad_arrays()
         self.update_derived_quantities()

@@ -367,3 +367,42 @@ def test_propagated_3d_mdg_solves_flow_like_direct():
     # sorted fields and total fracture pressure mass.
     assert p1.size == p2.size
     assert np.allclose(np.sort(p1), np.sort(p2), atol=1e-10)
+
+
+def test_propagation_partial_rediscretization_matches_full():
+    """After propagation, the partially updated host discretization equals
+    a from-scratch discretization of the post-propagation grid (the model
+    routes the host grid through ``update_discretization``)."""
+    mdg = _mdg([[0.25, 0.5], [0.5, 0.5]])
+    params = {
+        "critical_sifs": [1e-4, 1e-4],
+        "times_to_export": [],
+        "time_manager": pt.TimeManager([0, 1.0], 1.0, constant_dt=True),
+        "material_constants": {
+            "solid": pt.SolidConstants(
+                shear_modulus=1.0, lame_lambda=1.0, residual_aperture=1e-3
+            ),
+        },
+    }
+    m = _TensionPropagation(params, mdg)
+    pt.run_time_dependent_model(m, params)
+    assert m.has_propagated()
+    sd = m.mdg.subdomains(dim=2)[0]
+    data = m.mdg.subdomain_data(sd)
+    partial = {
+        k: v.copy()
+        for k, v in data[pt.DISCRETIZATION_MATRICES]["mechanics"].items()
+    }
+    # From-scratch reference on the same (already propagated) grid.
+    d2 = pt.initialize_data(
+        {},
+        "mechanics",
+        {
+            "bc": m.bc_type_mechanics(sd),
+            "fourth_order_tensor": m.stiffness_tensor(sd),
+        },
+    )
+    pt.Mpsa("mechanics").discretize(sd, d2)
+    for key, full in d2[pt.DISCRETIZATION_MATRICES]["mechanics"].items():
+        diff = abs(partial[key] - full)
+        assert (diff.max() if diff.nnz else 0.0) < 1e-12, key
