@@ -326,6 +326,53 @@ def run_3d_framework() -> dict:
     return _summarize(m, skip=2)
 
 
+def run_berre3d() -> dict:
+    """Berre et al. 2021 3d benchmark case 2 — 9 fractures with the full
+    intersection hierarchy (2d/1d/0d subgrids, ~280 mortar interfaces) on
+    the native fracture-conforming structured-tet mesh (~24.6k tets),
+    compressible single-phase md flow through the framework device path.
+    The reference baseline times the IDENTICAL mesh mirrored into
+    reference grid objects (tools/measure_ref_configs.py::measure_berre3d)."""
+    import porepy_tpu as pt
+    from porepy_tpu.applications.md_grids.mdg_library import (
+        benchmark_3d_case_2,
+    )
+
+    mdg, _network = benchmark_3d_case_2(refinement_level=0)
+
+    class Model(_timed(pt.SinglePhaseFlow)):
+        def set_geometry(self):
+            self.mdg = mdg
+            self.nd = 3
+            self._domain = pt.Domain(
+                {"xmin": 0, "xmax": 1, "ymin": 0, "ymax": 1,
+                 "zmin": 0, "zmax": 1}
+            )
+            self.set_well_network()
+
+        def bc_values_pressure(self, bg):
+            return 1.0e5 + 1.0e4 * (1.0 - bg.cell_centers[0])
+
+    params = {
+        "material_constants": {
+            "solid": pt.SolidConstants(
+                permeability=1.0,
+                porosity=0.1,
+                residual_aperture=1e-2,
+                normal_permeability=1.0,
+            ),
+            "fluid": pt.FluidComponent(
+                compressibility=1e-6, viscosity=1e-3, density=1000.0
+            ),
+        },
+        "time_manager": pt.TimeManager([0, 5.0], 1.0, constant_dt=True),
+        "linear_solver": "device_gmres",
+    }
+    m = Model(params)
+    pt.run_time_dependent_model(m, params)
+    return _summarize(m, skip=2)
+
+
 def run_tracer() -> dict:
     """Config 3: tracer transport (in-kernel upwinding + implicit Euler) on
     a fractured 2d grid — our tracer example model mirroring the
@@ -474,7 +521,7 @@ def main() -> None:
     # per-case progress lines go to stderr so a killed run still leaves
     # usable partial numbers.
     selected = os.environ.get(
-        "BENCH_CASES", "md,biot,3d,tracer,thm,structured,sharded"
+        "BENCH_CASES", "md,biot,3d,berre3d,tracer,thm,structured,sharded"
     ).split(",")
     cases = {}
 
@@ -485,12 +532,14 @@ def main() -> None:
             return
         try:
             out = fn()
-            out["vs_baseline"] = round(
-                base[baseline_key]["total_s"] * 1000.0 / out["total_ms"], 1
-            )
-            out["ref_total_ms"] = round(
-                base[baseline_key]["total_s"] * 1000.0, 1
-            )
+            if baseline_key in base:
+                out["vs_baseline"] = round(
+                    base[baseline_key]["total_s"] * 1000.0 / out["total_ms"],
+                    1,
+                )
+                out["ref_total_ms"] = round(
+                    base[baseline_key]["total_s"] * 1000.0, 1
+                )
         except Exception as exc:  # pragma: no cover - diagnostics only
             import traceback
 
@@ -506,6 +555,9 @@ def main() -> None:
         "tpfa_flow_3d_32cubed_framework",
         run_3d_framework,
         "tpfa_flow_3d_32cubed",
+    )
+    run_case(
+        "berre3d", "berre3d_case2_flow_16", run_berre3d, "berre3d_case2_flow_16"
     )
     run_case("tracer", "tracer_2d_64", run_tracer, "tracer_2d_64")
     run_case("thm", "thm_contact_3d_16", run_thm_contact_3d, "thm_contact_3d_16")

@@ -167,6 +167,58 @@ def _jacobi_sweeps(matvec, sinv, r, sweeps):
     return jax.lax.fori_loop(1, sweeps, body, y)
 
 
+def _blockdiag_inverse(
+    A: sps.csr_matrix, tol: float, max_block: int = 2048
+) -> Optional[sps.csr_matrix]:
+    """Exact inverse of a block-diagonal matrix, one dense inverse per
+    connected component of its significant-coupling graph; None if any
+    component exceeds ``max_block`` (then the caller must not eliminate).
+    Entries below ``tol`` are treated as absent when finding components
+    but kept in the inverted blocks."""
+    import scipy.sparse.csgraph as csg
+
+    n = A.shape[0]
+    coo = A.tocoo()
+    keep = np.abs(coo.data) > tol
+    G = sps.coo_matrix(
+        (np.ones(int(keep.sum())), (coo.row[keep], coo.col[keep])),
+        shape=A.shape,
+    )
+    ncomp, lab = csg.connected_components(
+        (G + G.T) > 0, directed=False
+    )
+    sizes = np.bincount(lab, minlength=ncomp)
+    if sizes.size and sizes.max() > max_block:
+        return None
+    order = np.argsort(lab, kind="stable")
+    rows_l, cols_l, vals_l = [], [], []
+    ptr = 0
+    csr = A.tocsr()
+    for comp in range(ncomp):
+        size = sizes[comp]
+        idx = order[ptr : ptr + size]
+        ptr += size
+        if size == 1:
+            d = csr[idx[0], idx[0]]
+            rows_l.append(idx)
+            cols_l.append(idx)
+            vals_l.append(np.array([1.0 / d]))
+            continue
+        sub = csr[idx][:, idx].toarray()
+        inv = np.linalg.inv(sub)
+        ii, jj = np.meshgrid(idx, idx, indexing="ij")
+        rows_l.append(ii.ravel())
+        cols_l.append(jj.ravel())
+        vals_l.append(inv.ravel())
+    return sps.csr_matrix(
+        (
+            np.concatenate(vals_l),
+            (np.concatenate(rows_l), np.concatenate(cols_l)),
+        ),
+        shape=(n, n),
+    )
+
+
 def _ruiz_scaling(A: sps.spmatrix, iters: int = 6):
     """Symmetric Ruiz equilibration: diagonal ``d_r, d_c`` with
     ``diag(d_r) A diag(d_c)`` having unit row/col max-norms. The md/contact
@@ -268,6 +320,7 @@ class _BlockPrecondBuilder:
                 sub[(i, j)] = Ar[:, cj].tocsr()
 
         elim = [i for i, m in enumerate(self.methods) if m == "eliminate"]
+        dinv_mat: dict[int, sps.csr_matrix] = {}
         for j in list(elim):
             Ajj = sub[(j, j)]
             dg = Ajj.diagonal()
@@ -275,24 +328,45 @@ class _BlockPrecondBuilder:
             # Diagonality is judged RELATIVE to the diagonal scale:
             # AD-assembled mortar blocks carry O(1e-28) numerical-noise
             # couplings (products of tiny constants) that are structureless;
-            # demoting the exact elimination to damped Jacobi over them
-            # collapses the whole preconditioner at scale (md flow at 320^2
-            # stalls at rel res ~1 where 64^2 converges).
+            # demoting the exact elimination over them collapses the whole
+            # preconditioner at scale.
             dscale = np.abs(dg).max() if dg.size else 1.0
             significant = (
                 int(np.count_nonzero(np.abs(off.data) > 1e-12 * dscale))
                 if off.nnz
                 else 0
             )
-            if significant or np.any(dg == 0.0):
+            if np.any(dg == 0.0):
                 logger.info(
-                    "Block %d not diagonal (%d significant off-diagonal "
-                    "entries); demoting eliminate -> jacobi",
+                    "Block %d has zero diagonal entries; demoting "
+                    "eliminate -> jacobi",
                     j,
-                    significant,
                 )
                 self.methods[j] = "jacobi"
                 elim.remove(j)
+                continue
+            if significant:
+                # Genuinely coupled (e.g. MPFA pressure traces couple the
+                # mortar fluxes within each interface on non-K-orthogonal
+                # meshes): eliminate exactly BLOCKWISE — one dense inverse
+                # per connected coupling component.
+                inv = _blockdiag_inverse(Ajj, tol=1e-12 * dscale)
+                if inv is None:
+                    logger.info(
+                        "Block %d coupled beyond the blockwise-elimination "
+                        "limit; demoting eliminate -> jacobi",
+                        j,
+                    )
+                    self.methods[j] = "jacobi"
+                    elim.remove(j)
+                    continue
+                logger.info(
+                    "Block %d eliminated blockwise (%d significant "
+                    "off-diagonal entries)",
+                    j,
+                    significant,
+                )
+                dinv_mat[j] = inv
         sweep = [i for i, m in enumerate(self.methods) if m != "eliminate"]
 
         n = A.shape[0]
@@ -312,18 +386,25 @@ class _BlockPrecondBuilder:
             "mdc": jnp.asarray(mdc.astype(np.float32)),
         }
         hierarchies = {}
+
+        def _dinv_of(j) -> sps.csr_matrix:
+            m = dinv_mat.get(j)
+            if m is None:
+                m = sps.diags(1.0 / sub[(j, j)].diagonal()).tocsr()
+            return m
+
         for j in elim:
-            state["dinv"][j] = jnp.asarray(
-                (1.0 / sub[(j, j)].diagonal()).astype(np.float32)
-            )
+            # Uniform ELL form (K=1 for strictly diagonal blocks): the
+            # elimination/back-substitution applies are one gather-multiply
+            # either way.
+            val, col = amg._ell_arrays(_dinv_of(j), np.float32)
+            state["dinv"][j] = (jnp.asarray(val), jnp.asarray(col))
         for i in sweep:
             Sii = sub[(i, i)]
             for j in elim:
                 Aij = sub[(i, j)]
                 if Aij.nnz:
-                    Sii = Sii - (
-                        Aij @ sps.diags(1.0 / sub[(j, j)].diagonal()) @ sub[(j, i)]
-                    )
+                    Sii = Sii - (Aij @ _dinv_of(j) @ sub[(j, i)])
             Sii = Sii.tocsr()
             if i in self.stab:
                 # Raw space: user stabilization diagonals apply unscaled.
@@ -387,10 +468,11 @@ class _BlockPrecondBuilder:
             r = r * state["mdr"]
             parts = jnp.split(r[state["perm_rows"]], splits)
             y = [None] * nb
-            # Forward elimination of diagonal blocks.
+            # Forward elimination of the (block-)diagonal blocks.
             r_red = {}
             for j in elim:
-                y[j] = state["dinv"][j] * parts[j]
+                dv, dc = state["dinv"][j]
+                y[j] = amg.ell_matvec(dv, dc, parts[j])
             for i in sweep:
                 ri = parts[i]
                 for j in elim:
@@ -420,7 +502,8 @@ class _BlockPrecondBuilder:
                     cpl = state["cpl"].get((j, i))
                     if cpl is not None:
                         rj = rj - amg.ell_matvec(cpl[0], cpl[1], y[i])
-                y[j] = state["dinv"][j] * rj
+                dv, dc = state["dinv"][j]
+                y[j] = amg.ell_matvec(dv, dc, rj)
             # Scatter-free reassembly: one gather by the precomputed inverse
             # permutation of the concatenated block order; raw correction
             # out -> equilibrated space.

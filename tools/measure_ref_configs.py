@@ -282,11 +282,119 @@ def measure_thm_contact_3d(cell_size: float) -> dict:
     }
 
 
+def _mirror_subdomains_to_reference(subdomains):
+    """Rebuild porepy_tpu per-dim tet/tri/line/point grid lists as
+    reference grid objects (same nodes/connectivity/global point ids) —
+    so both frameworks time the IDENTICAL unstructured mesh."""
+    out = []
+    for dim, grids in zip((3, 2, 1, 0), subdomains):
+        row = []
+        for g in grids:
+            if dim == 3:
+                cn = g.cell_nodes().tocsc()
+                rg = ref_pp.TetrahedralGrid(
+                    g.nodes.copy(),
+                    cn.indices.reshape((4, g.num_cells), order="F"),
+                )
+            elif dim == 2:
+                cn = g.cell_nodes().tocsc()
+                rg = ref_pp.TriangleGrid(
+                    g.nodes.copy(),
+                    cn.indices.reshape((3, g.num_cells), order="F"),
+                )
+                rg.frac_num = g.frac_num
+            elif dim == 1:
+                from porepy.fracs.msh_2_grid import create_embedded_line_grid
+
+                rg = create_embedded_line_grid(
+                    g.nodes.copy(), np.asarray(g.global_point_ind)
+                )
+            else:
+                rg = ref_pp.PointGrid(g.cell_centers[:, 0])
+            if dim != 1:
+                rg.global_point_ind = np.asarray(g.global_point_ind).copy()
+            rg.compute_geometry()
+            row.append(rg)
+        out.append(row)
+    return out
+
+
+def measure_berre3d(n: int) -> dict:
+    """Berre et al. 2021 case 2 (9 fractures) on the native
+    fracture-conforming structured-tet mesh, mirrored into reference grid
+    objects — compressible single-phase md flow, same setup as bench.py's
+    ``berre3d_case2_flow``."""
+    import porepy_tpu as pt
+    from porepy_tpu.fracs import fracture_importer
+    from porepy_tpu.fracs.structured_simplex import tet_subdomain_lists
+
+    lib = os.path.join(
+        os.path.dirname(pt.__file__),
+        "applications/md_grids/file_library/benchmark_3d_case_2",
+    )
+    network = fracture_importer.network_3d_from_csv(
+        os.path.join(lib, "fracture_network.csv")
+    )
+    sub = tet_subdomain_lists(
+        [f.pts for f in network.fractures],
+        np.array([n] * 3),
+        physdims=[1, 1, 1],
+    )
+    sub_ref = _mirror_subdomains_to_reference(sub)
+    mdg = ref_pp.meshing.subdomains_to_mdg(sub_ref)
+    mdg.compute_geometry()
+
+    class Model(_timing_mixin(ref_pp.SinglePhaseFlow)):
+        def set_geometry(self):
+            self.mdg = mdg
+            self.nd = 3
+            self._domain = ref_pp.Domain(
+                {"xmin": 0, "xmax": 1, "ymin": 0, "ymax": 1,
+                 "zmin": 0, "zmax": 1}
+            )
+            self.set_well_network()
+
+        def bc_values_pressure(self, bg):
+            return 1.0e5 + 1.0e4 * (1.0 - bg.cell_centers[0])
+
+    params = {
+        "material_constants": {
+            "solid": ref_pp.SolidConstants(
+                permeability=1.0,
+                porosity=0.1,
+                residual_aperture=1e-2,
+                normal_permeability=1.0,
+            ),
+            "fluid": ref_pp.FluidComponent(
+                compressibility=1e-6, viscosity=1e-3, density=1000.0
+            ),
+        },
+        "time_manager": ref_pp.TimeManager([0, 5.0], 1.0, constant_dt=True),
+        "linear_solver": "scipy_sparse",
+        "progressbars": False,
+    }
+    t0 = time.perf_counter()
+    m = Model(params)
+    ref_pp.run_time_dependent_model(m, params)
+    total = time.perf_counter() - t0
+    times = np.array(m.iter_times)
+    return {
+        "num_cells": int(sum(sd.num_cells for sd in m.mdg.subdomains())),
+        "num_dofs": int(m.equation_system.num_dofs()),
+        "iters_measured": len(times),
+        "assembly_s": float(np.median(times[:, 0])),
+        "solve_s": float(np.median(times[:, 1])),
+        "total_s": float(np.median(times.sum(axis=1))),
+        "wall_total_s": total,
+    }
+
+
 CONFIGS = {
     "mdflow_mpfa_2d_128": lambda: measure_md_flow(1.0 / 128),
     "biot_poromech_2d_64": lambda: measure_biot(1.0 / 64),
     "tracer_2d_64": lambda: measure_tracer(1.0 / 64),
     "thm_contact_3d_16": lambda: measure_thm_contact_3d(1.0 / 16),
+    "berre3d_case2_flow_16": lambda: measure_berre3d(16),
 }
 
 
