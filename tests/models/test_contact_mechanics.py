@@ -84,3 +84,38 @@ def test_unfractured_momentum_balance_still_runs(ref_pp):
     pt.run_time_dependent_model(m, params)
     u = m.equation_system.get_variable_values(["u"], iterate_index=0)
     assert np.linalg.norm(u) > 1e-4
+
+
+def test_standalone_contact_mechanics_model():
+    """The standalone ContactMechanics model (interface displacement as a
+    prescribed parameter, reference ``models/contact_mechanics.py:577``)
+    runs and produces a contact state."""
+    import porepy_tpu as pt
+
+    class CM(pt.ContactMechanics):
+        def set_fractures(self):
+            self._fractures = [
+                pt.LineFracture(np.array([[0.2, 0.8], [0.5, 0.5]]))
+            ]
+
+        def meshing_arguments(self):
+            return {"cell_size": 0.25}
+
+        def interface_displacement_parameter_values(self, intf):
+            vals = np.zeros((self.nd, intf.num_cells))
+            vals[1] = -1e-3
+            return vals
+
+        def initialize_data_saving(self):
+            pass
+
+        def save_data_time_step(self):
+            pass
+
+    m = CM({})
+    pt.run_time_dependent_model(m, {})
+    t = m.equation_system.get_variable_values(
+        ["contact_traction"], iterate_index=0
+    )
+    assert np.all(np.isfinite(t))
+    assert np.abs(t).max() > 0
