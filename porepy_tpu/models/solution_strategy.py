@@ -813,6 +813,7 @@ class SolutionStrategy(FluidMixin):
                 near_nullspace=nns,
                 tol=self.params.get("linear_solver_tol", 1e-11),
                 maxiter=self.params.get("linear_solver_maxiter"),
+                dense=self.params.get("dense_precond"),
             )
         except ValueError:
             logger.exception(

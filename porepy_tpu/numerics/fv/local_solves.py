@@ -1,13 +1,31 @@
-"""Batched interaction-region solver: the TPU-native core of MPFA/MPSA.
+"""Batched interaction-region solver: the core of MPFA/MPSA discretization.
 
 Multi-point FV discretizations reduce to many small dense linear systems,
 one per grid vertex (the "interaction region"). The reference solves them
 through one giant block-diagonal sparse matrix inverted by a numba loop
 (``/root/reference/src/porepy/numerics/linalg/matrix_operations.py:1175``).
-Here the regions are instead *sorted by size, padded within buckets, and
-solved as dense (B, n, n) batches on device* — one ``jnp.linalg.solve`` /
-batched matmul pair per bucket, which XLA maps onto the MXU. Host work is
-limited to building integer scatter indices once per grid.
+Here the regions are *sorted by size, padded within buckets, and solved as
+dense (B, n, n) batches* — one batched solve / matmul pair per bucket.
+
+Backend choice is driven by measurement, not ideology. Discretization is
+one-time setup (the per-Newton-iteration path — assembly + Krylov — is
+fully device-resident); what matters here is wall clock for a single pass
+over all regions. Measured on this machine (v5e behind the axon tunnel):
+
+- host→device transfer: 15–40 MB/s through the tunnel. A benchmark-size
+  chunk of dense batches is hundreds of MB → tens of seconds per chunk
+  just in transit.
+- TPU batched LU custom call: 2.6 s device-resident for (2048, 32, 32)
+  with 64 RHS — partial pivoting is sequential scalar work, the worst
+  possible shape for the TPU vector units.
+- host LAPACK (``np.linalg.solve`` on the stacked batch): 4.3 s for the
+  SAME work at 8× the batch (16384 regions) on one core.
+
+So the default backend is host LAPACK: it wins by ~40× end to end and has
+a flat memory profile. The device path (f32 LU + f64 iterative refinement)
+is kept behind ``PPT_LOCAL_SOLVE_DEVICE=1`` for hosts with real PCIe
+bandwidth, with its kernel cached at module scope so repeated chunks of
+one shape compile once.
 
 The contract solved per region ``r``::
 
@@ -69,45 +87,74 @@ def _dense_batch(B, nrows, ncols, region_of, local_of, row, col, val, dtype):
     return out
 
 
-def _solve_chunk(a_dense, rhs_dense, w_dense):
-    """Device part: row-equilibrated batched solve + contraction.
+def _use_device() -> bool:
+    import os
+
+    return os.environ.get("PPT_LOCAL_SOLVE_DEVICE", "0") == "1"
+
+
+def _solve_chunk_host(a_dense, rhs_dense, w_dense):
+    """Host LAPACK part: row-equilibrated batched solve + contraction.
 
     Equilibration makes the mixed flux/pressure row scales benign for the
     LU; the solution is unchanged since RHS rows are scaled identically.
+    One ``dgesv`` per region via the stacked ``np.linalg.solve``; the
+    contraction is a stacked GEMM. See the module docstring for why this
+    beats shipping the batch to the accelerator."""
+    scale = np.max(np.abs(a_dense), axis=2, keepdims=True)
+    scale[scale == 0.0] = 1.0
+    x = np.linalg.solve(a_dense / scale, rhs_dense / scale)
+    return w_dense @ x
 
-    On TPU (no f64 LU in hardware) the factorization runs in f32 and the
-    solution is polished by iterative refinement with f64 residuals (f64
-    matmul is XLA-emulated on TPU), recovering ~f64 accuracy for the
-    well-equilibrated region systems.
-    """
+
+_DEVICE_KERNELS: dict = {}
+
+
+def _solve_chunk_device(a_dense, rhs_dense, w_dense):
+    """Device part, kept for hosts with real PCIe bandwidth
+    (``PPT_LOCAL_SOLVE_DEVICE=1``). On TPU (no f64 LU in hardware) the
+    factorization runs in f32 and the solution is polished by iterative
+    refinement with f64 residuals (f64 matmul is XLA-emulated on TPU),
+    recovering ~f64 accuracy for the well-equilibrated region systems.
+    The jitted kernel is cached at module scope so every chunk of a given
+    shape compiles exactly once per process."""
     import jax
-    import jax.numpy as jnp
 
     f64_lu = jax.default_backend() not in ("tpu",)
+    kernel = _DEVICE_KERNELS.get(f64_lu)
+    if kernel is None:
+        import jax.numpy as jnp
 
-    @jax.jit
-    def kernel(a, rhs, w):
-        scale = jnp.max(jnp.abs(a), axis=2, keepdims=True)
-        scale = jnp.where(scale > 0, scale, 1.0)
-        a_s = a / scale
-        rhs_s = rhs / scale
-        if f64_lu:
-            x = jnp.linalg.solve(a_s, rhs_s)
-        else:
-            lu, piv = jax.scipy.linalg.lu_factor(a_s.astype(jnp.float32))
+        @jax.jit
+        def kernel(a, rhs, w):
+            scale = jnp.max(jnp.abs(a), axis=2, keepdims=True)
+            scale = jnp.where(scale > 0, scale, 1.0)
+            a_s = a / scale
+            rhs_s = rhs / scale
+            if f64_lu:
+                x = jnp.linalg.solve(a_s, rhs_s)
+            else:
+                lu, piv = jax.scipy.linalg.lu_factor(a_s.astype(jnp.float32))
 
-            def coarse_solve(r):
-                return jax.vmap(jax.scipy.linalg.lu_solve)(
-                    (lu, piv), r.astype(jnp.float32)
-                ).astype(jnp.float64)
+                def coarse_solve(r):
+                    return jax.vmap(jax.scipy.linalg.lu_solve)(
+                        (lu, piv), r.astype(jnp.float32)
+                    ).astype(jnp.float64)
 
-            x = coarse_solve(rhs_s)
-            for _ in range(3):
-                r = rhs_s - jnp.matmul(a_s, x)
-                x = x + coarse_solve(r)
-        return jnp.matmul(w, x)
+                x = coarse_solve(rhs_s)
+                for _ in range(3):
+                    r = rhs_s - jnp.matmul(a_s, x)
+                    x = x + coarse_solve(r)
+            return jnp.matmul(w, x)
 
+        _DEVICE_KERNELS[f64_lu] = kernel
     return np.asarray(kernel(a_dense, rhs_dense, w_dense))
+
+
+def _solve_chunk(a_dense, rhs_dense, w_dense):
+    if _use_device():
+        return _solve_chunk_device(a_dense, rhs_dense, w_dense)
+    return _solve_chunk_host(a_dense, rhs_dense, w_dense)
 
 
 def solve_and_contract(
@@ -193,16 +240,18 @@ def iter_solve_and_contract(
         q_max_b = float(q_all.max())
         per_region = n * (n + m_max_b + q_max_b) + q_max_b * m_max_b
         chunk = max(1, int(max_batch_elements / max(per_region, 1.0)))
-        # TPU: the batched LU/triangular-solve custom calls stage the whole
-        # (B, n, n) f32 operand in ~16 MB of scoped vmem, and the operand is
-        # tile-padded to (8, 128) — an 81x81 block stages as 88x128. Bound
-        # the chunk by the PADDED footprint (observed: B=228, n=81 dies with
-        # "17.45M > 16.00M scoped vmem" despite a 6 MB nominal operand).
-        import jax
+        # Device path only — TPU: the batched LU/triangular-solve custom
+        # calls stage the whole (B, n, n) f32 operand in ~16 MB of scoped
+        # vmem, and the operand is tile-padded to (8, 128) — an 81x81 block
+        # stages as 88x128. Bound the chunk by the PADDED footprint
+        # (observed: B=228, n=81 dies with "17.45M > 16.00M scoped vmem"
+        # despite a 6 MB nominal operand).
+        if _use_device():
+            import jax
 
-        if jax.default_backend() == "tpu":
-            pad = (-(-n // 8) * 8) * (-(-n // 128) * 128)
-            chunk = min(chunk, max(1, int(1.0e6 / max(pad, 1))))
+            if jax.default_backend() == "tpu":
+                pad = (-(-n // 8) * 8) * (-(-n // 128) * 128)
+                chunk = min(chunk, max(1, int(1.0e6 / max(pad, 1))))
         for lo in range(0, members.size, chunk):
             regs = members[lo : lo + chunk]
             B = regs.size

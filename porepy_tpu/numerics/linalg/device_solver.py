@@ -47,6 +47,76 @@ __all__ = ["DeviceLinearSolver"]
 
 logger = logging.getLogger(__name__)
 
+# -- dense frozen preconditioner ------------------------------------------------
+#
+# At bench-problem sizes (1e4..4e4 dofs) the TPU's weak spot is exactly what
+# every sparse preconditioner is made of: scalar gathers. Measured on v5e,
+# one 18k-row ELL matvec (90k nnz) costs ~0.9 ms *inside a fused loop* (the
+# gather is the floor — a trivial fused op costs 0.4 us), and a 5-level AMG
+# V-cycle ~7.4 ms; a preconditioned Krylov iteration can therefore never
+# beat ~8 ms no matter how good the hierarchy is. A dense (n, n) GEMV, by
+# contrast, is a pure MXU/HBM-bandwidth op: ~1.6 ms f32 at n=18k. So below
+# a size threshold the right TPU preconditioner is simply the *dense
+# inverse of the (equilibrated, frozen) Jacobian*: build it once per
+# refresh entirely on device, then every Krylov apply is ONE matmul, and
+# FGMRES converges in 1-3 iterations because M is exact to f32 rounding.
+# The reference meets these systems with a host direct solve per Newton
+# iteration (reference ``models/solution_strategy.py:830-877``); this is
+# the MXU-native analogue with the factorization cost amortized across the
+# whole Newton/time loop instead of paid per iteration.
+
+_DENSE_GJ_BLOCK = 1024
+
+
+def _dense_block_inv(A: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a dense square matrix by blocked Gauss-Jordan elimination
+    without pivoting: per block step, one small ``jnp.linalg.inv`` pivot
+    (XLA's TPU LU custom call is fast below ~2k rows but pathologically
+    slow above — measured 10.8 s at n=8192 on v5e, scoped-vmem crash at
+    12288) and two full-width matmuls, which is exactly where the MXU wants
+    to be (2n^3 total flops; ~0.6 s at n=18k). Runs as ONE fused
+    ``fori_loop`` program. Unpivoted at the block level — safe here because
+    every caller hands in a Ruiz-equilibrated matrix and the result is
+    validated (and demoted to the sparse block preconditioner) by the
+    caller. ``A.shape[0]`` must be a multiple of ``_DENSE_GJ_BLOCK``."""
+    n = A.shape[0]
+    b = _DENSE_GJ_BLOCK
+    if n <= b:
+        return jnp.linalg.inv(A)
+    assert n % b == 0
+    ridx = jnp.arange(n)
+
+    def step(k, M):
+        i0 = k * b
+        in_k = (ridx >= i0) & (ridx < i0 + b)
+        P = jax.lax.dynamic_slice(M, (i0, i0), (b, b))
+        Pi = jnp.linalg.inv(P)
+        R = jax.lax.dynamic_slice(M, (i0, 0), (b, n))
+        C = jax.lax.dynamic_slice(M, (0, i0), (n, b))
+        Rnew = jnp.dot(Pi, R, precision=jax.lax.Precision.HIGHEST)
+        Cz = jnp.where(in_k[:, None], 0.0, C)
+        Rmask = jnp.where(in_k[None, :], 0.0, Rnew)
+        M = M - jnp.dot(Cz, Rmask, precision=jax.lax.Precision.HIGHEST)
+        # Column strip: A[i,k] <- -A[i,k] @ Pi (i != k), row-k block zeroed
+        # here and rewritten by the row strip below.
+        Ck = -jnp.dot(Cz, Pi, precision=jax.lax.Precision.HIGHEST)
+        M = jax.lax.dynamic_update_slice(M, Ck, (0, i0))
+        # Row strip: A[k,j] <- Pi @ A[k,j] (j != k), A[k,k] <- Pi.
+        Rfin = jax.lax.dynamic_update_slice(Rmask, Pi, (0, i0))
+        M = jax.lax.dynamic_update_slice(M, Rfin, (i0, 0))
+        return M
+
+    return jax.lax.fori_loop(0, n // b, step, A)
+
+
+def _dense_precond_limit() -> int:
+    """Size threshold below which the dense frozen preconditioner is used
+    on TPU. 36864^2 f32 plus inversion temporaries is the ~16 GB HBM edge
+    of a v5e chip; OOM during the build falls back to the sparse path."""
+    import os
+
+    return int(os.environ.get("PPT_DENSE_PRECOND_MAX", "36864"))
+
 
 def _fgmres(matvec, M, b, x0, atol, restart, max_cycles):
     """Right-preconditioned restarted FGMRES, written for XLA: CGS
@@ -546,6 +616,7 @@ class DeviceLinearSolver:
         tol: float = 1e-11,
         maxiter: Optional[int] = None,
         restart: int = 70,
+        dense: Optional[bool] = None,
     ) -> None:
         if system.num_rows != system.shape[1]:
             raise ValueError("Device solve needs a square assembled system")
@@ -594,6 +665,17 @@ class DeviceLinearSolver:
         self._hierarchies: Optional[dict] = None
         self._jit_solve = None
         self.last_stats: Optional[dict] = None
+        # Dense frozen preconditioner (see module comment): auto-on for
+        # TPU-resident systems under the HBM threshold, explicit True/False
+        # overrides (tests force it on CPU; huge systems force it off).
+        if dense is None:
+            dense = (
+                jax.default_backend() == "tpu"
+                and n <= _dense_precond_limit()
+            )
+        self._dense = bool(dense)
+        self._n_pad = -(-n // 2048) * 2048
+        self._dense_build = None
 
     # -- preconditioner lifecycle ---------------------------------------------
 
@@ -603,11 +685,121 @@ class DeviceLinearSolver:
             shape=self.system.shape,
         )
 
+    def _refresh_dense(self, data) -> None:
+        """Dense frozen preconditioner: scatter the Ruiz-equilibrated
+        Jacobian into a padded (n_pad, n_pad) f32 matrix on device, invert
+        it with :func:`_dense_block_inv` (compiled once per padded size),
+        validate the inverse against the host operator, and precondition
+        with ONE GEMV per Krylov apply."""
+        A = self._host_matrix(data)
+        d_r, d_c = _ruiz_scaling(A)
+        n, n_pad = self.n, self._n_pad
+        if self._dense_build is None:
+            # The global assembly ordering does NOT align equation rows
+            # with their natural dofs (equations and variables are
+            # registered independently), so the raw diagonal can be
+            # structurally zero — fatal for unpivoted Gauss-Jordan
+            # (observed: NaN inverse on the md bench system on TPU). The
+            # field-block layout already computed by the sparse builder
+            # pairs each equation row range with its variable's dofs;
+            # permuting by the concatenated block order puts every field's
+            # (diagonally strong, equilibrated) square block on the
+            # diagonal.
+            rows_concat = np.concatenate(
+                [r for r, _c in self._builder.blocks]
+            )
+            cols_concat = np.concatenate(
+                [c for _r, c in self._builder.blocks]
+            )
+            if (
+                rows_concat.size != n
+                or np.unique(rows_concat).size != n
+            ):  # rows not a permutation: identity fallback
+                rows_concat = np.arange(n)
+                cols_concat = np.arange(n)
+            rowpos = np.empty(n, np.int64)
+            rowpos[rows_concat] = np.arange(n)
+            colpos = np.empty(n, np.int64)
+            colpos[cols_concat] = np.arange(n)
+            self._dense_rows = jnp.asarray(
+                rowpos[self._rows_np].astype(np.int32)
+            )
+            self._dense_cols = jnp.asarray(
+                colpos[self._cols_np].astype(np.int32)
+            )
+            self._dense_perm_r = jnp.asarray(rows_concat.astype(np.int32))
+            self._dense_scatter = jnp.asarray(colpos.astype(np.int32))
+
+            def build(vals_f64, dr, dc, rows, cols):
+                vals = (dr * vals_f64 * dc).astype(jnp.float32)
+                Ad = jnp.zeros((n_pad, n_pad), jnp.float32)
+                Ad = Ad.at[rows, cols].add(vals)
+                pad = jnp.arange(n, n_pad, dtype=jnp.int32)
+                Ad = Ad.at[pad, pad].set(1.0)
+                return _dense_block_inv(Ad)
+
+            self._dense_build = jax.jit(build)
+        minv = self._dense_build(
+            jnp.asarray(data),
+            jnp.asarray(d_r[self._rows_np]),
+            jnp.asarray(d_c[self._cols_np]),
+            self._dense_rows,
+            self._dense_cols,
+        )
+        pr, sc = self._dense_perm_r, self._dense_scatter
+
+        def apply(state, r):
+            rp = jnp.pad(
+                r[pr].astype(jnp.float32), (0, n_pad - n)
+            )
+            return (state["minv"] @ rp)[:n][sc]
+
+        m_state = {
+            "minv": minv,
+            "dr": jnp.asarray(d_r),
+            "dc": jnp.asarray(d_c),
+            "dc1": jnp.asarray(np.append(d_c, 1.0)),
+        }
+        # Validate through the full apply chain against the host
+        # equilibrated operator: the unpivoted blocked Gauss-Jordan can
+        # (rarely) go unstable on an indefinite system, and a bad inverse
+        # must demote to the sparse path, not silently stall every solve.
+        rng = np.random.default_rng(0)
+        e = rng.standard_normal(n)
+        e /= np.linalg.norm(e)
+        y = np.asarray(apply(m_state, jnp.asarray(e, jnp.float32)))
+        A_eq = sps.diags(d_r) @ A @ sps.diags(d_c)
+        err = float(np.linalg.norm(A_eq @ y - e))
+        if not np.isfinite(err) or err > 0.3:
+            raise FloatingPointError(
+                f"dense preconditioner validation failed (|A M e - e| = {err:.2e})"
+            )
+        self._m_state = m_state
+        self._m_apply = apply
+        if self._jit_solve is None:
+            inner = jax.jit(self._make_solve())
+            self._jit_solve_inner = inner
+            self._jit_solve = lambda data, b, x0, m_state, tol: inner(
+                data, b, x0, m_state, tol, self._ell_sel, self._ell_col
+            )
+
     def refresh_preconditioner(self, data) -> None:
         """(Re)build the frozen preconditioner from the given Jacobian
         nonzeros: Ruiz-equilibrate, then build the block preconditioner on
         the equilibrated operator. Reuses aggregation structure when it
-        exists."""
+        exists. Small TPU-resident systems take the dense frozen inverse
+        instead (see module comment); failures demote to the sparse path."""
+        if self._dense:
+            try:
+                self._refresh_dense(data)
+                return
+            except Exception:
+                logger.exception(
+                    "Dense preconditioner build failed; demoting to the "
+                    "sparse block preconditioner"
+                )
+                self._dense = False
+                self._jit_solve = None  # retrace with the sparse apply
         A = self._host_matrix(data)
         d_r, d_c = _ruiz_scaling(A)
         # The Krylov iterates on the equilibrated operator; the block
@@ -799,6 +991,7 @@ class DeviceLinearSolver:
             "refreshed": refreshed,
             "nnz": int(self.system.indices_np.shape[0]),
             "n": self.n,
+            "dense": self._dense,
         }
         return x * b_norm, res * b_norm
 

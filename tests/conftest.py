@@ -69,3 +69,26 @@ def assert_sparse_equal(a, b, atol=1e-12, rtol=1e-10):
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# -- fast/slow test tiers -------------------------------------------------------
+#
+# ``pytest -m "not slow"`` is the smoke tier: it must give a green/red
+# signal in a few minutes cold-cache. Everything end-to-end (functional
+# convergence studies, tutorial replays, full model time loops) is marked
+# slow by location so a CI driver never needs a per-test opt-in list.
+
+_SLOW_PATH_PARTS = (
+    "tests/functional",
+    "tests/examples",
+    "tests/test_tutorials.py",
+    "tests/models",
+    "tests/compositional",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        path = str(getattr(item, "fspath", ""))
+        if any(part in path for part in _SLOW_PATH_PARTS):
+            item.add_marker(pytest.mark.slow)

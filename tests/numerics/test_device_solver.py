@@ -150,6 +150,57 @@ def test_device_block_preconditioner_poromechanics():
     assert np.linalg.norm(dev - ref) / np.linalg.norm(ref) < 1e-9
 
 
+def test_device_dense_preconditioner_md_flow():
+    """Dense frozen preconditioner (blocked Gauss-Jordan inverse on device,
+    one GEMV per Krylov apply — the MXU-native small-system path used on
+    TPU below the HBM threshold) reproduces the host direct solution."""
+    ref = _md_flow("scipy_sparse").equation_system.get_variable_values(
+        time_step_index=0
+    )
+    before = FALLBACK_COUNTER["count"]
+    m = _md_flow_dense()
+    dev = m.equation_system.get_variable_values(time_step_index=0)
+    assert FALLBACK_COUNTER["count"] == before, "device solve fell back to host"
+    solver = next(iter(m._device_solvers.values()))
+    assert solver._dense, "dense preconditioner was demoted"
+    assert np.linalg.norm(dev - ref) / np.linalg.norm(ref) < 1e-10
+
+
+def _md_flow_dense():
+    class MD(pt.SinglePhaseFlow):
+        def set_fractures(self):
+            self._fractures = [
+                pt.LineFracture(np.array([[0.25, 0.75], [0.5, 0.5]])),
+                pt.LineFracture(np.array([[0.5, 0.5], [0.25, 0.75]])),
+            ]
+
+        def bc_values_pressure(self, bg):
+            return 1.0 - bg.cell_centers[1]
+
+        def initialize_data_saving(self):
+            pass
+
+        def save_data_time_step(self):
+            pass
+
+    params = {
+        "grid_type": "cartesian",
+        "meshing_arguments": {"cell_size": 1 / 16},
+        "material_constants": {
+            "solid": pt.SolidConstants(**SOLID),
+            "fluid": pt.FluidComponent(
+                compressibility=1e-6, viscosity=1.0, density=1.0
+            ),
+        },
+        "time_manager": pt.TimeManager([0, 1.0], 1.0, constant_dt=True),
+        "linear_solver": "device_gmres",
+        "dense_precond": True,
+    }
+    m = MD(params)
+    pt.run_time_dependent_model(m, params)
+    return m
+
+
 def test_assemble_device_matches_host_assembly():
     """Device BCOO data/indices reproduce the host scipy assembly exactly."""
     import scipy.sparse as sps
