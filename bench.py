@@ -39,7 +39,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 if os.environ.get("JAX_PLATFORMS"):
     import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    plat = os.environ["JAX_PLATFORMS"]
+    if "cpu" not in [p.strip() for p in plat.split(",")]:
+        plat += ",cpu"  # the host backend must stay initializable
+    jax.config.update("jax_platforms", plat)
 
 FRACTURES_2D = [
     np.array([[0.125, 0.875], [0.25, 0.25]]),

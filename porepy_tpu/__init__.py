@@ -25,6 +25,20 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# Default device = host CPU: setup work (geometry, discretization, operator
+# tracing) is latency-bound small-op orchestration the accelerator is bad
+# at — catastrophically so through a tunneled TPU. The hot loop opts into
+# the accelerator explicitly via utils.device_policy (see its docstring).
+_jax.config.update("jax_default_device", "cpu")
+
+# An explicit JAX_PLATFORMS that omits "cpu" (e.g. a bare accelerator-plugin
+# name) would leave the host backend uninitializable; the split above
+# requires it. Order is preserved, so the accelerator keeps priority.
+_plat = _jax.config.jax_platforms
+if _plat and "cpu" not in [p.strip() for p in _plat.split(",")]:
+    _jax.config.update("jax_platforms", _plat + ",cpu")
+del _plat
+
 __version__ = "0.1.0"
 
 # -- constants & keys -----------------------------------------------------

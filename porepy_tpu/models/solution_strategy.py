@@ -26,6 +26,7 @@ from porepy_tpu.compositional.materials import (
 from porepy_tpu.models.units import Units
 from porepy_tpu.numerics import ad
 from porepy_tpu.numerics.time_step_control import TimeManager
+from porepy_tpu.utils import device_policy
 from porepy_tpu.viz.solver_statistics import SolverStatistics
 
 __all__ = ["SolutionStrategy", "ContactIndicators"]
@@ -478,6 +479,7 @@ class SolutionStrategy(FluidMixin):
             return False
         return not any(ce.env_spec.has_prev_iterate for ce in cs.ces)
 
+    @device_policy.on_accelerator
     def fused_newton_loop(self, nl_params: dict):
         """Run the ENTIRE Newton loop of this time step as ONE device
         program (assembly + preconditioned FGMRES + convergence test inside
@@ -503,7 +505,7 @@ class SolutionStrategy(FluidMixin):
             logger.exception("Device solver construction failed")
             return None
         envs = cs._envs(eq_sys)
-        x0 = jnp.asarray(eq_sys._global_vector())
+        x0 = device_policy.put(eq_sys._global_vector())
         if solver._m_state is None:
             data0, _b0 = cs._data_and_rhs(x0, envs)
             solver.refresh_preconditioner(data0)
@@ -555,6 +557,7 @@ class SolutionStrategy(FluidMixin):
         eq_sys.set_variable_values(x, iterate_index=0)
         return True
 
+    @device_policy.on_accelerator
     def _build_fused_loop(self, cs, solver, nl_params: dict):
         import jax
         import jax.numpy as jnp

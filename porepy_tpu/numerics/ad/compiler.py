@@ -32,6 +32,7 @@ import numpy as np
 import scipy.sparse as sps
 from jax.experimental import sparse as jsparse
 
+from porepy_tpu.utils import device_policy
 from porepy_tpu.numerics.ad.operators import (
     AdArray,
     DenseArray,
@@ -100,11 +101,12 @@ class _EnvSpec:
         compiled function as ARGUMENTS, not closure captures: a captured
         device array lowers to an HLO literal, and XLA's constant-folding
         pass then grinds through (and re-materializes) every
-        multi-megabyte discretization matrix at compile time. The device
-        upload is deduplicated globally, so a projection shared by several
-        equations lives on device once."""
-        dev = _device_const(host_array)
-        idx = self.slot(key, lambda _es, _d=dev: _d)
+        multi-megabyte discretization matrix at compile time. The fetcher
+        returns the HOST array (so the host-assembly path stays on the CPU
+        device); :meth:`fetch_device` uploads it to the accelerator once,
+        deduplicated globally — a projection shared by several equations
+        lives on device once."""
+        idx = self.slot(key, lambda _es, _h=host_array: _h)
         self.static_slots.add(idx)
         return idx
 
@@ -126,11 +128,10 @@ class _EnvSpec:
                 return False
             if np.array_equal(a, rec["a"]):
                 continue
-            dev = jnp.asarray(a)
             idx = rec["slot_a"]
-            self.fetchers[idx] = lambda _es, _d=dev: _d
+            self.fetchers[idx] = lambda _es, _h=a: _h
             if self._cache is not None:
-                self._cache[idx] = dev
+                self._cache[idx] = device_policy.put(a)
                 self._cache_host[idx] = a
             rec["a"] = a
         return True
@@ -151,7 +152,10 @@ class _EnvSpec:
         version = state_version()
         if self._cache is None:
             host = [f(eq_sys) for f in self.fetchers]
-            self._cache = [jnp.asarray(h) for h in host]
+            self._cache = [
+                _device_const(h) if i in self.static_slots else device_policy.put(h)
+                for i, h in enumerate(host)
+            ]
             self._cache_host = host
             self._cache_version = version
             return list(self._cache)
@@ -166,7 +170,7 @@ class _EnvSpec:
                     and old.shape == np.shape(h)
                     and np.array_equal(old, h)
                 ):
-                    self._cache[i] = jnp.asarray(h)
+                    self._cache[i] = device_policy.put(h)
                     self._cache_host[i] = h
             self._cache_version = version
         # Scalar slots (mutable ad.Scalar, e.g. the time step) can change
@@ -176,7 +180,7 @@ class _EnvSpec:
         for i in self._scalar_slots:
             h = self.fetchers[i](eq_sys)
             if h != self._cache_host[i]:
-                self._cache[i] = jnp.asarray(h)
+                self._cache[i] = device_policy.put(np.asarray(h))
                 self._cache_host[i] = h
         return list(self._cache)
 
@@ -190,7 +194,7 @@ _DEVICE_CONSTS: dict[int, tuple] = {}
 def _device_const(arr: np.ndarray):
     hit = _DEVICE_CONSTS.get(id(arr))
     if hit is None:
-        hit = (arr, jnp.asarray(arr))
+        hit = (arr, device_policy.put(np.asarray(arr)))
         _DEVICE_CONSTS[id(arr)] = hit
     return hit[1]
 
@@ -349,8 +353,9 @@ class _EllMat:
 
     @classmethod
     def from_scipy(cls, mat: sps.spmatrix) -> "_EllMat":
+        # Hot-loop constant: lives on the accelerator.
         val, col, shape = _ell_host_arrays(mat)
-        return cls(jnp.asarray(val), jnp.asarray(col), shape)
+        return cls(device_policy.put(val), device_policy.put(col), shape)
 
     def matvec(self, x):
         x_p = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
@@ -461,10 +466,11 @@ def _device_const_matrix(mat: sps.spmatrix):
 
 def _raw_bcoo(mat: sps.spmatrix) -> jsparse.BCOO:
     coo = mat.tocoo()
-    indices = jnp.asarray(
+    # Hot-loop constant: lives on the accelerator.
+    indices = device_policy.put(
         np.ascontiguousarray(np.column_stack([coo.row, coo.col]).astype(np.int32))
     )
-    data = jnp.asarray(np.array(coo.data, dtype=np.float64, copy=True))
+    data = device_policy.put(np.array(coo.data, dtype=np.float64, copy=True))
     return jsparse.BCOO(
         (data, indices), shape=coo.shape, indices_sorted=False, unique_indices=False
     )

@@ -32,6 +32,7 @@ from porepy_tpu.numerics.ad.operators import (
     Variable,
 )
 from porepy_tpu.utils import common_constants as cc
+from porepy_tpu.utils import device_policy
 from porepy_tpu.utils.solution_storage import get_solution_values, set_solution_values
 
 __all__ = ["EquationSystem"]
@@ -51,7 +52,9 @@ class _CompiledEquation:
         seeds = np.zeros((max(self.n_colors, 1), ndof))
         if ndof:
             seeds[self.colors, np.arange(ndof)] = 1.0
-        self.seeds = jnp.asarray(seeds)
+        # Host array: the host-assembly path places it on the CPU device at
+        # call time; _CompiledSystem keeps its own accelerator copy.
+        self.seeds = seeds
         self.rows, self.cols = self.pattern.nonzero()
         # Gather indices into the (n_colors, n_rows) compressed block.
         self.gather_color = self.colors[self.cols]
@@ -105,7 +108,11 @@ class _CompiledSystem:
             np.concatenate(idx_chunks) if idx_chunks else np.zeros((0, 2), np.int64)
         )
         self.indices_np = indices
-        self.indices = jnp.asarray(indices.astype(np.int32))
+        # Accelerator-placed but UNCOMMITTED (jnp.asarray under the accel
+        # default-device scope, not device_put): the sharded path re-places
+        # these under a mesh sharding, which a committed array would fight.
+        with device_policy.accel_scope():
+            self.indices = jnp.asarray(indices.astype(np.int32))
 
         # One jitted kernel PER equation (value + colored-jvp compressed
         # Jacobian + gather into the global nnz layout), concatenated on
@@ -114,9 +121,13 @@ class _CompiledSystem:
         # identical per-equation programs run fine. Everything stays
         # device-resident either way.
         def make_eq_fn(ce):
-            # int32 gather indices: int64 indexing serializes on TPU.
-            gc = jnp.asarray(np.asarray(ce.gather_color, dtype=np.int32))
-            rj = jnp.asarray(np.asarray(ce.rows, dtype=np.int32))
+            # int32 gather indices: int64 indexing serializes on TPU. All
+            # operands of the device assembly are placed on the accelerator
+            # but left uncommitted (see the ``indices`` comment above).
+            with device_policy.accel_scope():
+                gc = jnp.asarray(np.asarray(ce.gather_color, dtype=np.int32))
+                rj = jnp.asarray(np.asarray(ce.rows, dtype=np.int32))
+                seeds = jnp.asarray(ce.seeds)
 
             def eq_fn(x, seeds, gc, rj, env):
                 val, jvp_fn = jax.linearize(lambda xx: ce.fn(xx, *env), x)
@@ -127,7 +138,7 @@ class _CompiledSystem:
 
             # Index/seed arrays enter as arguments, not closure constants —
             # large embedded literals destabilize the TPU compile.
-            def call(x, env, jitted=jitted, seeds=ce.seeds, gc=gc, rj=rj):
+            def call(x, env, jitted=jitted, seeds=seeds, gc=gc, rj=rj):
                 return jitted(x, seeds, gc, rj, env)
 
             return call
@@ -174,16 +185,17 @@ class _CompiledSystem:
         )
 
     def assemble(self, eq_sys) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """(Jacobian nonzero data, -residual), both device arrays. Combine the
-        data with the static ``indices``/``shape`` for the global BCOO."""
-        x = jnp.asarray(eq_sys._global_vector())
+        """(Jacobian nonzero data, -residual), both accelerator arrays.
+        Combine the data with the static ``indices``/``shape`` for the
+        global BCOO."""
+        x = device_policy.put(eq_sys._global_vector())
         return self._data_and_rhs(x, self._envs(eq_sys))
 
     def residual(self, eq_sys, x=None) -> jnp.ndarray:
         """-residual as a device array (``x`` defaults to current iterate)."""
         if x is None:
-            x = jnp.asarray(eq_sys._global_vector())
-        return self._rhs_only(jnp.asarray(x), self._envs(eq_sys))
+            x = eq_sys._global_vector()
+        return self._rhs_only(device_policy.put(np.asarray(x)), self._envs(eq_sys))
 
     def bcoo(self, data: jnp.ndarray):
         from jax.experimental import sparse as jsparse

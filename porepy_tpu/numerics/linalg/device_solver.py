@@ -43,6 +43,8 @@ import scipy.sparse as sps
 from porepy_tpu.numerics.linalg import amg
 from porepy_tpu.numerics.linalg.krylov import FALLBACK_COUNTER
 
+from porepy_tpu.utils import device_policy
+
 __all__ = ["DeviceLinearSolver"]
 
 logger = logging.getLogger(__name__)
@@ -605,6 +607,7 @@ class DeviceLinearSolver:
         displacement blocks).
     """
 
+    @device_policy.on_accelerator
     def __init__(
         self,
         system,
@@ -685,6 +688,7 @@ class DeviceLinearSolver:
             shape=self.system.shape,
         )
 
+    @device_policy.on_accelerator
     def _refresh_dense(self, data) -> None:
         """Dense frozen preconditioner: scatter the Ruiz-equilibrated
         Jacobian into a padded (n_pad, n_pad) f32 matrix on device, invert
@@ -783,6 +787,7 @@ class DeviceLinearSolver:
                 data, b, x0, m_state, tol, self._ell_sel, self._ell_col
             )
 
+    @device_policy.on_accelerator
     def refresh_preconditioner(self, data) -> None:
         """(Re)build the frozen preconditioner from the given Jacobian
         nonzeros: Ruiz-equilibrate, then build the block preconditioner on
@@ -915,6 +920,7 @@ class DeviceLinearSolver:
 
     # -- driver ----------------------------------------------------------------
 
+    @device_policy.on_accelerator
     def _solve_jit(self, data, b, tol=None):
         """Device solve returning ``(x, residual_norm)``.
 
@@ -997,6 +1003,7 @@ class DeviceLinearSolver:
 
     # -- public API ------------------------------------------------------------
 
+    @device_policy.on_accelerator
     def solve(self, data, b, tol=None) -> np.ndarray:
         """Solve on device; host-spsolve fallback (logged + counted) if the
         Krylov iteration misses tolerance. ``tol`` overrides the
@@ -1037,6 +1044,7 @@ class DeviceLinearSolver:
             return sps.linalg.spsolve(A, np.asarray(b))
         return np.asarray(x)
 
+    @device_policy.on_accelerator
     def solve_device(self, data, b):
         """Device-only solve: returns (x, residual_norm) without host checks
         (for fully device-resident loops and sharded execution)."""
