@@ -49,7 +49,7 @@ __all__ = ["DeviceLinearSolver"]
 
 logger = logging.getLogger(__name__)
 
-# -- dense frozen preconditioner ------------------------------------------------
+# -- dense frozen block inverses -------------------------------------------------
 #
 # At bench-problem sizes (1e4..4e4 dofs) the TPU's weak spot is exactly what
 # every sparse preconditioner is made of: scalar gathers. Measured on v5e,
@@ -58,14 +58,23 @@ logger = logging.getLogger(__name__)
 # V-cycle ~7.4 ms; a preconditioned Krylov iteration can therefore never
 # beat ~8 ms no matter how good the hierarchy is. A dense (n, n) GEMV, by
 # contrast, is a pure MXU/HBM-bandwidth op: ~1.6 ms f32 at n=18k. So below
-# a size threshold the right TPU preconditioner is simply the *dense
-# inverse of the (equilibrated, frozen) Jacobian*: build it once per
-# refresh entirely on device, then every Krylov apply is ONE matmul, and
-# FGMRES converges in 1-3 iterations because M is exact to f32 rounding.
-# The reference meets these systems with a host direct solve per Newton
-# iteration (reference ``models/solution_strategy.py:830-877``); this is
-# the MXU-native analogue with the factorization cost amortized across the
-# whole Newton/time loop instead of paid per iteration.
+# a size threshold the right TPU method for each *field block* of the
+# preconditioner is simply the dense inverse of that block's (per-block
+# Ruiz-equilibrated, Schur-folded, frozen) matrix: build it once per
+# refresh entirely on device, then every Krylov apply is ONE matmul per
+# block, and FGMRES converges in a handful of iterations because the block
+# sweep is exact to f32 rounding. Inverting the WHOLE equilibrated Jacobian
+# this way was measured to be unstable: unpivoted block Gauss-Jordan on the
+# md system shows 1e12 element growth once the elimination front crosses
+# into the mortar-flux rows (NaN at the final block step). Per-block it is
+# safe — the elliptic cell blocks after exact interface elimination are
+# M-matrix-like, the transport/contact blocks diagonally dominant — and
+# each build is validated against the host operator with automatic demotion
+# to AMG/Jacobi on failure. The reference meets these systems with a host
+# direct solve per Newton iteration (reference
+# ``models/solution_strategy.py:830-877``); this is the MXU-native analogue
+# with the factorization cost amortized across the whole Newton/time loop
+# instead of paid per iteration.
 
 _DENSE_GJ_BLOCK = 1024
 
@@ -112,12 +121,32 @@ def _dense_block_inv(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dense_precond_limit() -> int:
-    """Size threshold below which the dense frozen preconditioner is used
-    on TPU. 36864^2 f32 plus inversion temporaries is the ~16 GB HBM edge
-    of a v5e chip; OOM during the build falls back to the sparse path."""
+    """Per-block size threshold below which the dense frozen block inverse
+    is used on TPU. 36864^2 f32 plus inversion temporaries is the ~16 GB
+    HBM edge of a v5e chip; OOM or a failed validation during the build
+    demotes that block to its sparse method."""
     import os
 
     return int(os.environ.get("PPT_DENSE_PRECOND_MAX", "36864"))
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _dense_inv_fn(ni: int, n_pad: int):
+    """Jitted (cached per shape) scatter + blocked Gauss-Jordan inverse of
+    an ``ni``-sized sparse block padded to ``n_pad`` (identity pad diag)."""
+
+    def build(vals, rows, cols):
+        Ad = jnp.zeros((n_pad, n_pad), jnp.float32)
+        Ad = Ad.at[rows, cols].add(vals)
+        if n_pad > ni:
+            pad = jnp.arange(ni, n_pad, dtype=jnp.int32)
+            Ad = Ad.at[pad, pad].set(1.0)
+        return _dense_block_inv(Ad)
+
+    return jax.jit(build)
 
 
 def _fgmres(matvec, M, b, x0, atol, restart, max_cycles):
@@ -357,6 +386,48 @@ class _BlockPrecondBuilder:
         # consumer's jitted solve bakes the apply structure in, so later
         # value refreshes must not change static sweep counts.
         self._jac_sweeps: dict[int, int] = {}
+        # Per-block dense upgrade: sweep blocks at most this size get a
+        # dense frozen inverse (device blocked Gauss-Jordan) instead of
+        # their AMG/Jacobi method. 0 disables. Decisions are sticky per
+        # block once taken (demotion on a failed validation resets it).
+        self.dense_limit: int = 0
+        self._block_dense: dict[int, bool] = {}
+
+    def _build_dense_block(self, Sii: sps.csr_matrix) -> jnp.ndarray:
+        """Dense frozen inverse of one sweep block: per-block Ruiz
+        equilibration (block Gauss-Jordan is unpivoted — the raw md blocks
+        span ~10 orders of magnitude), device blocked Gauss-Jordan inverse
+        of the equilibrated block, diagonals folded back so the stored
+        matrix is the RAW-space inverse (one GEMV per apply, consistent
+        with the raw-space block sweep). Validated against the host
+        operator; raises to let the caller demote the block."""
+        ni = Sii.shape[0]
+        b = _DENSE_GJ_BLOCK
+        n_pad = -(-ni // b) * b
+        dr, dc = _ruiz_scaling(Sii)
+        coo = Sii.tocoo()
+        vals = (dr[coo.row] * coo.data * dc[coo.col]).astype(np.float32)
+        inv_eq = _dense_inv_fn(ni, n_pad)(
+            jnp.asarray(vals),
+            jnp.asarray(coo.row.astype(np.int32)),
+            jnp.asarray(coo.col.astype(np.int32)),
+        )
+        # Raw-space inverse: Minv = Dc inv_eq Dr (pad scales are 1).
+        dcp = jnp.asarray(np.pad(dc, (0, n_pad - ni), constant_values=1.0).astype(np.float32))
+        drp = jnp.asarray(np.pad(dr, (0, n_pad - ni), constant_values=1.0).astype(np.float32))
+        minv = inv_eq * dcp[:, None] * drp[None, :]
+        e = np.random.default_rng(0).standard_normal(ni)
+        e /= np.linalg.norm(e)
+        y = np.asarray(
+            minv @ jnp.asarray(np.pad(e, (0, n_pad - ni)), jnp.float32)
+        )[:ni]
+        err = float(np.linalg.norm(Sii @ y.astype(np.float64) - e))
+        if not np.isfinite(err) or err > 0.3:
+            raise FloatingPointError(
+                f"dense block inverse validation failed (|S M e - e| = {err:.2e},"
+                f" n = {ni})"
+            )
+        return minv
 
     def build(
         self,
@@ -452,6 +523,7 @@ class _BlockPrecondBuilder:
             "cpl": {},
             "amg": {},
             "jac": {},
+            "dense": {},
             "perm_rows": self._rows_concat,
             "perm_inv": self._scatter_inv,
             "mdr": jnp.asarray(mdr.astype(np.float32)),
@@ -483,6 +555,21 @@ class _BlockPrecondBuilder:
                 Sii = Sii + sps.diags(
                     np.asarray(self.stab[i], dtype=np.float64)
                 )
+            want_dense = self._block_dense.get(
+                i, 0 < Sii.shape[0] <= self.dense_limit
+            )
+            if want_dense:
+                try:
+                    state["dense"][i] = self._build_dense_block(Sii)
+                    self._block_dense[i] = True
+                    continue
+                except Exception:
+                    logger.exception(
+                        "Dense inverse of block %d failed; demoting to %s",
+                        i,
+                        self.methods[i],
+                    )
+                    self._block_dense[i] = False
             if self.methods[i] == "amg":
                 nns = self.nns.get(i)
                 B, bs = (nns if nns is not None else (None, 1))
@@ -534,6 +621,8 @@ class _BlockPrecondBuilder:
 
         splits = self._splits
         methods = list(self.methods)
+        dense_set = frozenset(i for i in sweep if self._block_dense.get(i))
+        sizes = {i: self.blocks[i][1].size for i in sweep}
 
         def apply(state, r):
             # Equilibrated residual in -> raw space; block GS runs raw.
@@ -559,7 +648,12 @@ class _BlockPrecondBuilder:
                     cpl = state["cpl"].get((i, k))
                     if cpl is not None:
                         ri = ri - amg.ell_matvec(cpl[0], cpl[1], y[k])
-                if methods[i] == "amg":
+                if i in dense_set:
+                    ni = sizes[i]
+                    D = state["dense"][i]
+                    rp = jnp.pad(ri.astype(jnp.float32), (0, D.shape[0] - ni))
+                    y[i] = (D @ rp)[:ni].astype(ri.dtype)
+                elif methods[i] == "amg":
                     y[i] = hierarchies[i].apply(state["amg"][i], ri)
                 else:
                     jb = state["jac"][i]
@@ -668,19 +762,28 @@ class DeviceLinearSolver:
         self._hierarchies: Optional[dict] = None
         self._jit_solve = None
         self.last_stats: Optional[dict] = None
-        # Dense frozen preconditioner (see module comment): auto-on for
-        # TPU-resident systems under the HBM threshold, explicit True/False
-        # overrides (tests force it on CPU; huge systems force it off).
+        # Dense frozen block inverses (see module comment): auto-on for
+        # TPU-resident systems whose sweep blocks fit under the HBM
+        # threshold, explicit True/False overrides (tests force it on CPU;
+        # huge systems force it off). The upgrade is PER BLOCK, decided and
+        # validated inside the builder.
         if dense is None:
             dense = (
                 jax.default_backend() == "tpu"
                 and n <= _dense_precond_limit()
             )
-        self._dense = bool(dense)
-        self._n_pad = -(-n // 2048) * 2048
-        self._dense_build = None
+        if dense:
+            self._builder.dense_limit = _dense_precond_limit()
 
     # -- preconditioner lifecycle ---------------------------------------------
+
+    @property
+    def _dense(self) -> bool:
+        """True when dense frozen block inverses are active (before the
+        first build: configured to be attempted)."""
+        if self._builder._block_dense:
+            return any(self._builder._block_dense.values())
+        return self._builder.dense_limit > 0
 
     def _host_matrix(self, data) -> sps.csr_matrix:
         return sps.csr_matrix(
@@ -689,122 +792,12 @@ class DeviceLinearSolver:
         )
 
     @device_policy.on_accelerator
-    def _refresh_dense(self, data) -> None:
-        """Dense frozen preconditioner: scatter the Ruiz-equilibrated
-        Jacobian into a padded (n_pad, n_pad) f32 matrix on device, invert
-        it with :func:`_dense_block_inv` (compiled once per padded size),
-        validate the inverse against the host operator, and precondition
-        with ONE GEMV per Krylov apply."""
-        A = self._host_matrix(data)
-        d_r, d_c = _ruiz_scaling(A)
-        n, n_pad = self.n, self._n_pad
-        if self._dense_build is None:
-            # The global assembly ordering does NOT align equation rows
-            # with their natural dofs (equations and variables are
-            # registered independently), so the raw diagonal can be
-            # structurally zero — fatal for unpivoted Gauss-Jordan
-            # (observed: NaN inverse on the md bench system on TPU). The
-            # field-block layout already computed by the sparse builder
-            # pairs each equation row range with its variable's dofs;
-            # permuting by the concatenated block order puts every field's
-            # (diagonally strong, equilibrated) square block on the
-            # diagonal.
-            rows_concat = np.concatenate(
-                [r for r, _c in self._builder.blocks]
-            )
-            cols_concat = np.concatenate(
-                [c for _r, c in self._builder.blocks]
-            )
-            if (
-                rows_concat.size != n
-                or np.unique(rows_concat).size != n
-            ):  # rows not a permutation: identity fallback
-                rows_concat = np.arange(n)
-                cols_concat = np.arange(n)
-            rowpos = np.empty(n, np.int64)
-            rowpos[rows_concat] = np.arange(n)
-            colpos = np.empty(n, np.int64)
-            colpos[cols_concat] = np.arange(n)
-            self._dense_rows = jnp.asarray(
-                rowpos[self._rows_np].astype(np.int32)
-            )
-            self._dense_cols = jnp.asarray(
-                colpos[self._cols_np].astype(np.int32)
-            )
-            self._dense_perm_r = jnp.asarray(rows_concat.astype(np.int32))
-            self._dense_scatter = jnp.asarray(colpos.astype(np.int32))
-
-            def build(vals_f64, dr, dc, rows, cols):
-                vals = (dr * vals_f64 * dc).astype(jnp.float32)
-                Ad = jnp.zeros((n_pad, n_pad), jnp.float32)
-                Ad = Ad.at[rows, cols].add(vals)
-                pad = jnp.arange(n, n_pad, dtype=jnp.int32)
-                Ad = Ad.at[pad, pad].set(1.0)
-                return _dense_block_inv(Ad)
-
-            self._dense_build = jax.jit(build)
-        minv = self._dense_build(
-            jnp.asarray(data),
-            jnp.asarray(d_r[self._rows_np]),
-            jnp.asarray(d_c[self._cols_np]),
-            self._dense_rows,
-            self._dense_cols,
-        )
-        pr, sc = self._dense_perm_r, self._dense_scatter
-
-        def apply(state, r):
-            rp = jnp.pad(
-                r[pr].astype(jnp.float32), (0, n_pad - n)
-            )
-            return (state["minv"] @ rp)[:n][sc]
-
-        m_state = {
-            "minv": minv,
-            "dr": jnp.asarray(d_r),
-            "dc": jnp.asarray(d_c),
-            "dc1": jnp.asarray(np.append(d_c, 1.0)),
-        }
-        # Validate through the full apply chain against the host
-        # equilibrated operator: the unpivoted blocked Gauss-Jordan can
-        # (rarely) go unstable on an indefinite system, and a bad inverse
-        # must demote to the sparse path, not silently stall every solve.
-        rng = np.random.default_rng(0)
-        e = rng.standard_normal(n)
-        e /= np.linalg.norm(e)
-        y = np.asarray(apply(m_state, jnp.asarray(e, jnp.float32)))
-        A_eq = sps.diags(d_r) @ A @ sps.diags(d_c)
-        err = float(np.linalg.norm(A_eq @ y - e))
-        if not np.isfinite(err) or err > 0.3:
-            raise FloatingPointError(
-                f"dense preconditioner validation failed (|A M e - e| = {err:.2e})"
-            )
-        self._m_state = m_state
-        self._m_apply = apply
-        if self._jit_solve is None:
-            inner = jax.jit(self._make_solve())
-            self._jit_solve_inner = inner
-            self._jit_solve = lambda data, b, x0, m_state, tol: inner(
-                data, b, x0, m_state, tol, self._ell_sel, self._ell_col
-            )
-
-    @device_policy.on_accelerator
     def refresh_preconditioner(self, data) -> None:
         """(Re)build the frozen preconditioner from the given Jacobian
         nonzeros: Ruiz-equilibrate, then build the block preconditioner on
         the equilibrated operator. Reuses aggregation structure when it
-        exists. Small TPU-resident systems take the dense frozen inverse
-        instead (see module comment); failures demote to the sparse path."""
-        if self._dense:
-            try:
-                self._refresh_dense(data)
-                return
-            except Exception:
-                logger.exception(
-                    "Dense preconditioner build failed; demoting to the "
-                    "sparse block preconditioner"
-                )
-                self._dense = False
-                self._jit_solve = None  # retrace with the sparse apply
+        exists. On TPU, sweep blocks under the HBM threshold take dense
+        frozen inverses (see module comment); failures demote per block."""
         A = self._host_matrix(data)
         d_r, d_c = _ruiz_scaling(A)
         # The Krylov iterates on the equilibrated operator; the block
