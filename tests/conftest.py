@@ -31,6 +31,8 @@ import pytest  # noqa: E402
 
 
 def _reference_available() -> bool:
+    if os.environ.get("PPT_NO_REFERENCE") == "1":
+        return False  # force replay-from-goldens mode (tests the CI path)
     try:
         from tools.refshim import pp  # noqa: F401
 
@@ -51,6 +53,120 @@ def ref_pp():
     from tools.refshim import pp
 
     return pp
+
+
+# -- golden record/replay -------------------------------------------------------
+#
+# Reference-derived arrays are checked in as compressed ``.npz`` files under
+# ``tests/goldens/`` so that parity tests keep running on machines WITHOUT a
+# reference checkout (the reference itself ships its goldens as
+# ``applications/test_utils/reference_dense_arrays.py``). With the reference
+# importable the values are computed live — and compared against the stored
+# golden, guarding against silent drift of the recording; the file is
+# (re)recorded when missing or when ``PPT_REGEN_GOLDENS=1``.
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _golden_pack(vals: dict) -> dict:
+    """Flatten a {name: ndarray | scipy sparse} dict into npz-storable
+    arrays (sparse matrices become four ``name.csr.*`` entries)."""
+    import scipy.sparse as sps
+
+    out = {}
+    for name, v in vals.items():
+        if sps.issparse(v):
+            m = v.tocsr()
+            out[f"{name}.csr.data"] = m.data
+            out[f"{name}.csr.indices"] = m.indices
+            out[f"{name}.csr.indptr"] = m.indptr
+            out[f"{name}.csr.shape"] = np.asarray(m.shape)
+        else:
+            out[name] = np.asarray(v)
+    return out
+
+
+def _golden_unpack(z) -> dict:
+    import scipy.sparse as sps
+
+    out = {}
+    for key in z.files:
+        if key.endswith(".csr.data"):
+            name = key[: -len(".csr.data")]
+            out[name] = sps.csr_matrix(
+                (
+                    z[f"{name}.csr.data"],
+                    z[f"{name}.csr.indices"],
+                    z[f"{name}.csr.indptr"],
+                ),
+                shape=tuple(z[f"{name}.csr.shape"]),
+            )
+        elif ".csr." not in key:
+            out[key] = z[key]
+    return out
+
+
+def _golden_equal(a, b) -> bool:
+    import scipy.sparse as sps
+
+    if sps.issparse(a) or sps.issparse(b):
+        d = abs(sps.csr_matrix(a) - sps.csr_matrix(b))
+        scale = max(abs(sps.csr_matrix(b)).max(), 1.0)
+        return (d.max() if d.nnz else 0.0) <= 1e-9 * scale
+    return np.allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12)
+
+
+@pytest.fixture
+def golden(request):
+    """Record/replay store for reference-derived values.
+
+    Usage::
+
+        def test_x(golden):
+            vals = golden(lambda ref_pp: {"mat": <sparse>, "u": <ndarray>})
+            # compare framework results against vals["mat"], vals["u"]
+
+    Live mode (reference importable): computes via the callback, records
+    ``tests/goldens/<nodeid>.npz`` when absent (or PPT_REGEN_GOLDENS=1) and
+    asserts the stored golden still matches the live values. Replay mode:
+    loads the stored file; skips only if it was never recorded.
+    """
+    key = (
+        request.node.nodeid.split("::", 1)[-1]
+        .replace("::", ".")
+        .replace("/", "_")
+        .replace("[", "(")
+        .replace("]", ")")
+    )
+    fname = os.path.join(GOLDEN_DIR, f"{key}.npz")
+
+    def fetch(compute):
+        if _reference_available():
+            from tools.refshim import pp as _ref
+
+            vals = compute(_ref)
+            if os.environ.get("PPT_REGEN_GOLDENS") == "1" or not os.path.exists(
+                fname
+            ):
+                os.makedirs(GOLDEN_DIR, exist_ok=True)
+                np.savez_compressed(fname, **_golden_pack(vals))
+            else:
+                stored = _golden_unpack(np.load(fname))
+                for name, v in vals.items():
+                    assert name in stored, f"golden {key} missing {name!r}"
+                    assert _golden_equal(stored[name], v), (
+                        f"golden {key}:{name} is stale — regenerate with "
+                        "PPT_REGEN_GOLDENS=1"
+                    )
+            return vals
+        if os.path.exists(fname):
+            return _golden_unpack(np.load(fname))
+        pytest.skip(
+            "reference PorePy not importable and no recorded golden "
+            f"({fname})"
+        )
+
+    return fetch
 
 
 def assert_sparse_equal(a, b, atol=1e-12, rtol=1e-10):

@@ -8,7 +8,7 @@ import pytest
 import scipy.sparse as sps
 
 import porepy_tpu as pt
-from tests.conftest import assert_sparse_equal, requires_reference
+from tests.conftest import assert_sparse_equal
 
 
 def make_eq_sys(nx=(4, 3), nvar=1):
@@ -23,7 +23,6 @@ def make_eq_sys(nx=(4, 3), nvar=1):
     return g, mdg, eq, mdvars
 
 
-@requires_reference
 @pytest.mark.parametrize(
     "expr",
     [
@@ -34,7 +33,7 @@ def make_eq_sys(nx=(4, 3), nvar=1):
         lambda p, m: m.maximum(p, 0.5 * p + 0.1),
     ],
 )
-def test_operator_algebra_parity(ref_pp, expr):
+def test_operator_algebra_parity(golden, expr):
     """Values and Jacobians of composite expressions match the reference's
     scipy forward mode seeded with identity."""
     g, mdg, eq, (p_md,) = make_eq_sys()
@@ -50,18 +49,22 @@ def test_operator_algebra_parity(ref_pp, expr):
 
     res = expr(p_md, _M).value_and_jacobian(eq)
 
-    # Reference: same expression on an AdArray with identity jacobian.
-    (p_ref,) = ref_pp.ad.initAdArrays([vals])
+    def compute(ref_pp):
+        # Reference: same expression on an AdArray with identity jacobian.
+        (p_ref,) = ref_pp.ad.initAdArrays([vals])
 
-    class _R:
-        exp = staticmethod(ref_pp.ad.exp)
-        log = staticmethod(ref_pp.ad.log)
-        sin = staticmethod(ref_pp.ad.sin)
-        maximum = staticmethod(ref_pp.ad.maximum)
+        class _R:
+            exp = staticmethod(ref_pp.ad.exp)
+            log = staticmethod(ref_pp.ad.log)
+            sin = staticmethod(ref_pp.ad.sin)
+            maximum = staticmethod(ref_pp.ad.maximum)
 
-    ref = expr(p_ref, _R)
-    np.testing.assert_allclose(res.val, ref.val, rtol=1e-12, atol=1e-14)
-    assert_sparse_equal(res.jac, ref.jac, atol=1e-12)
+        ref = expr(p_ref, _R)
+        return {"val": np.asarray(ref.val), "jac": sps.csr_matrix(ref.jac)}
+
+    ref = golden(compute)
+    np.testing.assert_allclose(res.val, ref["val"], rtol=1e-12, atol=1e-14)
+    assert_sparse_equal(res.jac, ref["jac"], atol=1e-12)
 
 
 def test_matmul_and_projections():

@@ -10,7 +10,6 @@ import scipy.sparse as sps
 import porepy_tpu as pt
 from porepy_tpu.numerics.fv.mpfa import Mpfa
 from porepy_tpu.numerics.linalg.matrix_operations import invert_diagonal_blocks
-from tests.conftest import requires_reference
 
 KEYS = [
     "flux",
@@ -41,7 +40,6 @@ def _case(pp_mod, nx, anisotropic, robin):
     return g, k, bc
 
 
-@requires_reference
 @pytest.mark.parametrize(
     "nx,anisotropic,robin",
     [
@@ -52,48 +50,61 @@ def _case(pp_mod, nx, anisotropic, robin):
         ([3, 2, 2], True, True),
     ],
 )
-def test_mpfa_matrix_parity(ref_pp, nx, anisotropic, robin):
+def test_mpfa_matrix_parity(golden, nx, anisotropic, robin):
     g, k, bc = _case(pt, nx, anisotropic, robin)
-    gr, kr, bcr = _case(ref_pp, nx, anisotropic, robin)
-
     d = pt.initialize_data({}, "f", {"second_order_tensor": k, "bc": bc})
     Mpfa("f").discretize(g, d)
-    dr = ref_pp.initialize_data({}, "f", {"second_order_tensor": kr, "bc": bcr})
-    ref_pp.Mpfa("f").discretize(gr, dr)
 
+    def compute(ref_pp):
+        gr, kr, bcr = _case(ref_pp, nx, anisotropic, robin)
+        dr = ref_pp.initialize_data(
+            {}, "f", {"second_order_tensor": kr, "bc": bcr}
+        )
+        ref_pp.Mpfa("f").discretize(gr, dr)
+        return {
+            key: dr[ref_pp.DISCRETIZATION_MATRICES]["f"][key] for key in KEYS
+        }
+
+    ref = golden(compute)
     for key in KEYS:
         a = d[pt.DISCRETIZATION_MATRICES]["f"][key]
-        b = dr[ref_pp.DISCRETIZATION_MATRICES]["f"][key]
+        b = ref[key]
         diff = abs(a - b)
         mx = diff.max() if diff.nnz else 0.0
         scale = max(abs(b).max(), 1e-300)
         assert mx / scale < 1e-10, (key, mx)
 
 
-@requires_reference
-def test_mpfa_parity_on_split_grid(ref_pp):
+def test_mpfa_parity_on_split_grid(golden):
     """MPFA on a fractured (face-split) grid: the interaction regions see
     the internal boundary; matrices must agree with the reference."""
     from porepy_tpu.fracs import meshing
 
     f = np.array([[1.0, 3.0], [2.0, 2.0]])
     mdg = meshing.cart_grid([f], np.array([4, 4]))
-    mdg_ref = ref_pp.meshing.cart_grid([f], np.array([4, 4]))
     sd = mdg.subdomains(dim=2)[0]
-    sdr = mdg_ref.subdomains(dim=2)[0]
-
     k = pt.SecondOrderTensor(np.ones(sd.num_cells))
-    kr = ref_pp.SecondOrderTensor(np.ones(sdr.num_cells))
     bc = pt.BoundaryCondition(sd, sd.get_boundary_faces(), "dir")
-    bcr = ref_pp.BoundaryCondition(sdr, sdr.get_boundary_faces(), "dir")
-
     d = pt.initialize_data({}, "f", {"second_order_tensor": k, "bc": bc})
     Mpfa("f").discretize(sd, d)
-    dr = ref_pp.initialize_data({}, "f", {"second_order_tensor": kr, "bc": bcr})
-    ref_pp.Mpfa("f").discretize(sdr, dr)
+
+    def compute(ref_pp):
+        mdg_ref = ref_pp.meshing.cart_grid([f], np.array([4, 4]))
+        sdr = mdg_ref.subdomains(dim=2)[0]
+        kr = ref_pp.SecondOrderTensor(np.ones(sdr.num_cells))
+        bcr = ref_pp.BoundaryCondition(sdr, sdr.get_boundary_faces(), "dir")
+        dr = ref_pp.initialize_data(
+            {}, "f", {"second_order_tensor": kr, "bc": bcr}
+        )
+        ref_pp.Mpfa("f").discretize(sdr, dr)
+        return {
+            key: dr[ref_pp.DISCRETIZATION_MATRICES]["f"][key] for key in KEYS
+        }
+
+    ref = golden(compute)
     for key in KEYS:
         a = d[pt.DISCRETIZATION_MATRICES]["f"][key]
-        b = dr[ref_pp.DISCRETIZATION_MATRICES]["f"][key]
+        b = ref[key]
         diff = abs(a - b)
         mx = diff.max() if diff.nnz else 0.0
         scale = max(abs(b).max(), 1e-300)

@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
 
 KEYS = [
     "stress",
@@ -30,29 +29,36 @@ def _case(mod, nx, robin):
     return g, C, bc
 
 
-@requires_reference
 @pytest.mark.parametrize(
     "nx,robin",
     [([4, 3], False), ([4, 3], True), ([3, 2, 2], False), ([3, 2, 2], True)],
 )
-def test_mpsa_matrix_parity(ref_pp, nx, robin):
+def test_mpsa_matrix_parity(golden, nx, robin):
     g, C, bc = _case(pt, nx, robin)
-    gr, Cr, bcr = _case(ref_pp, nx, robin)
     d = pt.initialize_data({}, "m", {"fourth_order_tensor": C, "bc": bc})
     pt.Mpsa("m").discretize(g, d)
-    dr = ref_pp.initialize_data({}, "m", {"fourth_order_tensor": Cr, "bc": bcr})
-    ref_pp.Mpsa("m").discretize(gr, dr)
+
+    def compute(ref_pp):
+        gr, Cr, bcr = _case(ref_pp, nx, robin)
+        dr = ref_pp.initialize_data(
+            {}, "m", {"fourth_order_tensor": Cr, "bc": bcr}
+        )
+        ref_pp.Mpsa("m").discretize(gr, dr)
+        return {
+            key: dr[ref_pp.DISCRETIZATION_MATRICES]["m"][key] for key in KEYS
+        }
+
+    ref = golden(compute)
     for key in KEYS:
         a = d[pt.DISCRETIZATION_MATRICES]["m"][key]
-        b = dr[ref_pp.DISCRETIZATION_MATRICES]["m"][key]
+        b = ref[key]
         diff = abs(a - b)
         mx = diff.max() if diff.nnz else 0.0
         scale = max(abs(b).max(), 1e-300)
         assert mx / scale < 1e-10, (key, mx)
 
 
-@requires_reference
-def test_momentum_balance_parity(ref_pp):
+def test_momentum_balance_parity(golden):
     def make(mod, base):
         class M(base):
             def bc_values_displacement(self, bg):
@@ -78,9 +84,17 @@ def test_momentum_balance_parity(ref_pp):
     m, p1 = make(pt, pt.MomentumBalance)
     pt.run_time_dependent_model(m, p1)
     u_o = m.equation_system.get_variable_values(["u"], time_step_index=0)
-    r, p2 = make(ref_pp, ref_pp.MomentumBalance)
-    ref_pp.run_time_dependent_model(r, p2)
-    u_r = r.equation_system.get_variable_values(["u"], time_step_index=0)
+
+    def compute(ref_pp):
+        r, p2 = make(ref_pp, ref_pp.MomentumBalance)
+        ref_pp.run_time_dependent_model(r, p2)
+        return {
+            "u": r.equation_system.get_variable_values(
+                ["u"], time_step_index=0
+            )
+        }
+
+    u_r = golden(compute)["u"]
     assert np.abs(u_o - u_r).max() < 1e-12
 
 

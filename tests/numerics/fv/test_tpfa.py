@@ -15,7 +15,7 @@ import pytest
 import porepy_tpu as pt
 from porepy_tpu.numerics.fv import tpfa as fvtpfa
 from porepy_tpu.numerics.fv.fv_mesh import BoundaryMasks, FvMesh
-from tests.conftest import assert_sparse_equal, requires_reference
+from tests.conftest import assert_sparse_equal
 
 KEYS = [
     "flux",
@@ -47,26 +47,29 @@ def _make_case(pp_mod, nx, anisotropic, rng):
     return g, k, bc, data
 
 
-@requires_reference
 @pytest.mark.parametrize("nx", [[5], [4, 3], [3, 2, 2]])
 @pytest.mark.parametrize("anisotropic", [False, True])
-def test_tpfa_matrix_parity(ref_pp, nx, anisotropic, rng):
+def test_tpfa_matrix_parity(golden, nx, anisotropic, rng):
     g, k, bc, data = _make_case(pt, nx, anisotropic, np.random.default_rng(7))
-    g_ref, k_ref, bc_ref, _ = _make_case(
-        ref_pp, nx, anisotropic, np.random.default_rng(7)
-    )
-
     pt.Tpfa("flow").discretize(g, data)
 
-    data_ref = ref_pp.initialize_data(
-        {}, "flow", {"second_order_tensor": k_ref, "bc": bc_ref}
-    )
-    ref_pp.Tpfa("flow").discretize(g_ref, data_ref)
+    def compute(ref_pp):
+        g_ref, k_ref, bc_ref, _ = _make_case(
+            ref_pp, nx, anisotropic, np.random.default_rng(7)
+        )
+        data_ref = ref_pp.initialize_data(
+            {}, "flow", {"second_order_tensor": k_ref, "bc": bc_ref}
+        )
+        ref_pp.Tpfa("flow").discretize(g_ref, data_ref)
+        return {
+            key: data_ref[ref_pp.DISCRETIZATION_MATRICES]["flow"][key]
+            for key in KEYS
+        }
 
+    ref = golden(compute)
     for key in KEYS:
         a = data[pt.DISCRETIZATION_MATRICES]["flow"][key]
-        b = data_ref[ref_pp.DISCRETIZATION_MATRICES]["flow"][key]
-        assert_sparse_equal(a, b, atol=1e-12, rtol=1e-10)
+        assert_sparse_equal(a, ref[key], atol=1e-12, rtol=1e-10)
 
 
 def test_matrix_free_flux_matches_matrices(rng):

@@ -7,35 +7,26 @@ import scipy.sparse as sps
 import porepy_tpu as pt
 from porepy_tpu.numerics.fem.rt0 import RT0
 from porepy_tpu.numerics.vem.mvem import MVEM
-from tests.conftest import requires_reference
 
 
-def _grids(ref_pp, kind):
+def _grid(mod, kind):
     if kind == "cart2d":
-        g = pt.CartGrid([4, 3])
-        gr = ref_pp.CartGrid(np.array([4, 3]))
+        g = mod.CartGrid(np.array([4, 3]))
     elif kind == "cart3d":
-        g = pt.CartGrid([2, 2, 2])
-        gr = ref_pp.CartGrid(np.array([2, 2, 2]))
+        g = mod.CartGrid(np.array([2, 2, 2]))
     elif kind == "tri":
-        g = pt.StructuredTriangleGrid([3, 3], [1.0, 1.0])
-        gr = ref_pp.StructuredTriangleGrid(np.array([3, 3]), np.array([1.0, 1.0]))
+        g = mod.StructuredTriangleGrid(np.array([3, 3]), np.array([1.0, 1.0]))
     elif kind == "tet":
-        g = pt.StructuredTetrahedralGrid([2, 2, 2], [1.0, 1.0, 1.0])
-        gr = ref_pp.StructuredTetrahedralGrid(
+        g = mod.StructuredTetrahedralGrid(
             np.array([2, 2, 2]), np.array([1.0, 1.0, 1.0])
         )
     else:  # rotated 1d
-        g = pt.TensorGrid(np.linspace(0, 1, 6))
+        g = mod.TensorGrid(np.linspace(0, 1, 6))
         g.nodes[1] = g.nodes[0] * 0.5
-        gr = ref_pp.TensorGrid(np.linspace(0, 1, 6))
-        gr.nodes[1] = gr.nodes[0] * 0.5
     g.compute_geometry()
-    gr.compute_geometry()
-    return g, gr
+    return g
 
 
-@requires_reference
 @pytest.mark.parametrize(
     "scheme,kind",
     [
@@ -48,8 +39,8 @@ def _grids(ref_pp, kind):
         ("rt0", "1d"),
     ],
 )
-def test_dual_discretization_parity(ref_pp, scheme, kind):
-    g, gr = _grids(ref_pp, kind)
+def test_dual_discretization_parity(golden, scheme, kind):
+    g = _grid(pt, kind)
     rng = np.random.default_rng(23)
     kxx = rng.uniform(0.5, 2.0, g.num_cells)
     bf = g.get_boundary_faces()
@@ -64,33 +55,45 @@ def test_dual_discretization_parity(ref_pp, scheme, kind):
             "bc_values": bcv.copy(),
         },
     )
-    dr = ref_pp.initialize_data(
-        {},
-        "flow",
-        {
-            "second_order_tensor": ref_pp.SecondOrderTensor(kxx),
-            "bc": ref_pp.BoundaryCondition(gr, bf, cond),
-            "bc_values": bcv.copy(),
-        },
-    )
     Disc = MVEM if scheme == "mvem" else RT0
-    RefDisc = ref_pp.MVEM if scheme == "mvem" else ref_pp.RT0
     Disc("flow").discretize(g, d)
-    RefDisc("flow").discretize(gr, dr)
     md = d[pt.DISCRETIZATION_MATRICES]["flow"]
-    mdr = dr[ref_pp.DISCRETIZATION_MATRICES]["flow"]
+    A_m, b_m = Disc("flow").assemble_matrix_rhs(g, d)
+
+    def compute(ref_pp):
+        gr = _grid(ref_pp, kind)
+        dr = ref_pp.initialize_data(
+            {},
+            "flow",
+            {
+                "second_order_tensor": ref_pp.SecondOrderTensor(kxx),
+                "bc": ref_pp.BoundaryCondition(gr, bf, cond),
+                "bc_values": bcv.copy(),
+            },
+        )
+        RefDisc = ref_pp.MVEM if scheme == "mvem" else ref_pp.RT0
+        RefDisc("flow").discretize(gr, dr)
+        mdr = dr[ref_pp.DISCRETIZATION_MATRICES]["flow"]
+        A_r, b_r = RefDisc("flow").assemble_matrix_rhs(gr, dr)
+        out = {
+            key: sps.csr_matrix(mdr[key])
+            for key in ("mass", "div", "vector_proj")
+        }
+        out["A"] = sps.csr_matrix(A_r)
+        out["b"] = np.asarray(b_r)
+        return out
+
+    ref = golden(compute)
     for key in ("mass", "div", "vector_proj"):
         A = sps.csr_matrix(md[key])
-        B = sps.csr_matrix(mdr[key])
+        B = sps.csr_matrix(ref[key])
         assert A.shape == B.shape, key
         diff = abs(A - B)
         assert (diff.max() if diff.nnz else 0.0) < 1e-10, key
 
-    A_m, b_m = Disc("flow").assemble_matrix_rhs(g, d)
-    A_r, b_r = RefDisc("flow").assemble_matrix_rhs(gr, dr)
-    diff = abs(sps.csr_matrix(A_m) - sps.csr_matrix(A_r))
+    diff = abs(sps.csr_matrix(A_m) - sps.csr_matrix(ref["A"]))
     assert (diff.max() if diff.nnz else 0.0) < 1e-10
-    assert np.allclose(b_m, b_r)
+    assert np.allclose(b_m, ref["b"])
 
 
 def test_mvem_solves_linear_pressure():

@@ -6,7 +6,7 @@ import scipy.sparse as sps
 
 import porepy_tpu as pt
 from porepy_tpu.numerics.fv.tpsa import Tpsa
-from tests.conftest import requires_reference
+
 
 ALL_KEYS = [
     "stress",
@@ -26,20 +26,28 @@ ALL_KEYS = [
 ]
 
 
-def _discretize_both(ref_pp, nx, bc_kind, seed=21):
+def _case_inputs(nx, bc_kind, seed=21):
     rng = np.random.default_rng(seed)
-    g = pt.CartGrid(list(nx))
-    g.compute_geometry()
-    gr = ref_pp.CartGrid(np.array(nx))
-    gr.compute_geometry()
-    nc = g.num_cells
+    nc = int(np.prod(nx))
     mu = rng.uniform(0.5, 2.0, nc)
     lmbda = rng.uniform(0.5, 2.0, nc)
-    bf = g.get_boundary_faces()
+    return mu, lmbda
+
+
+def _bc_cond(bf, bc_kind):
     if bc_kind == "mixed":
-        cond = ["dir" if i % 2 == 0 else "neu" for i in range(bf.size)]
-    else:
-        cond = [bc_kind] * bf.size
+        return ["dir" if i % 2 == 0 else "neu" for i in range(bf.size)]
+    return [bc_kind] * bf.size
+
+
+@pytest.mark.parametrize("nx", [[4, 3], [3, 2, 2]], ids=["2d", "3d"])
+@pytest.mark.parametrize("bc_kind", ["mixed", "dir", "neu", "rob"])
+def test_tpsa_matrix_parity(golden, nx, bc_kind):
+    mu, lmbda = _case_inputs(nx, bc_kind)
+    g = pt.CartGrid(list(nx))
+    g.compute_geometry()
+    bf = g.get_boundary_faces()
+    cond = _bc_cond(bf, bc_kind)
     d = pt.initialize_data(
         {},
         "mech",
@@ -48,27 +56,27 @@ def _discretize_both(ref_pp, nx, bc_kind, seed=21):
             "bc": pt.BoundaryConditionVectorial(g, bf, cond),
         },
     )
-    dr = ref_pp.initialize_data(
-        {},
-        "mech",
-        {
-            "fourth_order_tensor": ref_pp.FourthOrderTensor(mu, lmbda),
-            "bc": ref_pp.BoundaryConditionVectorial(gr, bf, cond),
-        },
-    )
     Tpsa("mech").discretize(g, d)
-    ref_pp.Tpsa("mech").discretize(gr, dr)
-    return (
-        d[pt.DISCRETIZATION_MATRICES]["mech"],
-        dr[ref_pp.DISCRETIZATION_MATRICES]["mech"],
-    )
+    md = d[pt.DISCRETIZATION_MATRICES]["mech"]
 
+    def compute(ref_pp):
+        gr = ref_pp.CartGrid(np.array(nx))
+        gr.compute_geometry()
+        dr = ref_pp.initialize_data(
+            {},
+            "mech",
+            {
+                "fourth_order_tensor": ref_pp.FourthOrderTensor(mu, lmbda),
+                "bc": ref_pp.BoundaryConditionVectorial(gr, bf, cond),
+            },
+        )
+        ref_pp.Tpsa("mech").discretize(gr, dr)
+        return {
+            key: sps.csr_matrix(dr[ref_pp.DISCRETIZATION_MATRICES]["mech"][key])
+            for key in ALL_KEYS
+        }
 
-@requires_reference
-@pytest.mark.parametrize("nx", [[4, 3], [3, 2, 2]], ids=["2d", "3d"])
-@pytest.mark.parametrize("bc_kind", ["mixed", "dir", "neu", "rob"])
-def test_tpsa_matrix_parity(ref_pp, nx, bc_kind):
-    md, mdr = _discretize_both(ref_pp, nx, bc_kind)
+    mdr = golden(compute)
     for key in ALL_KEYS:
         A = sps.csr_matrix(md[key])
         B = sps.csr_matrix(mdr[key])
@@ -77,11 +85,10 @@ def test_tpsa_matrix_parity(ref_pp, nx, bc_kind):
         assert (diff.max() if diff.nnz else 0.0) < 1e-12, key
 
 
-@requires_reference
 @pytest.mark.parametrize(
     "tweak", ["basis", "robin_offdiag", "robin_mixed"]
 )
-def test_tpsa_bc_restrictions_match_reference(ref_pp, tweak):
+def test_tpsa_bc_restrictions_match_reference(golden, tweak):
     """The three unsupported BC envelopes raise NotImplementedError in BOTH
     frameworks: non-trivial basis, non-diagonal Robin weight, and Robin
     mixed with Dirichlet/Neumann on one face (reference
@@ -112,9 +119,13 @@ def test_tpsa_bc_restrictions_match_reference(ref_pp, tweak):
     with pytest.raises(NotImplementedError):
         pt.Tpsa("m").discretize(g, d)
 
-    gr, Cr, bcr = build(ref_pp)
-    dr = ref_pp.initialize_data(
-        {}, "m", {"fourth_order_tensor": Cr, "bc": bcr}
-    )
-    with pytest.raises(NotImplementedError):
-        ref_pp.Tpsa("m").discretize(gr, dr)
+    def compute(ref_pp):
+        gr, Cr, bcr = build(ref_pp)
+        dr = ref_pp.initialize_data(
+            {}, "m", {"fourth_order_tensor": Cr, "bc": bcr}
+        )
+        with pytest.raises(NotImplementedError):
+            ref_pp.Tpsa("m").discretize(gr, dr)
+        return {"reference_raises": np.array(1)}
+
+    assert golden(compute)["reference_raises"] == 1
