@@ -10,7 +10,6 @@ import pytest
 
 import porepy_tpu as pt
 from porepy_tpu.applications.md_grids.mdg_library import benchmark_3d_case_2
-from tests.conftest import requires_reference
 
 
 def test_native_case2_mesh_structure():
@@ -122,44 +121,57 @@ def _run_flow(pp_mod, mdg, make_model):
     return m
 
 
-@requires_reference
-def test_case2_flow_parity_same_mesh(ref_pp):
+def test_case2_flow_parity_same_mesh(golden):
     """Pressure fields agree with the reference on the identical tet mesh
-    (cell matching by center coordinates; 1e-8 target per BASELINE)."""
+    (cell matching by center coordinates; 1e-8 target per BASELINE). The
+    reference fields are recorded as goldens, so the assertion holds on
+    machines without a reference checkout."""
     from porepy_tpu.fracs import meshing
     from porepy_tpu.fracs.structured_simplex import tet_subdomain_lists
 
     fracs = _case2_fractures()
     sub = tet_subdomain_lists(fracs, np.array([8] * 3), physdims=[1, 1, 1])
-    sub_ref = _mirror_subdomains_to_reference(ref_pp, sub)
 
     mdg = meshing.subdomains_to_mdg(sub)
     mdg.compute_geometry()
     m = _run_flow(pt, mdg, pt.SinglePhaseFlow)
 
-    ref_mdg = ref_pp.meshing.subdomains_to_mdg(sub_ref)
-    ref_mdg.compute_geometry()
-    r = _run_flow(ref_pp, ref_mdg, ref_pp.SinglePhaseFlow)
+    def compute(ref_pp):
+        # Rebuild pristine subdomain lists: subdomains_to_mdg mutates the
+        # grids above (face splitting), and the mirror needs them unsplit.
+        sub2 = tet_subdomain_lists(
+            fracs, np.array([8] * 3), physdims=[1, 1, 1]
+        )
+        sub_ref = _mirror_subdomains_to_reference(ref_pp, sub2)
+        ref_mdg = ref_pp.meshing.subdomains_to_mdg(sub_ref)
+        ref_mdg.compute_geometry()
+        r = _run_flow(ref_pp, ref_mdg, ref_pp.SinglePhaseFlow)
+        out = {}
+        for dim in (3, 2, 1, 0):
+            for i, g_ref in enumerate(ref_mdg.subdomains(dim=dim)):
+                p_ref = r.equation_system.get_variable_values(
+                    ["pressure"], time_step_index=0
+                )[r.equation_system.dofs_of(
+                    [v for v in r.equation_system.variables
+                     if v.name == "pressure" and v.domain is g_ref]
+                )]
+                out[f"p_{dim}_{i}"] = p_ref
+                out[f"cc_{dim}_{i}"] = g_ref.cell_centers
+        return out
 
+    ref = golden(compute)
     for dim in (3, 2, 1, 0):
-        for g_mine, g_ref in zip(
-            mdg.subdomains(dim=dim), ref_mdg.subdomains(dim=dim)
-        ):
+        for i, g_mine in enumerate(mdg.subdomains(dim=dim)):
             p_mine = m.equation_system.get_variable_values(
                 ["pressure"], time_step_index=0
             )[m.equation_system.dofs_of(
                 [v for v in m.equation_system.variables
                  if v.name == "pressure" and v.domain is g_mine]
             )]
-            p_ref = r.equation_system.get_variable_values(
-                ["pressure"], time_step_index=0
-            )[r.equation_system.dofs_of(
-                [v for v in r.equation_system.variables
-                 if v.name == "pressure" and v.domain is g_ref]
-            )]
+            p_ref = ref[f"p_{dim}_{i}"]
             # Match cells by center coordinates (orderings differ).
             key_m = np.round(g_mine.cell_centers, 10)
-            key_r = np.round(g_ref.cell_centers, 10)
+            key_r = np.round(ref[f"cc_{dim}_{i}"], 10)
             order_m = np.lexsort(key_m)
             order_r = np.lexsort(key_r)
             assert np.allclose(
