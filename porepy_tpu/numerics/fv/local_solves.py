@@ -109,6 +109,45 @@ def _solve_chunk_host(a_dense, rhs_dense, w_dense):
 
 _DEVICE_KERNELS: dict = {}
 
+# Optional device mesh for the batched solves: the region batch is an
+# embarrassingly parallel axis, so sharding dim 0 over the mesh splits the
+# interaction-region work across chips with zero collectives (SURVEY §2.11:
+# subproblem partitioning -> sharded batches; the reference bounds the same
+# work by memory on one host, reference ``fv/mpfa.py:150-300``).
+_BATCH_MESH = None
+
+
+def set_batch_mesh(mesh) -> None:
+    """Shard subsequent batched local solves over ``mesh`` (first axis of
+    the mesh partitions the region-batch dimension). ``None`` restores
+    single-device execution."""
+    global _BATCH_MESH
+    _BATCH_MESH = mesh
+
+
+def _shard_batch(a_dense, rhs_dense, w_dense):
+    """Pad the batch to a mesh multiple and place all three operands with
+    the batch axis sharded; returns (arrays..., pad) with ``pad`` rows to
+    drop from the result."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = _BATCH_MESH
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    B = a_dense.shape[0]
+    pad = (-B) % ndev
+    if pad:
+        n = a_dense.shape[1]
+        eye = np.broadcast_to(np.eye(n, a_dense.shape[2]), (pad, n, a_dense.shape[2]))
+        a_dense = np.concatenate([a_dense, eye])  # identity pad: finite LU
+        rhs_dense = np.concatenate(
+            [rhs_dense, np.zeros((pad,) + rhs_dense.shape[1:])]
+        )
+        w_dense = np.concatenate([w_dense, np.zeros((pad,) + w_dense.shape[1:])])
+    sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    put = lambda x: jax.device_put(x, sh)
+    return put(a_dense), put(rhs_dense), put(w_dense), pad
+
 
 def _solve_chunk_device(a_dense, rhs_dense, w_dense):
     """Device part, kept for hosts with real PCIe bandwidth
@@ -148,6 +187,12 @@ def _solve_chunk_device(a_dense, rhs_dense, w_dense):
             return jnp.matmul(w, x)
 
         _DEVICE_KERNELS[f64_lu] = kernel
+    if _BATCH_MESH is not None:
+        a_dense, rhs_dense, w_dense, pad = _shard_batch(
+            a_dense, rhs_dense, w_dense
+        )
+        out = np.asarray(kernel(a_dense, rhs_dense, w_dense))
+        return out[: out.shape[0] - pad] if pad else out
     return np.asarray(kernel(a_dense, rhs_dense, w_dense))
 
 

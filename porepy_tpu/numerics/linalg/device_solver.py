@@ -761,7 +761,15 @@ class DeviceLinearSolver:
         self._m_apply = None
         self._hierarchies: Optional[dict] = None
         self._jit_solve = None
+        self._jit_solve_sharded = None
         self.last_stats: Optional[dict] = None
+        # Optional NamedSharding over the dof axis: when set (sharded
+        # execution, :mod:`porepy_tpu.parallel.sharded`), every length-n
+        # Krylov vector and the (n, K) ELL value array carry an explicit
+        # ``with_sharding_constraint`` so GSPMD provably keeps the dof axis
+        # partitioned through the whole solve instead of all-gathering at
+        # the first convenient fusion boundary.
+        self._dof_sharding = None
         # Dense frozen block inverses (see module comment): auto-on for
         # TPU-resident systems whose sweep blocks fit under the HBM
         # threshold, explicit True/False overrides (tests force it on CPU;
@@ -812,16 +820,47 @@ class DeviceLinearSolver:
         self._m_state["dr"] = jnp.asarray(d_r)
         self._m_state["dc"] = jnp.asarray(d_c)
         self._m_state["dc1"] = jnp.asarray(np.append(d_c, 1.0))
+        self._ensure_jit()
+
+    def _ensure_jit(self) -> None:
         if self._jit_solve is None:
             inner = jax.jit(self._make_solve())
             self._jit_solve_inner = inner
             self._jit_solve = lambda data, b, x0, m_state, tol: inner(
                 data, b, x0, m_state, tol, self._ell_sel, self._ell_col
             )
+        if self._dof_sharding is not None and self._jit_solve_sharded is None:
+            inner_s = jax.jit(self._make_solve(self._dof_sharding))
+            self._jit_solve_sharded = lambda data, b, x0, m_state, tol: inner_s(
+                data, b, x0, m_state, tol, self._ell_sel, self._ell_col
+            )
+
+    def _solve_fn(self, data):
+        """The jitted solve matching the input's placement: the
+        sharding-constrained program for multi-device operands, the plain
+        one otherwise (and under an outer trace)."""
+        if (
+            self._dof_sharding is not None
+            and self._jit_solve_sharded is not None
+            and isinstance(data, jax.Array)
+            and not isinstance(data, jax.core.Tracer)
+            and len(data.sharding.device_set) > 1
+        ):
+            return self._jit_solve_sharded
+        return self._jit_solve
 
     def invalidate_preconditioner(self) -> None:
         """Force a rebuild at the next solve (call after rediscretization)."""
         self._m_state = None
+
+    def set_dof_sharding(self, sharding) -> None:
+        """Pin the dof axis to ``sharding`` (a ``NamedSharding`` over the
+        solve's vectors; ``None`` removes the pin). The constrained program
+        is kept SEPARATE from the single-device one — ``_solve_jit`` picks
+        by the input's device set, so one solver object serves both the
+        sharded Newton loop and single-device calls."""
+        self._dof_sharding = sharding
+        self._jit_solve_sharded = None
 
     # -- kernels ---------------------------------------------------------------
 
@@ -832,13 +871,22 @@ class DeviceLinearSolver:
         of becoming embedded constants."""
         return (self._ell_sel, self._ell_col)
 
-    def _make_solve(self):
+    def _make_solve(self, shard=None):
         restart = self._restart
         max_cycles = max(-(-self.maxiter // restart), 1)
+        wsc = (
+            (lambda v: v)
+            if shard is None
+            else (lambda v: jax.lax.with_sharding_constraint(v, shard))
+        )
 
         def solve(data, b, x0, m_state, tol, ell_sel, ell_col):
             data_p = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
-            val = data_p[ell_sel]
+            # Sharded execution: pin the pre-gathered (n, K) ELL value
+            # array and every length-n vector to the dof sharding — the
+            # matvec is then row-local (gathers of the operand vector are
+            # the only implied collectives).
+            val = wsc(data_p[ell_sel])
             dr, dc, dc1 = m_state["dr"], m_state["dc"], m_state["dc1"]
             # Solve the Ruiz-equilibrated system (Dr A Dc) y = Dr b,
             # x = Dc y; the preconditioner was built in this space.
@@ -847,13 +895,13 @@ class DeviceLinearSolver:
 
             def mv_eq(y):
                 y_p = jnp.concatenate([y, jnp.zeros(1, y.dtype)])
-                return jnp.sum(val_eq * y_p[ell_col], axis=1)
+                return wsc(jnp.sum(val_eq * y_p[ell_col], axis=1))
 
             def mv32(y):
                 y_p = jnp.concatenate([y, jnp.zeros(1, y.dtype)])
-                return jnp.sum(val32 * y_p[ell_col], axis=1)
+                return wsc(jnp.sum(val32 * y_p[ell_col], axis=1))
 
-            M = lambda r: self._m_apply(m_state, r)
+            M = lambda r: wsc(self._m_apply(m_state, r))
             b_eq = dr * b
             b_eq_norm = jnp.maximum(jnp.linalg.norm(b_eq), 1e-30)
             atol = tol * b_eq_norm
@@ -886,20 +934,20 @@ class DeviceLinearSolver:
                 # Guard: a NaN/Inf inner result must not poison y — keep the
                 # old iterate and let the outer loop exit on rn.
                 ok = jnp.all(jnp.isfinite(d))
-                y_new = jnp.where(ok, y + d, y)
+                y_new = wsc(jnp.where(ok, y + d, y))
                 r_new = b_eq - mv_eq(y_new)
                 rn_new = jnp.linalg.norm(r_new)
                 rn_new = jnp.where(ok, rn_new, jnp.nan)
                 return y_new, r_new, rn_new, iters + it, k + 1
 
-            y0 = x0 / dc
+            y0 = wsc(x0 / dc)
             r0 = b_eq - mv_eq(y0)
             y, _r, res_eq, iters, _k = jax.lax.while_loop(
                 cycle_cond,
                 cycle,
                 (y0, r0, jnp.linalg.norm(r0), jnp.zeros((), jnp.int32), 0),
             )
-            x = dc * y
+            x = wsc(dc * y)
             # Convergence is measured in the EQUILIBRATED norm (rescaled to
             # the original |b| for the caller's relative contract): the
             # diagonal scaling spans ~10 orders on contact systems, so the
@@ -952,8 +1000,9 @@ class DeviceLinearSolver:
             return x, res
         if self._m_state is None:
             self.refresh_preconditioner(data)
+        self._ensure_jit()
         if tracing:
-            x, res, _ = self._jit_solve(
+            x, res, _ = self._solve_fn(data)(
                 data, b, jnp.zeros(self.n, b.dtype), self._m_state,
                 jnp.asarray(target),
             )
@@ -970,7 +1019,7 @@ class DeviceLinearSolver:
         b_unit = b / b_norm
         x = jnp.zeros(self.n, dtype=b.dtype)
         tol_dev = jnp.asarray(target)
-        x, res_dev, iters = self._jit_solve(
+        x, res_dev, iters = self._solve_fn(data)(
             data, b_unit, x, self._m_state, tol_dev
         )
         res = float(res_dev)
@@ -980,7 +1029,7 @@ class DeviceLinearSolver:
             # Jacobian values and retry once, warm-started.
             self.refresh_preconditioner(data)
             refreshed = True
-            x, res_dev, it2 = self._jit_solve(
+            x, res_dev, it2 = self._solve_fn(data)(
                 data, b_unit, x, self._m_state, tol_dev
             )
             res = float(res_dev)

@@ -63,6 +63,13 @@ class ShardedNewton:
         self.dof_sharding = NamedSharding(mesh, P("dofs"))
         self.replicated = NamedSharding(mesh, P())
         self.n_devices = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        # Pin the dof axis through the whole Krylov solve with explicit
+        # sharding constraints (see DeviceLinearSolver.set_dof_sharding):
+        # GSPMD is then not free to all-gather the iterates at a fusion
+        # boundary. Vectors whose length does not divide the mesh are
+        # handled by GSPMD's internal padding.
+        if self.n_devices > 1:
+            self.solver.set_dof_sharding(self.dof_sharding)
 
     def _shard(self, arr):
         """Shard over 'dofs' when the leading dim divides the mesh;
