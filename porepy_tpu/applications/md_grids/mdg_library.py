@@ -127,10 +127,46 @@ def benchmark_3d_case_2(
 def benchmark_3d_case_3(
     refinement_level: int = 0, msh_file: Optional[str] = None
 ):
-    """Geometry of case 3 of the 3d flow benchmark (Berre et al. 2021);
-    refinement levels 0-3 are ~30k/140k/350k/500k 3d cells. See
-    :func:`benchmark_3d_case_2` for the offline meshing workflow."""
-    return _benchmark_3d("benchmark_3d_case_3", refinement_level, msh_file)
+    """Geometry of case 3 of the 3d flow benchmark (Berre et al. 2021):
+    8 fractures including inclined and T-intersecting planes in the box
+    (0,0,0)-(1,2.25,1) (reference meshes it exclusively through gmsh,
+    reference ``examples/flow_benchmark_3d_case_3.py:5-9``).
+
+    The default path meshes it NATIVELY (no gmsh) with the conforming
+    cut-tet mesher (:func:`porepy_tpu.fracs.cut_tet.cut_tet_grid`):
+    refinement levels 0-3 use lattices giving roughly 30k/140k/350k/500k
+    tets, mirroring the reference's level sizes. Pass an externally meshed
+    MSH 4.1 file as ``msh_file`` to reproduce the reference's exact
+    unstructured meshes instead. Returns ``(mdg, network)``.
+    """
+    if msh_file is not None:
+        return _benchmark_3d("benchmark_3d_case_3", refinement_level, msh_file)
+    from pathlib import Path
+
+    import numpy as np
+
+    from porepy_tpu.fracs import fracture_importer
+    from porepy_tpu.fracs.cut_tet import cut_tet_grid
+
+    lib = Path(__file__).parent / "file_library" / "benchmark_3d_case_3"
+    network = fracture_importer.network_3d_from_csv(
+        str(lib / "fracture_network.csv")
+    )
+    nx = {
+        0: (9, 20, 9),
+        1: (15, 34, 15),
+        2: (21, 47, 21),
+        3: (24, 54, 24),
+    }[int(refinement_level)]
+    fracs = [f.pts for f in network.fractures]
+    mdg = cut_tet_grid(
+        fracs,
+        np.array(nx),
+        physdims=[1.0, 2.25, 1.0],
+        exact_boundary=False,
+    )
+    mdg.compute_geometry()
+    return mdg, network
 
 
 def _benchmark_3d(case: str, refinement_level: int, msh_file):
