@@ -39,6 +39,20 @@ if _plat and "cpu" not in [p.strip() for p in _plat.split(",")]:
     _jax.config.update("jax_platforms", _plat + ",cpu")
 del _plat
 
+# Persistent XLA compilation cache. jax 0.9 no longer reads the
+# JAX_COMPILATION_CACHE_DIR environment variable (only config/flags), so a
+# set-but-ignored env var silently costs minutes of single-core recompiles
+# per process. Honor it here; harmless when unset.
+import os as _os
+
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _jax.config.update(
+        "jax_compilation_cache_dir", _os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+del _os
+
 __version__ = "0.1.0"
 
 # -- constants & keys -----------------------------------------------------

@@ -37,10 +37,37 @@ def run_time_dependent_model(model, params: Optional[dict] = None) -> None:
     solver = _choose_solver(model, params)
 
     tm = model.time_manager
+    # Fused multi-step time block (opt-in, ``fused_time_steps = N``): after
+    # two observed per-step solves, chunks of constant-dt steps run as ONE
+    # device dispatch (see SolutionStrategy.fused_time_block). A return of 0
+    # (ineligible, rolled back, or failed) falls through to the per-step
+    # path for the next step.
+    fused_chunk = int(params.get("fused_time_steps", 0) or 0)
+    steps_done = 0
     while not tm.final_time_reached():
+        if (
+            fused_chunk > 1
+            and steps_done >= 2
+            and tm.is_constant
+            and type(solver) is NewtonSolver
+            and hasattr(model, "fused_time_block")
+        ):
+            n_left = max(int(round((tm.time_final - tm.time) / tm.dt)), 0)
+            if n_left >= 2:
+                n_done = model.fused_time_block(
+                    min(n_left, fused_chunk), solver.params
+                )
+                if n_done > 0:
+                    steps_done += n_done
+                    logger.info(
+                        f"Fused time block committed {n_done} steps up to "
+                        f"t={tm.time:.6e}"
+                    )
+                    continue
         tm.increase_time()
         tm.increase_time_index()
         logger.info(f"Time step {tm.time_index} at time {tm.time:.6e}, dt {tm.dt:.6e}")
         solver.solve(model)
         model.nonlinear_solver_statistics.log_timestep(tm.time_index, tm.time)
+        steps_done += 1
     model.after_simulation()

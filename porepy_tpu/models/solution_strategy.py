@@ -526,7 +526,7 @@ class SolutionStrategy(FluidMixin):
                 self._fused_loop_cache = {}
             self._fused_loop_cache[key] = fn
         try:
-            x, k, inc_hist, res_hist, converged, diverged = fn(
+            x, k, inc_hist, res_hist, kry_hist, converged, diverged = fn(
                 x0, envs, solver._m_state
             )
             k = int(k)
@@ -550,15 +550,31 @@ class SolutionStrategy(FluidMixin):
         stats = self.nonlinear_solver_statistics
         inc_hist = np.asarray(inc_hist)
         res_hist = np.asarray(res_hist)
+        kry_hist = np.asarray(kry_hist)
         for i in range(k):
             stats.log_error(float(inc_hist[i]), float(res_hist[i]))
         stats.num_iteration += k
+        # Surface the linear-solver work done inside the fused program: the
+        # host-orchestrated path fills last_stats in solve(); the fused path
+        # must do it here or the diagnostic silently vanishes from benches.
+        if k > 0:
+            solver.last_stats = {
+                "krylov_iters": int(kry_hist[k - 1]),
+                "krylov_iters_per_newton": [int(j) for j in kry_hist[:k]],
+                "residual": float(res_hist[k - 1]),
+                "fused": True,
+            }
         eq_sys.shift_iterate_values(max_index=len(self.iterate_indices))
         eq_sys.set_variable_values(x, iterate_index=0)
         return True
 
-    @device_policy.on_accelerator
-    def _build_fused_loop(self, cs, solver, nl_params: dict):
+    def _fused_newton_device_fn(self, cs, solver, nl_params: dict):
+        """The whole-Newton-loop device function shared by the per-step
+        fused dispatch (:meth:`_build_fused_loop`) and the multi-step fused
+        time block (:meth:`_build_fused_time_block`):
+        ``newton(x0, envs, m_state) -> (x, k, inc_h, res_h, kry_h, done,
+        div)``, entirely traceable (assembly + preconditioned FGMRES +
+        convergence test inside ``lax.while_loop``)."""
         import jax
         import jax.numpy as jnp
 
@@ -575,7 +591,7 @@ class SolutionStrategy(FluidMixin):
 
         def loop(x0, envs, m_state):
             def body(carry):
-                x, prev_b, k, inc_h, res_h, done, div = carry
+                x, prev_b, k, inc_h, res_h, kry_h, done, div = carry
                 data, b = cs._data_and_rhs(x, envs)
                 bnorm = jnp.linalg.norm(b)
                 if inexact:
@@ -608,18 +624,20 @@ class SolutionStrategy(FluidMixin):
                     conv = conv & (res_norm < tol_res)
                 inc_h = inc_h.at[k].set(inc_norm)
                 res_h = res_h.at[k].set(res_norm)
+                kry_h = kry_h.at[k].set(_it)
                 return (
                     x_new,
                     bnorm,
                     k + 1,
                     inc_h,
                     res_h,
+                    kry_h,
                     conv & ~bad,
                     bad,
                 )
 
             def cond(carry):
-                _x, _pb, k, _ih, _rh, done, div = carry
+                _x, _pb, k, _ih, _rh, _kh, done, div = carry
                 return (~done) & (~div) & (k < max_it + 1)
 
             carry = (
@@ -628,15 +646,296 @@ class SolutionStrategy(FluidMixin):
                 jnp.zeros((), jnp.int32),
                 jnp.full(max_it + 1, jnp.nan, x0.dtype),
                 jnp.full(max_it + 1, jnp.nan, x0.dtype),
+                jnp.zeros(max_it + 1, jnp.int32),
                 jnp.asarray(False),
                 jnp.asarray(False),
             )
-            x, _pb, k, inc_h, res_h, done, div = jax.lax.while_loop(
+            x, _pb, k, inc_h, res_h, kry_h, done, div = jax.lax.while_loop(
                 cond, body, carry
             )
-            return x, k, inc_h, res_h, done, div
+            return x, k, inc_h, res_h, kry_h, done, div
 
-        return jax.jit(loop)
+        return loop
+
+    @device_policy.on_accelerator
+    def _build_fused_loop(self, cs, solver, nl_params: dict):
+        import jax
+
+        return jax.jit(self._fused_newton_device_fn(cs, solver, nl_params))
+
+    # -- fused multi-step time block -------------------------------------------
+    #
+    # TPU-native time stepping: a chunk of constant-dt time steps runs as ONE
+    # device dispatch — ``lax.scan`` over steps, each step the fused Newton
+    # ``while_loop`` above. The previous-time-step variable values feeding the
+    # equations are sliced from the scan carry instead of re-fetched from host
+    # storage, so nothing crosses the host boundary between steps. Opt-in via
+    # ``params["fused_time_steps"] = N`` (chunk length). Eligibility is
+    # *observed*, not assumed: the first two steps run per-step, and the env
+    # cache records which equation inputs actually changed across the step
+    # boundary (_EnvSpec.last_refreshed/accumulated set). The block engages
+    # only if everything that changed is previous-time-step variable state the
+    # scan carries itself; a final host-side re-validation compares the env
+    # values at the block's last step against the constants the scan used, and
+    # rolls back (commits nothing) on mismatch. Replaces the reference's
+    # per-step host orchestration (`/root/reference/src/porepy/models/
+    # solution_strategy.py:820-887`, per-iteration scipy assembly + solve).
+
+    def _fused_block_substitution(self, cs):
+        """Per-compiled-equation map ``{env slot -> (start, stop)}`` of
+        global-dof slices replacing previous-time-step variable slots inside
+        the scan, or ``None`` if the system is ineligible (deeper history,
+        or observed env changes the carry cannot reproduce)."""
+        eq_sys = self.equation_system
+        subst: list[dict[int, tuple[int, int]]] = []
+        for ce in cs.ces:
+            spec = ce.env_spec
+            if spec.last_refreshed is None:
+                return None  # no step-boundary observation yet
+            idx_to_key = {v: k for k, v in spec._keys.items()}
+            smap: dict[int, tuple[int, int]] = {}
+            var_slots: set[int] = set()
+            for idx in range(len(spec.fetchers)):
+                if idx in spec.static_slots:
+                    continue
+                key = idx_to_key.get(idx)
+                off = None
+                if (
+                    isinstance(key, tuple)
+                    and len(key) == 4
+                    and isinstance(key[0], str)
+                    and key[2] == 0
+                ):
+                    off = eq_sys._dof_offsets.get((key[0], key[1]))
+                if off is not None:
+                    smap[idx] = (off[0], off[0] + off[1])
+                    var_slots.add(idx)
+                elif (
+                    isinstance(key, tuple)
+                    and len(key) == 4
+                    and isinstance(key[0], str)
+                    and isinstance(key[2], int)
+                    and key[2] > 0
+                ):
+                    return None  # multi-step history: carry is one state deep
+            # Anything observed changing across a step boundary must be a
+            # substituted slot.
+            if not set(spec.last_refreshed) <= var_slots:
+                return None
+            subst.append(smap)
+        return subst
+
+    def _fused_time_block_eligible(self, nl_params: dict) -> bool:
+        if getattr(self, "_ftb_ineligible", False):
+            return False
+        if not self.time_manager.is_constant:
+            return False
+        if not self._fused_newton_eligible(nl_params):
+            return False
+        # The block skips the per-step host hooks; require the default
+        # step-boundary hooks so the env producers are exactly
+        # update_time_dependent_ad_arrays (+ the already-checked hooks).
+        cls = type(self)
+        for name in ("before_nonlinear_loop", "after_nonlinear_failure"):
+            if getattr(cls, name, None) is not getattr(
+                SolutionStrategy, name, None
+            ):
+                return False
+        return True
+
+    @device_policy.on_accelerator
+    def fused_time_block(self, n_steps: int, nl_params: dict) -> int:
+        """Attempt up to ``n_steps`` constant-dt time steps in one device
+        dispatch. Returns the number of time steps actually committed
+        (``0`` = ineligible or failed; the caller proceeds per-step on the
+        untouched state). Statistics, state-ring shifts, time-manager
+        advancement and ``after_nonlinear_convergence`` (hence data saving)
+        are replayed per committed step, so observable behavior matches the
+        per-step path for converged runs."""
+        import jax
+        import jax.numpy as jnp
+
+        if n_steps < 2 or not self._fused_time_block_eligible(nl_params):
+            return 0
+        eq_sys = self.equation_system
+        cs = eq_sys.compiled_system()
+        subst = self._fused_block_substitution(cs)
+        if subst is None:
+            return 0
+        try:
+            solver = self._device_solver_for(cs)
+        except Exception:
+            logger.exception("Device solver construction failed")
+            return 0
+        envs = cs._envs(eq_sys)
+        x0 = device_policy.put(eq_sys._global_vector())
+        if solver._m_state is None:
+            data0, _b0 = cs._data_and_rhs(x0, envs)
+            solver.refresh_preconditioner(data0)
+
+        chunk = int(self.params.get("fused_time_steps", n_steps))
+        chunk = max(min(chunk, 512), 2)
+        key = (
+            id(cs),
+            chunk,
+            int(nl_params["max_iterations"]),
+            float(nl_params["nl_convergence_tol"]),
+            float(nl_params["nl_convergence_tol_res"]),
+            float(nl_params["nl_divergence_tol"]),
+            bool(self.params.get("inexact_newton", True)),
+            float(self.params.get("inexact_newton_eta0", 1e-4)),
+            "block",
+        )
+        fn = getattr(self, "_fused_loop_cache", {}).get(key)
+        if fn is None:
+            fn = self._build_fused_time_block(cs, solver, nl_params, subst, chunk)
+            if not hasattr(self, "_fused_loop_cache"):
+                self._fused_loop_cache = {}
+            self._fused_loop_cache[key] = fn
+        n_active = min(int(n_steps), chunk)
+        try:
+            x_stack, k_arr, inc_st, res_st, kry_st, ok_arr = fn(
+                x0, envs, solver._m_state, jnp.asarray(n_active, jnp.int32)
+            )
+            ok_np = np.asarray(ok_arr)
+            n_ok = int(ok_np.sum())
+            if n_ok == 0:
+                solver.invalidate_preconditioner()
+                return 0
+            x_host = np.asarray(x_stack[:n_ok])
+            if not np.all(np.isfinite(x_host)):
+                solver.invalidate_preconditioner()
+                return 0
+        except Exception:
+            logger.exception("Fused time block failed; per-step fallback")
+            return 0
+
+        # Re-validate at the block's last step: with the state rings set to
+        # just-before-the-last-step and the clock at its time, the freshly
+        # produced env values must equal the constants the scan used. A
+        # mismatch means some non-carried input (BCs, sources, scalars) was
+        # time-dependent after all — commit nothing, mark ineligible.
+        tm = self.time_manager
+        t_save, ti_save = tm.time, tm.time_index
+        tm.time = t_save + n_ok * tm.dt
+        tm.time_index = ti_save + n_ok
+        self.update_time_dependent_ad_arrays()
+        fresh_ok = True
+        for ce, smap in zip(cs.ces, subst):
+            spec = ce.env_spec
+            for idx in range(len(spec.fetchers)):
+                if idx in spec.static_slots or idx in smap:
+                    continue
+                h = spec.fetchers[idx](eq_sys)
+                old = spec._cache_host[idx]
+                if np.shape(old) != np.shape(h) or not np.array_equal(
+                    np.asarray(old), np.asarray(h)
+                ):
+                    fresh_ok = False
+                    break
+            if not fresh_ok:
+                break
+        tm.time, tm.time_index = t_save, ti_save
+        if not fresh_ok:
+            logger.info(
+                "Fused time block rolled back: env inputs are time-dependent"
+            )
+            self._ftb_ineligible = True
+            return 0
+
+        # Commit each step through the standard protocol.
+        k_np = np.asarray(k_arr)
+        inc_np = np.asarray(inc_st)
+        res_np = np.asarray(res_st)
+        kry_np = np.asarray(kry_st)
+        stats = self.nonlinear_solver_statistics
+        for j in range(n_ok):
+            tm.increase_time()
+            tm.increase_time_index()
+            stats.reset()
+            kj = int(k_np[j])
+            for i in range(kj):
+                stats.log_error(float(inc_np[j, i]), float(res_np[j, i]))
+            stats.num_iteration = kj
+            solver.last_stats = {
+                "krylov_iters": int(kry_np[j, max(kj - 1, 0)]),
+                "krylov_iters_per_newton": [int(q) for q in kry_np[j, :kj]],
+                "residual": float(res_np[j, max(kj - 1, 0)]),
+                "fused": True,
+                "block": True,
+            }
+            eq_sys.shift_iterate_values(max_index=len(self.iterate_indices))
+            eq_sys.set_variable_values(x_host[j], iterate_index=0)
+            self.after_nonlinear_convergence()
+            stats.log_timestep(tm.time_index, tm.time)
+        self._ftb_blocks_committed = (
+            getattr(self, "_ftb_blocks_committed", 0) + 1
+        )
+        return n_ok
+
+    @device_policy.on_accelerator
+    def _build_fused_time_block(self, cs, solver, nl_params: dict, subst, chunk: int):
+        import jax
+        import jax.numpy as jnp
+
+        newton = self._fused_newton_device_fn(cs, solver, nl_params)
+        max_it = int(nl_params["max_iterations"])
+        n = solver.n
+
+        def substitute(envs, x_prev):
+            # Slot starts/stops are static Python ints: plain slices, which
+            # XLA folds into the gather structure of the assembly program.
+            return tuple(
+                tuple(
+                    x_prev[smap[i][0] : smap[i][1]] if i in smap else e
+                    for i, e in enumerate(eq_env)
+                )
+                for eq_env, smap in zip(envs, subst)
+            )
+
+        def block(x0, envs, m_state, n_active):
+            def step(carry, i):
+                x_prev, failed = carry
+                active = (i < n_active) & (~failed)
+
+                def run(x_prev):
+                    envs_i = substitute(envs, x_prev)
+                    return newton(x_prev, envs_i, m_state)
+
+                def skip(x_prev):
+                    return (
+                        x_prev,
+                        jnp.zeros((), jnp.int32),
+                        jnp.full(max_it + 1, jnp.nan, x_prev.dtype),
+                        jnp.full(max_it + 1, jnp.nan, x_prev.dtype),
+                        jnp.zeros(max_it + 1, jnp.int32),
+                        jnp.asarray(True),
+                        jnp.asarray(False),
+                    )
+
+                x_new, k, inc_h, res_h, kry_h, done, div = jax.lax.cond(
+                    active, run, skip, x_prev
+                )
+                step_ok = done & (~div) & jnp.all(jnp.isfinite(x_new))
+                x_keep = jnp.where(step_ok, x_new, x_prev)
+                failed = failed | (active & ~step_ok)
+                return (x_keep, failed), (
+                    x_keep,
+                    k,
+                    inc_h,
+                    res_h,
+                    kry_h,
+                    active & step_ok,
+                )
+
+            (_xf, _fail), out = jax.lax.scan(
+                step,
+                (x0, jnp.asarray(False)),
+                jnp.arange(chunk, dtype=jnp.int32),
+            )
+            return out
+
+        return jax.jit(block)
 
     def _initialize_linear_solver(self) -> None:
         solver = self.params["linear_solver"]

@@ -85,6 +85,13 @@ class _EnvSpec:
         self._cache_version: int = -1
         self._cache: Optional[list[jnp.ndarray]] = None
         self._cache_host: Optional[list] = None
+        # Slot indices whose host value CHANGED at the most recent
+        # version-bumped fetch (None until one full refresh has been
+        # observed). The fused multi-step time loop uses this to prove that
+        # everything varying between time steps is state it carries itself
+        # (previous-time-step variable slots); see
+        # SolutionStrategy.fused_time_block.
+        self.last_refreshed: Optional[set[int]] = None
 
     def slot(self, key, fetcher) -> int:
         if key in self._keys:
@@ -160,6 +167,7 @@ class _EnvSpec:
             self._cache_version = version
             return list(self._cache)
         if self._cache_version != version:
+            refreshed: set[int] = set()
             for i, f in enumerate(self.fetchers):
                 if i in self._scalar_slots or i in self.static_slots:
                     continue
@@ -172,7 +180,9 @@ class _EnvSpec:
                 ):
                     self._cache[i] = device_policy.put(h)
                     self._cache_host[i] = h
+                    refreshed.add(i)
             self._cache_version = version
+            self.last_refreshed = refreshed
         # Scalar slots (mutable ad.Scalar, e.g. the time step) can change
         # without a state-version bump: re-read the host value every call
         # but only re-upload the 8 bytes when it actually changed — on a
@@ -182,6 +192,8 @@ class _EnvSpec:
             if h != self._cache_host[i]:
                 self._cache[i] = device_policy.put(np.asarray(h))
                 self._cache_host[i] = h
+                if self.last_refreshed is not None:
+                    self.last_refreshed.add(i)
         return list(self._cache)
 
 
