@@ -10,9 +10,12 @@ gmsh-backed ``mesh()`` requires the gmsh package.
 from __future__ import annotations
 
 import copy as _copy
+import logging
 from typing import Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["FractureNetwork3d"]
 
@@ -454,15 +457,22 @@ class FractureNetwork3d:
             # stubs gmsh for reference imports): require the real API.
             if not hasattr(gmsh, "initialize"):
                 raise ImportError("gmsh module lacks the gmsh API")
-        except ImportError as err:
-            raise ImportError(
-                f"gmsh is not importable here; the geometry was written to "
-                f"{geo_file}. Mesh it offline with 'gmsh -3 {geo_file} -o "
-                f"{msh_file} -format msh41', then assemble with "
-                "create_grids_from_msh + meshing.subdomains_to_mdg (or use "
-                "grid_type='cartesian' / the structured-tet mesher for "
-                "axis-aligned networks)."
-            ) from err
+        except ImportError:
+            # gmsh-free environment: fall back to the native conforming
+            # cut-tet mesher (fracs/cut_tet.py), which handles arbitrary
+            # planar networks in-image. The .geo file stays on disk for
+            # offline gmsh runs ('gmsh -3 {geo} -o {msh} -format msh41' +
+            # create_grids_from_msh + meshing.subdomains_to_mdg) when an
+            # unstructured boundary-graded mesh is wanted. The reference
+            # has no gmsh-free path at all
+            # (/root/reference/src/porepy/fracs/fracture_network_3d.py:202).
+            logger.info(
+                "gmsh not importable: meshing %d fractures with the native "
+                "cut-tet mesher (geometry also written to %s)",
+                self.num_frac(),
+                geo_file,
+            )
+            return self._mesh_cut_tet(mesh_args, **kwargs)
         gmsh.initialize()
         try:
             gmsh.open(geo_file)
@@ -474,6 +484,52 @@ class FractureNetwork3d:
         grids = create_grids_from_msh(msh_file)
         mdg = meshing_mod.subdomains_to_mdg(grids)
         mdg.compute_geometry()
+        return mdg
+
+    def _mesh_cut_tet(self, mesh_args: dict, **kwargs):
+        """Mesh through :func:`porepy_tpu.fracs.cut_tet.cut_tet_grid` —
+        conforming plane cuts of a Kuhn-tet lattice sized from
+        ``mesh_args`` — translating between the network's domain box
+        (arbitrary min corner) and the mesher's origin-anchored box."""
+        from porepy_tpu.fracs.cut_tet import cut_tet_subdomain_lists
+        from porepy_tpu.fracs import meshing as meshing_mod
+
+        sizes = [
+            mesh_args.get(k)
+            for k in ("mesh_size_frac", "mesh_size_min", "mesh_size_bound")
+        ]
+        sizes = [s for s in sizes if s is not None]
+        if not sizes:
+            raise ValueError(
+                "mesh_args must provide mesh_size_frac (or _min/_bound)"
+            )
+        h = float(min(sizes))
+
+        if self.domain is not None:
+            box = self.domain.bounding_box
+            mins = np.array([box["xmin"], box["ymin"], box["zmin"]])
+            maxs = np.array([box["xmax"], box["ymax"], box["zmax"]])
+        else:
+            all_pts = np.hstack([f.pts for f in self.fractures])
+            span = all_pts.max(axis=1) - all_pts.min(axis=1)
+            mins = all_pts.min(axis=1) - 0.1 * span
+            maxs = all_pts.max(axis=1) + 0.1 * span
+        dims = maxs - mins
+        nx = np.maximum(np.round(dims / h).astype(int), 1)
+
+        fracs = [f.pts - mins[:, None] for f in self.fractures]
+        lists = cut_tet_subdomain_lists(fracs, nx, physdims=list(dims))
+        # Translate back to the domain's frame: pure shift, so volumes,
+        # normals and connectivity are untouched.
+        for dim_list in lists:
+            for g in dim_list:
+                if g.nodes.size:
+                    g.nodes = g.nodes + mins[:, None]
+                for attr in ("cell_centers", "face_centers"):
+                    arr = getattr(g, attr, None)
+                    if arr is not None and np.size(arr):
+                        setattr(g, attr, arr + mins[:, None])
+        mdg = meshing_mod.subdomains_to_mdg(lists, **kwargs)
         return mdg
 
     def to_csv(self, file_name, domain=None) -> None:

@@ -59,6 +59,14 @@ def create_mdg(grid_type: str, meshing_args: dict, fracture_network, **kwargs):
 
     if grid_type == "simplex":
         cell_size = meshing_args.get("cell_size")
+        if cell_size is None and not any(
+            meshing_args.get(k) is not None
+            for k in ("cell_size_min", "cell_size_boundary", "cell_size_fracture")
+        ):
+            raise ValueError(
+                "simplex meshing requires cell_size (or one of "
+                "cell_size_min/cell_size_boundary/cell_size_fracture)"
+            )
         mesh_args = {
             "mesh_size_min": meshing_args.get("cell_size_min", cell_size),
             "mesh_size_bound": meshing_args.get("cell_size_boundary", cell_size),

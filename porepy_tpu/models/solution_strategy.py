@@ -871,6 +871,14 @@ class SolutionStrategy(FluidMixin):
         self._ftb_blocks_committed = (
             getattr(self, "_ftb_blocks_committed", 0) + 1
         )
+        # Bench/diagnostics record: how much Newton work this block carried.
+        self._ftb_last = {
+            "steps": n_ok,
+            "newton_iters": int(k_np[:n_ok].sum()),
+            "krylov_iters": int(
+                sum(kry_np[j, : max(int(k_np[j]), 1)].sum() for j in range(n_ok))
+            ),
+        }
         return n_ok
 
     @device_policy.on_accelerator

@@ -146,3 +146,35 @@ def test_berre_case3_network_meshes_and_flows():
     _conformity(g3, (1.0, 2.25, 1.0))
     assert len(sub[1]) == 8
     assert len(sub[2]) >= 2, "case 3 has fracture intersections"
+
+
+def test_public_facade_simplex_3d_without_gmsh(tmp_path, monkeypatch):
+    """``create_mdg("simplex", ...)`` on a 3d network falls back to the
+    native cut-tet mesher when gmsh is absent (reference requires gmsh:
+    /root/reference/src/porepy/fracs/fracture_network_3d.py:202). The
+    domain here has a NONZERO min corner to exercise the frame shift."""
+    monkeypatch.chdir(tmp_path)  # mesh() writes the .geo scratch file
+    f = pt.PlaneFracture(
+        np.array(
+            [
+                [1.2, 1.8, 1.8, 1.2],
+                [2.2, 2.2, 2.8, 2.8],
+                [0.3, 0.3, 0.7, 0.7],
+            ]
+        )
+    )
+    dom = pt.Domain(
+        {"xmin": 1, "xmax": 2, "ymin": 2, "ymax": 3, "zmin": 0, "zmax": 1}
+    )
+    net = pt.create_fracture_network([f], dom)
+    mdg = pt.create_mdg("simplex", {"cell_size": 0.25}, net)
+    subs = mdg.subdomains()
+    assert [g.dim for g in subs] == [3, 2]
+    g3, g2 = subs
+    # Shifted frame: total volume is the domain volume, fracture area exact.
+    assert np.isclose(g3.cell_volumes.sum(), 1.0, atol=1e-10)
+    assert np.isclose(g2.cell_volumes.sum(), 0.6 * np.hypot(0.6, 0.4), rtol=1e-10)
+    assert g3.nodes[0].min() >= 1.0 - 1e-12 and g3.nodes[1].min() >= 2.0 - 1e-12
+    for intf in mdg.interfaces():
+        rs = np.asarray(intf.primary_to_mortar_avg().sum(axis=1)).ravel()
+        assert np.allclose(rs, 1.0)
