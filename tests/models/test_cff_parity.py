@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
+
 
 CP = 42.0
 R_GAS = 2.0
@@ -278,7 +278,15 @@ def _wire(base_template, mod, eos_cls, elimination_mixin, state_liquid, state_ga
 mod_states = [None]
 
 
-def _run_parity(ref_pp, extra_params):
+_CFF_VARS = (
+    ("pressure", 1e-6),
+    ("z_co2", 1e-6),
+    ("s_gas", 1e-6),
+    ("enthalpy", 1e-5),
+)
+
+
+def _run_parity(golden, extra_params):
     # Ours.
     mod_states[0] = pt.PhaseState
     Ours = _wire(
@@ -294,48 +302,46 @@ def _run_parity(ref_pp, extra_params):
     pt.run_time_dependent_model(ours, params)
     eq_o = ours.equation_system
 
-    # Reference.
-    import porepy.compositional as ref_comp
+    def compute(ref_pp):
+        import porepy.compositional as ref_comp
 
-    mod_states[0] = ref_comp.PhaseProperties
-    Theirs = _wire(
-        ref_pp.CompositionalFractionalFlowTemplate,
-        ref_pp,
-        ref_comp.EquationOfState,
-        ref_pp.LocalElimination,
-        ref_comp.PhysicalState.liquid,
-        ref_comp.PhysicalState.gas,
-    )
-    ref_params = {**_common_params(ref_pp), **extra_params}
-    theirs = Theirs(ref_params)
-    ref_pp.run_time_dependent_model(theirs)
-    eq_r = theirs.equation_system
+        mod_states[0] = ref_comp.PhaseProperties
+        Theirs = _wire(
+            ref_pp.CompositionalFractionalFlowTemplate,
+            ref_pp,
+            ref_comp.EquationOfState,
+            ref_pp.LocalElimination,
+            ref_comp.PhysicalState.liquid,
+            ref_comp.PhysicalState.gas,
+        )
+        ref_params = {**_common_params(ref_pp), **extra_params}
+        theirs = Theirs(ref_params)
+        ref_pp.run_time_dependent_model(theirs)
+        eq_r = theirs.equation_system
+        return {
+            var: eq_r.get_variable_values([var], time_step_index=0)
+            for var, _tol in _CFF_VARS
+        }
 
-    for var, tol in (
-        ("pressure", 1e-6),
-        ("z_co2", 1e-6),
-        ("s_gas", 1e-6),
-        ("enthalpy", 1e-5),
-    ):
+    ref_vals = golden(compute)
+    for var, tol in _CFF_VARS:
         ours_v = eq_o.get_variable_values([var], time_step_index=0)
-        ref_v = eq_r.get_variable_values([var], time_step_index=0)
+        ref_v = np.asarray(ref_vals[var])
         assert ours_v.shape == ref_v.shape, var
         scale = max(np.abs(ref_v).max(), 1e-12)
         assert np.abs(ours_v - ref_v).max() / scale < tol, (
             var,
             np.abs(ours_v - ref_v).max(),
         )
-    return eq_o, eq_r
+    return eq_o
 
 
-@requires_reference
-def test_cff_two_phase_matches_reference(ref_pp):
+def test_cff_two_phase_matches_reference(golden):
     GAS_RHO[:] = [0.9, 0.5]
-    _run_parity(ref_pp, {})
+    _run_parity(golden, {})
 
 
-@requires_reference
-def test_cff_buoyancy_matches_reference(ref_pp):
+def test_cff_buoyancy_matches_reference(golden):
     """Gravity + hybrid-upwinding buoyant fluxes enabled on both sides:
     mild density contrast keeps plain Newton stable while exercising the
     fractionally weighted gravity force and the pairwise counter-current
@@ -343,7 +349,7 @@ def test_cff_buoyancy_matches_reference(ref_pp):
     GAS_RHO[:] = [0.99, 0.005]
     MISCIBLE[0] = True
     try:
-        eq_o, _ = _run_parity(ref_pp, {"enable_buoyancy_effects": True})
+        eq_o = _run_parity(golden, {"enable_buoyancy_effects": True})
         # Gravity actually acted: the pressure field varies vertically.
         p = eq_o.get_variable_values(["pressure"], time_step_index=0)
         sd_p = p.reshape(4, 4)

@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
 
 
 def _params(mod):
@@ -31,8 +30,7 @@ def _params(mod):
     }
 
 
-@requires_reference
-def test_tracer_flow_matches_reference(ref_pp):
+def test_tracer_flow_matches_reference(golden):
     # Our model.
     from porepy_tpu.examples.tracer_flow import TracerFlowModel
 
@@ -46,71 +44,79 @@ def test_tracer_flow_matches_reference(ref_pp):
         ["pressure"], time_step_index=0
     )
 
-    # Reference model (same composition as reference examples/tracer_flow.py).
-    from porepy.applications.boundary_conditions.model_boundary_conditions import (
-        BoundaryConditionsMassDirNorthSouth,
-    )
-    from porepy.applications.material_values.fluid_values import water
-    from porepy.applications.md_grids.model_geometries import (
-        SquareDomainOrthogonalFractures,
-    )
-    from porepy.compositional.compositional_mixins import CompositionalVariables
-    from porepy.models.compositional_flow import (
-        BoundaryConditionsMulticomponent,
-        ComponentMassBalanceEquations,
-        InitialConditionsFractions,
-    )
+    def compute(ref_pp):
+        # Reference model (same composition as reference examples/tracer_flow.py).
+        from porepy.applications.boundary_conditions.model_boundary_conditions import (
+            BoundaryConditionsMassDirNorthSouth,
+        )
+        from porepy.applications.material_values.fluid_values import water
+        from porepy.applications.md_grids.model_geometries import (
+            SquareDomainOrthogonalFractures,
+        )
+        from porepy.compositional.compositional_mixins import CompositionalVariables
+        from porepy.models.compositional_flow import (
+            BoundaryConditionsMulticomponent,
+            ComponentMassBalanceEquations,
+            InitialConditionsFractions,
+        )
 
-    class RefTracerFluid:
-        def get_components(self):
-            return [
-                ref_pp.FluidComponent(**water),
-                ref_pp.FluidComponent(name="tracer"),
-            ]
+        class RefTracerFluid:
+            def get_components(self):
+                return [
+                    ref_pp.FluidComponent(**water),
+                    ref_pp.FluidComponent(name="tracer"),
+                ]
 
-    class RefIC(InitialConditionsFractions):
-        def ic_values_pressure(self, sd):
-            return np.ones(sd.num_cells) * self.units.convert_units(1e6, "Pa")
+        class RefIC(InitialConditionsFractions):
+            def ic_values_pressure(self, sd):
+                return np.ones(sd.num_cells) * self.units.convert_units(1e6, "Pa")
 
-        def ic_values_overall_fraction(self, component, sd):
-            return np.zeros(sd.num_cells)
+            def ic_values_overall_fraction(self, component, sd):
+                return np.zeros(sd.num_cells)
 
-    class RefBC(BoundaryConditionsMassDirNorthSouth, BoundaryConditionsMulticomponent):
-        def bc_values_pressure(self, bg):
-            sides = self.domain_boundary_sides(bg)
-            values = np.ones(bg.num_cells) * self.units.convert_units(1e6, "Pa")
-            values[sides.north] = self.units.convert_units(1.5e6, "Pa")
-            return values
-
-        def bc_values_overall_fraction(self, component, bg):
-            z = np.zeros(bg.num_cells)
-            if component.name == "tracer":
+        class RefBC(BoundaryConditionsMassDirNorthSouth, BoundaryConditionsMulticomponent):
+            def bc_values_pressure(self, bg):
                 sides = self.domain_boundary_sides(bg)
-                z[sides.north] = 0.1 + 0.1 * (
-                    bg.cell_centers[0, sides.north] > 0.5
-                )
-            return z
+                values = np.ones(bg.num_cells) * self.units.convert_units(1e6, "Pa")
+                values[sides.north] = self.units.convert_units(1.5e6, "Pa")
+                return values
 
-    class RefTracer(
-        SquareDomainOrthogonalFractures,
-        RefTracerFluid,
-        CompositionalVariables,
-        ComponentMassBalanceEquations,
-        RefBC,
-        RefIC,
-        ref_pp.SinglePhaseFlow,
-    ):
-        pass
+            def bc_values_overall_fraction(self, component, bg):
+                z = np.zeros(bg.num_cells)
+                if component.name == "tracer":
+                    sides = self.domain_boundary_sides(bg)
+                    z[sides.north] = 0.1 + 0.1 * (
+                        bg.cell_centers[0, sides.north] > 0.5
+                    )
+                return z
 
-    ref_params = _params(ref_pp)
-    theirs = RefTracer(ref_params)
-    ref_pp.run_time_dependent_model(theirs)
-    z_ref = theirs.equation_system.get_variable_values(
-        ["z_tracer"], time_step_index=0
-    )
-    p_ref = theirs.equation_system.get_variable_values(
-        ["pressure"], time_step_index=0
-    )
+        class RefTracer(
+            SquareDomainOrthogonalFractures,
+            RefTracerFluid,
+            CompositionalVariables,
+            ComponentMassBalanceEquations,
+            RefBC,
+            RefIC,
+            ref_pp.SinglePhaseFlow,
+        ):
+            pass
+
+        ref_params = _params(ref_pp)
+        theirs = RefTracer(ref_params)
+        ref_pp.run_time_dependent_model(theirs)
+        z_ref = theirs.equation_system.get_variable_values(
+            ["z_tracer"], time_step_index=0
+        )
+        p_ref = theirs.equation_system.get_variable_values(
+            ["pressure"], time_step_index=0
+        )
+
+
+        return {"z_tracer": z_ref, "pressure": p_ref}
+
+    ref_vals = golden(compute)
+    z_ref = np.asarray(ref_vals["z_tracer"])
+    p_ref = np.asarray(ref_vals["pressure"])
 
     assert z_ours.shape == z_ref.shape
     assert np.allclose(p_ours, p_ref, rtol=1e-8, atol=1e-4)

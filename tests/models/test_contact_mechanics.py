@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
+
 
 # North-boundary displacement (shear, compression) driving each contact state.
 CASES = [
@@ -40,20 +40,25 @@ def _make(mod, base, frac_wrap, shear, normal):
     return Contact(params), params
 
 
-@requires_reference
 @pytest.mark.parametrize("name,bc", CASES, ids=[c[0] for c in CASES])
-def test_contact_state_parity(ref_pp, name, bc):
+def test_contact_state_parity(golden, name, bc):
     m, params = _make(pt, pt.MomentumBalance, lambda a: a, *bc)
     pt.run_time_dependent_model(m, params)
 
-    r, params_r = _make(
-        ref_pp, ref_pp.MomentumBalance, ref_pp.LineFracture, *bc
-    )
-    ref_pp.run_time_dependent_model(r, params_r)
+    def compute(ref_pp):
+        r, params_r = _make(
+            ref_pp, ref_pp.MomentumBalance, ref_pp.LineFracture, *bc
+        )
+        ref_pp.run_time_dependent_model(r, params_r)
+        return {
+            var: r.equation_system.get_variable_values([var], iterate_index=0)
+            for var in ["u", "u_interface", "contact_traction"]
+        }
 
+    ref_vals = golden(compute)
     for var in ["u", "u_interface", "contact_traction"]:
         v_o = m.equation_system.get_variable_values([var], iterate_index=0)
-        v_r = r.equation_system.get_variable_values([var], iterate_index=0)
+        v_r = np.asarray(ref_vals[var])
         assert v_o.size == v_r.size
         assert np.abs(v_o - v_r).max() < 1e-12, (var, np.abs(v_o - v_r).max())
 
@@ -67,8 +72,7 @@ def test_contact_state_parity(ref_pp, name, bc):
         assert np.abs(t).max() < 1e-12
 
 
-@requires_reference
-def test_unfractured_momentum_balance_still_runs(ref_pp):
+def test_unfractured_momentum_balance_still_runs():
     """The contact-enabled composition must degrade gracefully on
     unfractured domains (no fracture variables or equations)."""
 

@@ -4,7 +4,7 @@ fractured Cartesian domain (pressure, temperature, all interface fluxes)."""
 import numpy as np
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
+
 
 
 def _make(mod, base, frac_wrap, force_tpfa=False):
@@ -63,24 +63,38 @@ def _make(mod, base, frac_wrap, force_tpfa=False):
     return M(params), params
 
 
-@requires_reference
-def test_mass_and_energy_parity(ref_pp):
+_ME_VARS = (
+    "pressure",
+    "temperature",
+    "interface_darcy_flux",
+    "interface_fourier_flux",
+    "interface_enthalpy_flux",
+)
+
+
+def test_mass_and_energy_parity(golden):
     m, p1 = _make(pt, pt.MassAndEnergyBalance, lambda a: a)
     pt.run_time_dependent_model(m, p1)
-    r, p2 = _make(
-        ref_pp, ref_pp.MassAndEnergyBalance, ref_pp.LineFracture, force_tpfa=True
-    )
-    ref_pp.run_time_dependent_model(r, p2)
 
-    for var in (
-        "pressure",
-        "temperature",
-        "interface_darcy_flux",
-        "interface_fourier_flux",
-        "interface_enthalpy_flux",
-    ):
+    def compute(ref_pp):
+        r, p2 = _make(
+            ref_pp,
+            ref_pp.MassAndEnergyBalance,
+            ref_pp.LineFracture,
+            force_tpfa=True,
+        )
+        ref_pp.run_time_dependent_model(r, p2)
+        return {
+            var: r.equation_system.get_variable_values(
+                [var], time_step_index=0
+            )
+            for var in _ME_VARS
+        }
+
+    ref_vals = golden(compute)
+    for var in _ME_VARS:
         vo = m.equation_system.get_variable_values([var], time_step_index=0)
-        vr = r.equation_system.get_variable_values([var], time_step_index=0)
+        vr = np.asarray(ref_vals[var])
         assert vo.size == vr.size
         assert np.abs(vo - vr).max() < 1e-10, (var, np.abs(vo - vr).max())
 

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
+
 
 SOLID = dict(
     permeability=1.0,
@@ -60,48 +60,66 @@ CASES = [
 ]
 
 
-@requires_reference
 @pytest.mark.parametrize("name,fracs", CASES, ids=[c[0] for c in CASES])
-def test_md_flow_parity(ref_pp, name, fracs):
+def test_md_flow_parity(golden, name, fracs):
     m, params = _make(pt, pt.SinglePhaseFlow, fracs, lambda a: a)
     pt.run_time_dependent_model(m, params)
 
-    r, params_r = _make(
-        ref_pp, ref_pp.SinglePhaseFlow, fracs, ref_pp.LineFracture, force_tpfa=True
-    )
-    ref_pp.run_time_dependent_model(r, params_r)
+    def compute(ref_pp):
+        r, params_r = _make(
+            ref_pp,
+            ref_pp.SinglePhaseFlow,
+            fracs,
+            ref_pp.LineFracture,
+            force_tpfa=True,
+        )
+        ref_pp.run_time_dependent_model(r, params_r)
+        return {
+            "pressure": r.equation_system.get_variable_values(
+                [r.pressure_variable], time_step_index=0
+            ),
+            "interface_flux": r.equation_system.get_variable_values(
+                [r.interface_darcy_flux_variable], time_step_index=0
+            ),
+        }
 
+    ref_vals = golden(compute)
     p_o = m.equation_system.get_variable_values(
         [m.pressure_variable], time_step_index=0
     )
-    p_r = r.equation_system.get_variable_values(
-        [r.pressure_variable], time_step_index=0
-    )
+    p_r = np.asarray(ref_vals["pressure"])
     assert p_o.size == p_r.size
     assert np.abs(p_o - p_r).max() < 1e-10, np.abs(p_o - p_r).max()
 
     lam_o = m.equation_system.get_variable_values(
         [m.interface_darcy_flux_variable], time_step_index=0
     )
-    lam_r = r.equation_system.get_variable_values(
-        [r.interface_darcy_flux_variable], time_step_index=0
-    )
-    assert np.abs(lam_o - lam_r).max() < 1e-10
+    assert np.abs(lam_o - np.asarray(ref_vals["interface_flux"])).max() < 1e-10
 
 
-@requires_reference
-def test_md_flow_compressible_transient_parity(ref_pp):
+def test_md_flow_compressible_transient_parity(golden):
     fracs = [[[0.25, 0.75], [0.5, 0.5]]]
     m, params = _make(pt, pt.SinglePhaseFlow, fracs, lambda a: a, 1e-3)
     pt.run_time_dependent_model(m, params)
-    r, params_r = _make(
-        ref_pp, ref_pp.SinglePhaseFlow, fracs, ref_pp.LineFracture, 1e-3, force_tpfa=True
-    )
-    ref_pp.run_time_dependent_model(r, params_r)
+
+    def compute(ref_pp):
+        r, params_r = _make(
+            ref_pp,
+            ref_pp.SinglePhaseFlow,
+            fracs,
+            ref_pp.LineFracture,
+            1e-3,
+            force_tpfa=True,
+        )
+        ref_pp.run_time_dependent_model(r, params_r)
+        return {
+            "pressure": r.equation_system.get_variable_values(
+                [r.pressure_variable], time_step_index=0
+            )
+        }
+
+    p_r = np.asarray(golden(compute)["pressure"])
     p_o = m.equation_system.get_variable_values(
         [m.pressure_variable], time_step_index=0
-    )
-    p_r = r.equation_system.get_variable_values(
-        [r.pressure_variable], time_step_index=0
     )
     assert np.abs(p_o - p_r).max() < 1e-9, np.abs(p_o - p_r).max()

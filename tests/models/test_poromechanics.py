@@ -5,34 +5,56 @@ import numpy as np
 import pytest
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
 
 
-@requires_reference
-def test_biot_matrix_parity(ref_pp):
-    rng = np.random.default_rng(5)
-    for nx in ([4, 3], [3, 2, 2]):
-        g = pt.CartGrid(list(nx))
-        g.compute_geometry()
+
+_BIOT_MECH_KEYS = (
+    "stress",
+    "bound_stress",
+    "bound_displacement_cell",
+    "bound_displacement_face",
+)
+_BIOT_COUPLING_KEYS = (
+    "scalar_gradient",
+    "displacement_divergence",
+    "boundary_displacement_divergence",
+    "mpsa_consistency",
+    "bound_displacement_pressure",
+)
+
+
+def _biot_inputs(nx):
+    rng = np.random.default_rng(5 + len(nx))
+    nc = int(np.prod(nx))
+    mu = rng.uniform(0.5, 2.0, nc)
+    lmbda = rng.uniform(0.5, 2.0, nc)
+    return mu, lmbda
+
+
+@pytest.mark.parametrize("nx", [[4, 3], [3, 2, 2]], ids=["2d", "3d"])
+def test_biot_matrix_parity(golden, nx):
+    g = pt.CartGrid(list(nx))
+    g.compute_geometry()
+    mu, lmbda = _biot_inputs(nx)
+    bf = g.get_boundary_faces()
+    cond = ["dir" if i % 2 == 0 else "neu" for i in range(bf.size)]
+    svm = {"flow": 0.8}
+
+    d = pt.initialize_data(
+        {},
+        "mechanics",
+        {
+            "fourth_order_tensor": pt.FourthOrderTensor(mu, lmbda),
+            "bc": pt.BoundaryConditionVectorial(g, bf, cond),
+            "scalar_vector_mappings": dict(svm),
+        },
+    )
+    pt.Biot("mechanics").discretize(g, d)
+    md = d[pt.DISCRETIZATION_MATRICES]["mechanics"]
+
+    def compute(ref_pp):
         gr = ref_pp.CartGrid(list(nx))
         gr.compute_geometry()
-        nc = g.num_cells
-        mu = rng.uniform(0.5, 2.0, nc)
-        lmbda = rng.uniform(0.5, 2.0, nc)
-        bf = g.get_boundary_faces()
-        cond = ["dir" if i % 2 == 0 else "neu" for i in range(bf.size)]
-        svm = {"flow": 0.8}
-
-        d = pt.initialize_data(
-            {},
-            "mechanics",
-            {
-                "fourth_order_tensor": pt.FourthOrderTensor(mu, lmbda),
-                "bc": pt.BoundaryConditionVectorial(g, bf, cond),
-                "scalar_vector_mappings": dict(svm),
-            },
-        )
-        pt.Biot("mechanics").discretize(g, d)
         dr = ref_pp.initialize_data(
             {},
             "mechanics",
@@ -44,27 +66,20 @@ def test_biot_matrix_parity(ref_pp):
             },
         )
         ref_pp.Biot("mechanics").discretize(gr, dr)
-        md = d[pt.DISCRETIZATION_MATRICES]["mechanics"]
         mdr = dr[ref_pp.DISCRETIZATION_MATRICES]["mechanics"]
-        for key in (
-            "stress",
-            "bound_stress",
-            "bound_displacement_cell",
-            "bound_displacement_face",
-        ):
-            diff = abs(md[key] - mdr[key])
-            mx = diff.max() if diff.nnz else 0.0
-            assert mx / max(abs(mdr[key]).max(), 1e-300) < 1e-10, key
-        for key in (
-            "scalar_gradient",
-            "displacement_divergence",
-            "boundary_displacement_divergence",
-            "mpsa_consistency",
-            "bound_displacement_pressure",
-        ):
-            diff = abs(md[key]["flow"] - mdr[key]["flow"])
-            mx = diff.max() if diff.nnz else 0.0
-            assert mx / max(abs(mdr[key]["flow"]).max(), 1e-300) < 1e-10, key
+        out = {k: mdr[k] for k in _BIOT_MECH_KEYS}
+        out.update({k: mdr[k]["flow"] for k in _BIOT_COUPLING_KEYS})
+        return out
+
+    ref_mats = golden(compute)
+    for key in _BIOT_MECH_KEYS:
+        diff = abs(md[key] - ref_mats[key])
+        mx = diff.max() if diff.nnz else 0.0
+        assert mx / max(abs(ref_mats[key]).max(), 1e-300) < 1e-10, key
+    for key in _BIOT_COUPLING_KEYS:
+        diff = abs(md[key]["flow"] - ref_mats[key])
+        mx = diff.max() if diff.nnz else 0.0
+        assert mx / max(abs(ref_mats[key]).max(), 1e-300) < 1e-10, key
 
 
 def _make(mod, base):
@@ -105,16 +120,24 @@ def _make(mod, base):
     return M(params), params
 
 
-@requires_reference
-def test_poromechanics_parity(ref_pp):
+def test_poromechanics_parity(golden):
     m, p1 = _make(pt, pt.Poromechanics)
     pt.run_time_dependent_model(m, p1)
-    r, p2 = _make(ref_pp, ref_pp.Poromechanics)
-    ref_pp.run_time_dependent_model(r, p2)
+
+    def compute(ref_pp):
+        r, p2 = _make(ref_pp, ref_pp.Poromechanics)
+        ref_pp.run_time_dependent_model(r, p2)
+        return {
+            var: r.equation_system.get_variable_values(
+                [var], time_step_index=0
+            )
+            for var in ("pressure", "u")
+        }
+
+    ref_vals = golden(compute)
     for var in ("pressure", "u"):
         vo = m.equation_system.get_variable_values([var], time_step_index=0)
-        vr = r.equation_system.get_variable_values([var], time_step_index=0)
-        assert np.abs(vo - vr).max() < 1e-12, var
+        assert np.abs(vo - np.asarray(ref_vals[var])).max() < 1e-12, var
 
 
 def _make_fractured(mod, base, frac_wrap, shear, normal):
@@ -157,35 +180,48 @@ def _make_fractured(mod, base, frac_wrap, shear, normal):
     return M(params), params
 
 
-@requires_reference
+_FRAC_PORO_VARS = (
+    "pressure",
+    "u",
+    "contact_traction",
+    "u_interface",
+    "interface_darcy_flux",
+)
+
+
 @pytest.mark.parametrize(
     "bc", [(0.01, -0.005), (0.0, 0.004)], ids=["contact", "opening"]
 )
-def test_fractured_poromechanics_parity(ref_pp, bc):
+def test_fractured_poromechanics_parity(golden, bc):
     """Coupled flow + mechanics + frictional contact on a fractured domain:
     all fields (including the jump-dependent aperture rediscretization in
     the opening case) must match the reference."""
     m, p1 = _make_fractured(pt, pt.Poromechanics, lambda a: a, *bc)
     pt.run_time_dependent_model(m, p1)
-    r, p2 = _make_fractured(
-        ref_pp, ref_pp.Poromechanics, ref_pp.LineFracture, *bc
-    )
-    ref_pp.run_time_dependent_model(r, p2)
-    for var in (
-        "pressure",
-        "u",
-        "contact_traction",
-        "u_interface",
-        "interface_darcy_flux",
-    ):
+
+    def compute(ref_pp):
+        r, p2 = _make_fractured(
+            ref_pp, ref_pp.Poromechanics, ref_pp.LineFracture, *bc
+        )
+        ref_pp.run_time_dependent_model(r, p2)
+        out = {
+            var: r.equation_system.get_variable_values([var], iterate_index=0)
+            for var in _FRAC_PORO_VARS
+        }
+        out["aperture"] = np.asarray(
+            r.equation_system.evaluate(r.aperture(r.mdg.subdomains(dim=1)))
+        )
+        return out
+
+    ref_vals = golden(compute)
+    for var in _FRAC_PORO_VARS:
         vo = m.equation_system.get_variable_values([var], iterate_index=0)
-        vr = r.equation_system.get_variable_values([var], iterate_index=0)
+        vr = np.asarray(ref_vals[var])
         assert np.abs(vo - vr).max() < 1e-12, (var, np.abs(vo - vr).max())
 
     # The jump-based aperture must agree with the reference too.
     ap_o = m.equation_system.evaluate(m.aperture(m.mdg.subdomains(dim=1)))
-    ap_r = r.equation_system.evaluate(r.aperture(r.mdg.subdomains(dim=1)))
-    assert np.abs(np.asarray(ap_o) - np.asarray(ap_r)).max() < 1e-12
+    assert np.abs(np.asarray(ap_o) - np.asarray(ref_vals["aperture"])).max() < 1e-12
 
 
 def test_poromechanics_compression_builds_pressure():

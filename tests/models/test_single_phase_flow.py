@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
+
 
 
 class _LinearPressure(pt.SinglePhaseFlow):
@@ -23,9 +23,8 @@ def test_incompressible_linear_pressure_exact():
     assert np.linalg.norm(p - p_ex) / np.linalg.norm(p_ex) < 1e-12
 
 
-@requires_reference
 @pytest.mark.parametrize("compressibility", [0.0, 4e-6])
-def test_parity_with_reference(ref_pp, compressibility):
+def test_parity_with_reference(golden, compressibility):
     """Pressure field parity with the reference SinglePhaseFlow: same grid,
     same BCs (p=east-west drop), same fluid; transient compressible and
     stationary incompressible."""
@@ -56,24 +55,28 @@ def test_parity_with_reference(ref_pp, compressibility):
     pt.run_time_dependent_model(m, params)
     p_ours = m.equation_system.get_variable_values(time_step_index=0)
 
-    class Ref(ref_pp.SinglePhaseFlow):
-        def bc_values_pressure(self, bg):
-            return 3.0 * (1.0 - bg.cell_centers[0])
+    def compute(ref_pp):
+        class Ref(ref_pp.SinglePhaseFlow):
+            def bc_values_pressure(self, bg):
+                return 3.0 * (1.0 - bg.cell_centers[0])
 
-        def initialize_data_saving(self):
-            # Skip the exporter (meshio is faked in this environment).
-            pass
+            def initialize_data_saving(self):
+                # Skip the exporter (meshio is faked in this environment).
+                pass
 
-        def save_data_time_step(self):
-            pass
+            def save_data_time_step(self):
+                pass
 
-    params_ref = make_params(ref_pp)
-    ref_m = Ref(params_ref)
-    ref_pp.run_time_dependent_model(ref_m, params_ref)
-    p_ref = ref_m.equation_system.get_variable_values(
-        [ref_m.pressure_variable], time_step_index=0
-    )
+        params_ref = make_params(ref_pp)
+        ref_m = Ref(params_ref)
+        ref_pp.run_time_dependent_model(ref_m, params_ref)
+        return {
+            "pressure": ref_m.equation_system.get_variable_values(
+                [ref_m.pressure_variable], time_step_index=0
+            )
+        }
 
+    p_ref = np.asarray(golden(compute)["pressure"])
     assert p_ours.size == p_ref.size
     scale = max(np.abs(p_ref).max(), 1.0)
     assert np.max(np.abs(p_ours - p_ref)) / scale < 1e-8

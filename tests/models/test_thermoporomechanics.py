@@ -5,7 +5,7 @@ jump-dependent aperture."""
 import numpy as np
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
+
 
 THM_FIELDS = [
     "u",
@@ -71,15 +71,22 @@ def _make(mod, base, frac_wrap):
     return M(params), params
 
 
-@requires_reference
-def test_fractured_thermoporomechanics_parity(ref_pp):
+def test_fractured_thermoporomechanics_parity(golden):
     m, p1 = _make(pt, pt.Thermoporomechanics, lambda a: a)
     pt.run_time_dependent_model(m, p1)
-    r, p2 = _make(ref_pp, ref_pp.Thermoporomechanics, ref_pp.LineFracture)
-    ref_pp.run_time_dependent_model(r, p2)
+
+    def compute(ref_pp):
+        r, p2 = _make(ref_pp, ref_pp.Thermoporomechanics, ref_pp.LineFracture)
+        ref_pp.run_time_dependent_model(r, p2)
+        return {
+            var: r.equation_system.get_variable_values([var], iterate_index=0)
+            for var in THM_FIELDS
+        }
+
+    ref_vals = golden(compute)
     for var in THM_FIELDS:
         vo = m.equation_system.get_variable_values([var], iterate_index=0)
-        vr = r.equation_system.get_variable_values([var], iterate_index=0)
+        vr = np.asarray(ref_vals[var])
         assert vo.size == vr.size, var
         assert np.abs(vo - vr).max() < 1e-12, (var, np.abs(vo - vr).max())
 
