@@ -50,7 +50,11 @@ if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         "jax_compilation_cache_dir", _os.environ["JAX_COMPILATION_CACHE_DIR"]
     )
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.0, not the usual 1s floor: through the tunneled backend even
+    # trivial programs (jit_negative, jit_concatenate, ...) take ~0.4 s to
+    # compile, and a process runs dozens of them — refusing to cache
+    # sub-second entries costs minutes per fresh process.
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 del _os
 
 __version__ = "0.1.0"

@@ -17,6 +17,9 @@ from porepy_tpu.examples.flow_benchmark_2d_case_4 import (  # noqa: F401
 from porepy_tpu.examples.mandel_biot import MandelModel  # noqa: F401
 from porepy_tpu.examples.terzaghi_biot import TerzaghiModel  # noqa: F401
 from porepy_tpu.examples.tracer_flow import TracerFlowModel  # noqa: F401
+from porepy_tpu.examples.flow_benchmark_3d_case_3 import (  # noqa: F401
+    FlowBenchmark3dCase3Model,
+)
 from porepy_tpu.examples.fracture_damage import (  # noqa: F401
     FractureDamageModel,
 )
