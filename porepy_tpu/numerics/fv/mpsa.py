@@ -671,35 +671,46 @@ def _assemble_mpsa_block(
     # and decoded in bounded slices: the row/column decode needs ~20 full-
     # length work arrays, and the block's triplet array itself would
     # dominate peak memory if materialized at once.
+    # int32 per-region lookup tables: the decode below touches ~20
+    # slice-length temporaries; 4-byte arithmetic halves the memory
+    # traffic of the single host core doing it (block-local ids all fit).
+    _nsf_r32 = rt.nsf_r.astype(np.int32, copy=False)
+    _nc_r32 = np.maximum(rt.nc_r, 1).astype(np.int32, copy=False)
+    _ncu32 = (d * rt.nc_r).astype(np.int32, copy=False)
+    _ncb32 = (d * rt.nb_r).astype(np.int32, copy=False)
+    _sf_start32 = rt.sf_start.astype(np.int32, copy=False)
+    _sc_start32 = rt.sc_start.astype(np.int32, copy=False)
+
     def _globalize_slice(o_reg, o_row, o_col, o_val):
-        nsf_o = d * rt.nsf_r[o_reg]
+        nsf_o = d * _nsf_r32[o_reg]
         kind_stress = o_row < nsf_o
         kind_trace = ~kind_stress & (o_row < 2 * nsf_o)
-        kind_div = ~kind_stress & ~kind_trace
+        has_div = bool(keys)
 
         # Row decode.
         sf_local_scalar = np.where(kind_trace, o_row - nsf_o, o_row) // d
-        comp = np.where(kind_div, 0, o_row % d)
-        sf_of_out = np.minimum(rt.sf_start[o_reg] + sf_local_scalar,
+        if has_div:
+            kind_div = ~kind_stress & ~kind_trace
+            comp = np.where(kind_div, 0, o_row % d)
+        else:
+            comp = o_row % d
+        sf_of_out = np.minimum(_sf_start32[o_reg] + sf_local_scalar,
                                rt.sf_f.size - 1)
         face_of_out = rt.sf_f[sf_of_out]
         ent_of_out = sf_ent[sf_of_out]  # == face_of_out in face mode
-        div_local = o_row - 2 * nsf_o
-        div_key = np.where(
-            kind_div, div_local // np.maximum(rt.nc_r[o_reg], 1), 0
-        )
-        div_cell_loc = np.where(
-            kind_div, div_local % np.maximum(rt.nc_r[o_reg], 1), 0
-        )
-        div_cell = rt.sc_c[rt.sc_start[o_reg] + div_cell_loc]
+        if has_div:
+            nc_o = _nc_r32[o_reg]
+            div_local = o_row - 2 * nsf_o
+            div_key = np.where(kind_div, div_local // nc_o, 0)
+            div_cell_loc = np.where(kind_div, div_local % nc_o, 0)
+            div_cell = rt.sc_c[_sc_start32[o_reg] + div_cell_loc]
 
         # Column decode.
-        ncol_u = d * rt.nc_r[o_reg]
-        ncol_b = d * rt.nb_r[o_reg]
+        ncol_u = _ncu32[o_reg]
+        ncol_b = _ncb32[o_reg]
         col_u = o_col < ncol_u
         col_b = ~col_u & (o_col < ncol_u + ncol_b)
-        col_p = ~col_u & ~col_b
-        u_cell = rt.sc_c[rt.sc_start[o_reg] + np.where(col_u, o_col, 0) // d]
+        u_cell = rt.sc_c[_sc_start32[o_reg] + np.where(col_u, o_col, 0) // d]
         u_gcol = u_cell * d + o_col % d
         b_loc = np.where(col_b, o_col - ncol_u, 0)
         if rt.bnd_idx.size:
@@ -710,11 +721,11 @@ def _assemble_mpsa_block(
         else:
             b_face = np.zeros(o_col.size, dtype=int)
         b_gcol = b_face * d + b_loc % d
-        p_loc = np.where(col_p, o_col - ncol_u - ncol_b, 0)
-        p_key = p_loc // np.maximum(rt.nc_r[o_reg], 1)
-        p_cell = rt.sc_c[
-            rt.sc_start[o_reg] + p_loc % np.maximum(rt.nc_r[o_reg], 1)
-        ]
+        if has_div:
+            col_p = ~col_u & ~col_b
+            p_loc = np.where(col_p, o_col - ncol_u - ncol_b, 0)
+            p_key = p_loc // _nc_r32[o_reg]
+            p_cell = rt.sc_c[_sc_start32[o_reg] + p_loc % _nc_r32[o_reg]]
 
         trace_w = 1.0 / rt.nnpf[face_of_out]
         srow = ent_of_out * d + comp  # stress rows: subface-level in subface mode

@@ -412,22 +412,38 @@ class _BlockPrecondBuilder:
             jnp.asarray(coo.row.astype(np.int32)),
             jnp.asarray(coo.col.astype(np.int32)),
         )
+        # Validate in the EQUILIBRATED space: the raw-space residual
+        # |S M e - e| is amplified by Dr^{-1} (the raw md blocks span ~10
+        # orders of magnitude), so a good f32 inverse can look arbitrarily
+        # bad — and a bad one can hide — depending on scaling alone. A
+        # batch of unit probes against the equilibrated operator measures
+        # what the sweep actually consumes; any probe off by > 5% of its
+        # unit norm demotes the block (deterministic: fixed seed).
+        S_eq = sps.csr_matrix(
+            (dr[coo.row] * coo.data * dc[coo.col], (coo.row, coo.col)),
+            shape=Sii.shape,
+        )
+        n_probe = 8
+        E = np.random.default_rng(0).standard_normal((ni, n_probe))
+        E /= np.linalg.norm(E, axis=0, keepdims=True)
+        Y = np.asarray(
+            inv_eq @ jnp.asarray(
+                np.pad(E, ((0, n_pad - ni), (0, 0))), jnp.float32
+            )
+        )[:ni]
+        err = float(
+            np.abs(np.linalg.norm(S_eq @ Y.astype(np.float64) - E, axis=0)).max()
+        )
+        if not np.isfinite(err) or err > 0.05:
+            raise FloatingPointError(
+                f"dense block inverse validation failed "
+                f"(max_j |S_eq M_eq e_j - e_j| = {err:.2e}, n = {ni}, "
+                f"{n_probe} probes)"
+            )
         # Raw-space inverse: Minv = Dc inv_eq Dr (pad scales are 1).
         dcp = jnp.asarray(np.pad(dc, (0, n_pad - ni), constant_values=1.0).astype(np.float32))
         drp = jnp.asarray(np.pad(dr, (0, n_pad - ni), constant_values=1.0).astype(np.float32))
-        minv = inv_eq * dcp[:, None] * drp[None, :]
-        e = np.random.default_rng(0).standard_normal(ni)
-        e /= np.linalg.norm(e)
-        y = np.asarray(
-            minv @ jnp.asarray(np.pad(e, (0, n_pad - ni)), jnp.float32)
-        )[:ni]
-        err = float(np.linalg.norm(Sii @ y.astype(np.float64) - e))
-        if not np.isfinite(err) or err > 0.3:
-            raise FloatingPointError(
-                f"dense block inverse validation failed (|S M e - e| = {err:.2e},"
-                f" n = {ni})"
-            )
-        return minv
+        return inv_eq * dcp[:, None] * drp[None, :]
 
     def build(
         self,

@@ -216,3 +216,61 @@ def test_assemble_device_matches_host_assembly():
     )
     assert np.allclose(b_dev, b, atol=1e-14)
     assert abs(A - A_dev).max() < 1e-12
+
+
+def test_dense_block_inverse_validates_on_ten_order_scaling():
+    """A WELL-POSED block whose rows/columns span ~10 orders of magnitude
+    (the md flow + mortar regime) must pass the equilibrated-space probe
+    validation and yield an accurate frozen inverse — the raw-space
+    residual would reject it on scaling alone."""
+    import scipy.sparse as sps
+    from porepy_tpu.numerics.linalg.device_solver import _BlockPrecondBuilder
+
+    rng = np.random.default_rng(3)
+    n = 120
+    # SPD core, then scaled by wildly varying diagonals (1e-5 .. 1e5).
+    Q = rng.standard_normal((n, n))
+    core = Q @ Q.T + n * np.eye(n)
+    s = 10.0 ** rng.uniform(-5, 5, n)
+    A = sps.csr_matrix(np.diag(s) @ core @ np.diag(s))
+
+    b = _BlockPrecondBuilder(
+        [(np.arange(n), np.arange(n))], ["jacobi"], None, None
+    )
+    b.dense_limit = 1024
+    minv = np.asarray(b._build_dense_block(A))[:n, :n]
+    # The validation contract is equilibrated-space accuracy: for any unit
+    # residual e, the preconditioned apply solves the equilibrated system
+    # to f32 level. Check with FRESH probes (different seed than the
+    # builder's own validation batch).
+    from porepy_tpu.numerics.linalg.device_solver import _ruiz_scaling
+
+    dr, dc = _ruiz_scaling(A)
+    S_eq = np.diag(dr) @ A.toarray() @ np.diag(dc)
+    inv_eq = np.diag(1.0 / dc) @ minv @ np.diag(1.0 / dr)
+    for seed in (11, 12, 13):
+        e = np.random.default_rng(seed).standard_normal(n)
+        e /= np.linalg.norm(e)
+        assert np.linalg.norm(S_eq @ (inv_eq @ e) - e) < 0.05
+
+
+def test_dense_block_inverse_demotes_deterministically_on_singular_block():
+    """A numerically singular block must fail the multi-probe validation
+    and demote the block to its sparse method — on every rebuild, not by
+    luck of a single random probe."""
+    import scipy.sparse as sps
+    from porepy_tpu.numerics.linalg.device_solver import _BlockPrecondBuilder
+
+    n = 64
+    A = sps.csr_matrix(np.outer(np.arange(1, n + 1.0), np.arange(1, n + 1.0)))
+
+    for _ in range(3):  # deterministic across rebuilds
+        b = _BlockPrecondBuilder(
+            [(np.arange(n), np.arange(n))], ["jacobi"], None, None
+        )
+        b.dense_limit = 1024
+        with pytest.raises(Exception):
+            b._build_dense_block(A)
+        # The full build demotes instead of raising.
+        _state, _apply, _h = b.build(A)
+        assert b._block_dense.get(0) is False, "block was not demoted"
