@@ -20,6 +20,7 @@ from porepy_tpu.models.constitutive_laws import DimensionDependentPermeability
 from porepy_tpu.numerics import ad
 
 __all__ = [
+    "solid_constants",
     "Geometry",
     "Permeability",
     "Case3aBoundaryConditions",
@@ -27,6 +28,9 @@ __all__ = [
     "FlowBenchmark2dCase3aModel",
     "FlowBenchmark2dCase3bModel",
 ]
+
+
+solid_constants = pt.SolidConstants(residual_aperture=1e-4)
 
 
 class Geometry:
