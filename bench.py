@@ -188,13 +188,18 @@ def _summarize(m) -> dict:
         "nnz": int(nnz),
     }
     if m.block_times:
-        wall = sum(b[0] for b in m.block_times)
-        iters = sum(b[2] for b in m.block_times)
+        # The FIRST block dispatch carries the one-time program
+        # compile/load; with >= 2 blocks only the warm ones are measured.
+        blocks = m.block_times[1:] if len(m.block_times) > 1 else m.block_times
+        wall = sum(b[0] for b in blocks)
+        iters = sum(b[2] for b in blocks)
         out.update(
             mode="fused_block",
-            steps_in_blocks=int(sum(b[1] for b in m.block_times)),
+            blocks_measured=len(blocks),
+            first_block_s=round(m.block_times[0][0], 3),
+            steps_in_blocks=int(sum(b[1] for b in blocks)),
             iters_measured=int(iters),
-            krylov_iters=int(sum(b[3] for b in m.block_times)),
+            krylov_iters=int(sum(b[3] for b in blocks)),
             total_ms=round(wall * 1000.0 / max(iters, 1), 3),
         )
         if m.step_times:
@@ -257,9 +262,10 @@ def run_md_flow(cell_size: float = 1.0 / 128) -> dict:
         "grid_type": "cartesian",
         "meshing_arguments": {"cell_size": cell_size},
         "material_constants": _mat_flow(),
-        "time_manager": pt.TimeManager([0, 10.0], 1.0, constant_dt=True),
+        "time_manager": pt.TimeManager([0, 26.0], 1.0, constant_dt=True),
         "linear_solver": "device_gmres",
         "fused_time_steps": 8,
+        "fused_commit_states": "tail",
     }
     m = Model(params)
     pt.run_time_dependent_model(m, params)
@@ -348,9 +354,10 @@ def run_biot() -> dict:
                 viscosity=1.0, density=1.0, compressibility=1e-2
             ),
         },
-        "time_manager": pt.TimeManager([0, 10.0], 1.0, constant_dt=True),
+        "time_manager": pt.TimeManager([0, 26.0], 1.0, constant_dt=True),
         "linear_solver": "device_gmres",
         "fused_time_steps": 8,
+        "fused_commit_states": "tail",
     }
     m = Model(params)
     pt.run_time_dependent_model(m, params)
@@ -410,9 +417,10 @@ def run_3d_framework() -> dict:
                 compressibility=1e-6, viscosity=1e-3, density=1000.0
             ),
         },
-        "time_manager": pt.TimeManager([0, 10.0], 1.0, constant_dt=True),
+        "time_manager": pt.TimeManager([0, 26.0], 1.0, constant_dt=True),
         "linear_solver": "device_gmres",
         "fused_time_steps": 8,
+        "fused_commit_states": "tail",
     }
     m = Model(params)
     pt.run_time_dependent_model(m, params)
@@ -460,9 +468,10 @@ def run_berre3d() -> dict:
                 compressibility=1e-6, viscosity=1e-3, density=1000.0
             ),
         },
-        "time_manager": pt.TimeManager([0, 6.0], 1.0, constant_dt=True),
+        "time_manager": pt.TimeManager([0, 10.0], 1.0, constant_dt=True),
         "linear_solver": "device_gmres",
         "fused_time_steps": 4,
+        "fused_commit_states": "tail",
     }
     m = Model(params)
     pt.run_time_dependent_model(m, params)
@@ -491,13 +500,14 @@ def run_tracer() -> dict:
         "grid_type": "cartesian",
         "meshing_arguments": {"cell_size": 1.0 / 64},
         "time_manager": pt.TimeManager(
-            [0, 10 * 60.0], 60.0, constant_dt=True
+            [0, 26 * 60.0], 60.0, constant_dt=True
         ),
         "max_iterations": 30,
         "nl_convergence_tol": 1e-8,
         "nl_convergence_tol_res": 1e-8,
         "linear_solver": "device_gmres",
         "fused_time_steps": 8,
+        "fused_commit_states": "tail",
     }
     m = Model(params)
     pt.run_time_dependent_model(m, params)
@@ -567,9 +577,10 @@ def run_thm_contact_3d() -> dict:
                 thermal_expansion=2e-4,
             ),
         },
-        "time_manager": pt.TimeManager([0, 4.0], 1.0, constant_dt=True),
+        "time_manager": pt.TimeManager([0, 10.0], 1.0, constant_dt=True),
         "linear_solver": "device_gmres",
         "fused_time_steps": 4,
+        "fused_commit_states": "tail",
     }
     m = Model(params)
     pt.run_time_dependent_model(m, params)

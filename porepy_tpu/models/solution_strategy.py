@@ -507,8 +507,7 @@ class SolutionStrategy(FluidMixin):
         envs = cs._envs(eq_sys)
         x0 = device_policy.put(eq_sys._global_vector())
         if solver._m_state is None:
-            data0, _b0 = cs._data_and_rhs(x0, envs)
-            solver.refresh_preconditioner(data0)
+            self._refresh_preconditioner_host(cs, solver)
 
         key = (
             id(cs),
@@ -567,6 +566,21 @@ class SolutionStrategy(FluidMixin):
         eq_sys.shift_iterate_values(max_index=len(self.iterate_indices))
         eq_sys.set_variable_values(x, iterate_index=0)
         return True
+
+    def _refresh_preconditioner_host(self, cs, solver) -> None:
+        """Build the frozen preconditioner from a HOST-computed Jacobian:
+        the assembly program runs on the CPU backend (its inputs — state
+        vector and env values — are host arrays), so the nnz data never
+        crosses the accelerator tunnel. Device->host pulls through the
+        tunneled TPU have been measured to stall for MINUTES even at 8 KB
+        when the link degrades; keeping the setup path pull-free makes
+        preconditioner (re)builds immune to that failure mode, and the
+        CPU assembly executable is persistently cached like any other."""
+        eq_sys = self.equation_system
+        x_h = np.asarray(eq_sys._global_vector())
+        envs = cs._envs_host(eq_sys)
+        data_h, _b_h = cs._data_and_rhs_host(x_h, envs)
+        solver.refresh_preconditioner(data_h)
 
     def _fused_newton_device_fn(self, cs, solver, nl_params: dict):
         """The whole-Newton-loop device function shared by the per-step
@@ -770,8 +784,7 @@ class SolutionStrategy(FluidMixin):
         envs = cs._envs(eq_sys)
         x0 = device_policy.put(eq_sys._global_vector())
         if solver._m_state is None:
-            data0, _b0 = cs._data_and_rhs(x0, envs)
-            solver.refresh_preconditioner(data0)
+            self._refresh_preconditioner_host(cs, solver)
 
         chunk = int(self.params.get("fused_time_steps", n_steps))
         chunk = max(min(chunk, 512), 2)
@@ -802,7 +815,24 @@ class SolutionStrategy(FluidMixin):
             if n_ok == 0:
                 solver.invalidate_preconditioner()
                 return 0
-            x_host = np.asarray(x_stack[:n_ok])
+            # ``fused_commit_states: "tail"`` pulls only the states the
+            # ring actually keeps (benchmarks with data saving suppressed):
+            # device->host transfers through a degraded tunnel can stall
+            # for minutes, so the commit pulls the minimum bytes that keep
+            # the time-step/iterate rings exact for the continuing run.
+            if str(self.params.get("fused_commit_states", "all")) == "tail":
+                commit_lo = max(
+                    n_ok
+                    - max(
+                        len(self.time_step_indices),
+                        len(self.iterate_indices),
+                        1,
+                    ),
+                    0,
+                )
+            else:
+                commit_lo = 0
+            x_host = np.asarray(x_stack[commit_lo:n_ok])
             if not np.all(np.isfinite(x_host)):
                 solver.invalidate_preconditioner()
                 return 0
@@ -865,7 +895,10 @@ class SolutionStrategy(FluidMixin):
                 "block": True,
             }
             eq_sys.shift_iterate_values(max_index=len(self.iterate_indices))
-            eq_sys.set_variable_values(x_host[j], iterate_index=0)
+            if j >= commit_lo:
+                eq_sys.set_variable_values(
+                    x_host[j - commit_lo], iterate_index=0
+                )
             self.after_nonlinear_convergence()
             stats.log_timestep(tm.time_index, tm.time)
         self._ftb_blocks_committed = (

@@ -141,9 +141,26 @@ class _CompiledSystem:
             def call(x, env, jitted=jitted, seeds=seeds, gc=gc, rj=rj):
                 return jitted(x, seeds, gc, rj, env)
 
-            return call
+            # Host twin: same jitted function with all-host operands, so
+            # dispatch lands on the CPU backend (the package default
+            # device). Used when the VALUES are needed on the host (e.g.
+            # preconditioner builds) — evaluating there avoids pulling the
+            # nnz data through the accelerator tunnel, where device->host
+            # transfers have been measured to stall for minutes.
+            gc_np = np.asarray(ce.gather_color, dtype=np.int32)
+            rj_np = np.asarray(ce.rows, dtype=np.int32)
+            seeds_np = np.asarray(ce.seeds)
 
-        self._eq_fns = [make_eq_fn(ce) for ce in self.ces]
+            def call_host(
+                x, env, jitted=jitted, seeds=seeds_np, gc=gc_np, rj=rj_np
+            ):
+                return jitted(x, seeds, gc, rj, env)
+
+            return call, call_host
+
+        _pairs = [make_eq_fn(ce) for ce in self.ces]
+        self._eq_fns = [p[0] for p in _pairs]
+        self._eq_fns_host = [p[1] for p in _pairs]
         self._eq_res_fns = [
             jax.jit(lambda x, env, ce=ce: ce.fn(x, *env)) for ce in self.ces
         ]
@@ -173,6 +190,28 @@ class _CompiledSystem:
 
         self._data_and_rhs = _data_and_rhs
 
+        def _data_and_rhs_host(x_np, envs):
+            """Host (CPU backend) evaluation of the assembled nnz data and
+            rhs: numpy in, numpy out, no accelerator involvement."""
+            x_np = np.asarray(x_np)
+            parts = [
+                f(x_np, tuple(np.asarray(e) for e in env))
+                for f, env in zip(self._eq_fns_host, envs)
+            ]
+            data = (
+                np.concatenate([np.asarray(p[0]) for p in parts])
+                if parts
+                else np.zeros(0)
+            )
+            b = (
+                -np.concatenate([np.asarray(p[1]) for p in parts])
+                if parts
+                else np.zeros(0)
+            )
+            return data, b
+
+        self._data_and_rhs_host = _data_and_rhs_host
+
         def _rhs_only(x, envs):
             vals = [f(x, env) for f, env in zip(self._eq_res_fns, envs)]
             return -jnp.concatenate(vals) if vals else jnp.zeros(0)
@@ -182,6 +221,14 @@ class _CompiledSystem:
     def _envs(self, eq_sys) -> tuple:
         return tuple(
             tuple(ce.env_spec.fetch_device(eq_sys)) for ce in self.ces
+        )
+
+    def _envs_host(self, eq_sys) -> tuple:
+        """Env values as HOST arrays (fresh fetch, no device cache): the
+        operands of :meth:`_data_and_rhs_host`."""
+        return tuple(
+            tuple(np.asarray(f(eq_sys)) for f in ce.env_spec.fetchers)
+            for ce in self.ces
         )
 
     def assemble(self, eq_sys) -> tuple[jnp.ndarray, jnp.ndarray]:
