@@ -1,43 +1,67 @@
-"""Stress-intensity-factor estimation by displacement correlation.
+"""Stress-intensity-factor estimation by displacement correlation
+(reference ``numerics/displacement_correlation.py:20`` — same public API:
+:func:`faces_to_open`, :func:`sif_from_delta_u`, :func:`determine_onset`,
+:func:`estimate_rm`; method of Nejati et al., Eng. Fract. Mech. 144,
+2015).
 
-Parity counterpart of reference ``numerics/displacement_correlation.py``
-(Nejati et al., "On the use of quarter-point tetrahedral finite elements
-in linear elastic fracture mechanics", EFM 144 (2015)): SIFs at fracture
-tips are recovered from the relative displacement of the fracture walls
-at a correlation point a distance ``rm`` behind the tip.
+The model-mixin route (``fracture_deformation.conforming_propagation``)
+embeds the same physics in the propagation loop; this module is the
+standalone, model-free surface: given a mixed-dimensional grid and a
+displacement state, estimate per-tip SIFs and decide which host faces a
+fracture should open.
 
-The reference's entry point consumes the monolithic ``FracturedMpsa``
-displacement layout; here the input is the displacement jump per
-fracture cell (the natural quantity in the mortar-based models), which
-is what the reference's model-facing variant also uses
-(``conforming_propagation.py:164``).
+The jump evaluation differs from the reference implementation: instead of
+sampling displacements on cells flanking the fracture walls of the
+HIGHER-dimensional grid (reference ``identify_correlation_points``), the
+relative displacement at each tip is read from the mortar displacement
+jump of the fracture's interface — the discrete quantity the contact
+mechanics formulation actually solves for. Both evaluate the same
+continuum object (the displacement jump at distance ``rm`` behind the
+tip); the mortar route needs no nearest-point search and is exact on
+conforming md grids.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 __all__ = [
+    "faces_to_open",
     "sif_from_delta_u",
     "determine_onset",
     "estimate_rm",
-    "faces_to_open",
+    "tip_sifs",
 ]
 
 
-def sif_from_delta_u(d_u, rm, mu, kappa) -> np.ndarray:
-    """SIFs from relative wall displacements in tip-local coordinates.
+def estimate_rm(sd, **kw) -> np.ndarray:
+    """Correlation-point distance per tip face: the distance from the tip
+    face to its neighboring cell center (the natural discrete offset on a
+    conforming grid; reference ``displacement_correlation.py:372`` uses a
+    mesh-size heuristic)."""
+    tip_faces = np.flatnonzero(sd.tags["tip_faces"])
+    _signs, tip_cells = sd.signs_and_cells_of_boundary_faces(tip_faces)
+    return np.linalg.norm(
+        sd.face_centers[:, tip_faces] - sd.cell_centers[:, tip_cells], axis=0
+    )
 
-    ``d_u`` is ``(dim, n_tips)`` with rows [sliding (perp to tip, in
-    plane), opening (normal), tearing (along tip, 3d)]; ``rm`` the
-    correlation distances. Nejati et al. eq. 19 (reference
-    ``displacement_correlation.py:168-189``).
+
+def sif_from_delta_u(d_u: np.ndarray, rm: np.ndarray, mu: float, kappa: float):
+    """SIFs from relative displacements at distance ``rm`` behind the tip
+    (Nejati et al. eq. 19; reference ``displacement_correlation.py:168``).
+
+    ``d_u`` is ``(dim, n)`` in the tip frame with row 0 the in-plane
+    sliding component, row 1 the opening (plane-normal) component and row
+    2 (3d) the along-tip component. Returns ``(dim, n)`` with rows
+    ``K_I, K_II[, K_III]``.
     """
-    d_u = np.asarray(d_u, float)
-    rm = np.asarray(rm, float).ravel()
-    dim = d_u.shape[0]
+    d_u = np.atleast_2d(d_u)
+    dim, _n = d_u.shape
+    rm = np.asarray(rm, dtype=float)
+    sifs = np.zeros(d_u.shape)
     scale = np.sqrt(2.0 * np.pi / rm)
-    sifs = np.zeros_like(d_u)
     sifs[0] = scale * mu / (kappa + 1.0) * d_u[1]
     sifs[1] = scale * mu / (kappa + 1.0) * d_u[0]
     if dim == 3:
@@ -45,58 +69,132 @@ def sif_from_delta_u(d_u, rm, mu, kappa) -> np.ndarray:
     return sifs
 
 
-def determine_onset(sifs, critical_values) -> np.ndarray:
-    """Mode-I onset: |K_I| exceeds its critical value (reference
-    ``displacement_correlation.py:150``)."""
-    return np.abs(np.asarray(sifs)[0]) > np.asarray(critical_values)[0]
+def determine_onset(sifs: np.ndarray, critical_values: np.ndarray):
+    """Boolean per tip: does the equivalent SIF exceed the critical value?
+    (reference ``displacement_correlation.py:150``: mode-wise comparison
+    reduced by any)."""
+    sifs = np.atleast_2d(sifs)
+    critical_values = np.asarray(critical_values, dtype=float)
+    return np.any(np.abs(sifs) > critical_values[:, None], axis=0)
 
 
-def estimate_rm(sd, **kw) -> np.ndarray:
-    """Optimal correlation distance ~ 0.8x the local tip mesh size
-    (reference ``displacement_correlation.py:371-395``)."""
-    k = kw.get("rm_factor", 0.8)
-    faces = np.flatnonzero(sd.tags["tip_faces"])
-    if sd.dim >= 2:
-        return k * sd.face_areas[faces]
-    cells = sd.cell_faces[faces].nonzero()[1]
-    return k * sd.cell_volumes[cells]
+def tip_sifs(mdg, u: Optional[np.ndarray] = None, mu=1.0, kappa=2.0):
+    """Per-fracture tip SIF estimates: ``{sd_l: (sifs, tip_faces)}``.
+
+    ``u`` is the mortar displacement vector per interface (stacked like
+    the md variable); when None, the jump is read from the stored
+    iterate solution of each interface's ``u_interface`` variable.
+    """
+    from porepy_tpu.utils import common_constants as cc
+
+    out = {}
+    nd = mdg.dim_max()
+    for intf in mdg.interfaces():
+        sd_h, sd_l = mdg.interface_to_subdomain_pair(intf)
+        if sd_h.dim != nd or sd_l.dim != nd - 1:
+            continue
+        tip_faces = np.flatnonzero(sd_l.tags["tip_faces"])
+        if tip_faces.size == 0:
+            out[sd_l] = (np.zeros((nd, 0)), tip_faces)
+            continue
+        signs, tip_cells = sd_l.signs_and_cells_of_boundary_faces(tip_faces)
+        if u is None:
+            d = mdg.interface_data(intf)
+            u_j = d[cc.ITERATE_SOLUTIONS]["u_interface"][0]
+        else:
+            u_j = np.asarray(u)
+        jump = (
+            intf.mortar_to_secondary_avg(nd=nd)
+            @ intf.sign_of_mortar_sides(nd=nd)
+            @ u_j
+        ).reshape((nd, sd_l.num_cells), order="F")[:, tip_cells]
+
+        # Tip frame: e_perp = outward tip direction in the fracture plane,
+        # e_n = fracture plane normal.
+        e0 = (
+            sd_l.face_normals[:, tip_faces]
+            / sd_l.face_areas[tip_faces]
+            * signs
+        )
+        d_u = np.zeros((nd, tip_faces.size))
+        if sd_l.dim == 1:
+            for i, c in enumerate(tip_cells):
+                faces_c = sd_l.cell_faces[:, c].nonzero()[0]
+                t = (
+                    sd_l.face_centers[:, faces_c[-1]]
+                    - sd_l.face_centers[:, faces_c[0]]
+                )
+                t /= max(np.linalg.norm(t), 1e-300)
+                n = np.array([-t[1], t[0], 0.0])
+                d_u[0, i] = jump[:, i] @ e0[:nd, i]
+                d_u[1, i] = jump[:, i] @ n[:nd]
+        else:
+            from porepy_tpu.geometry import map_geometry
+
+            cn = sd_l.cell_nodes()
+            for i, c in enumerate(tip_cells):
+                nodes = cn[:, c].nonzero()[0]
+                n = map_geometry.compute_normal(sd_l.nodes[:, nodes])
+                e_par = np.cross(e0[:, i], n)
+                d_u[0, i] = jump[:, i] @ e0[:, i]
+                d_u[1, i] = jump[:, i] @ n
+                d_u[2, i] = jump[:, i] @ e_par
+
+        rm = np.linalg.norm(
+            sd_l.face_centers[:, tip_faces] - sd_l.cell_centers[:, tip_cells],
+            axis=0,
+        )
+        out[sd_l] = (sif_from_delta_u(d_u, rm, mu, kappa), tip_faces)
+    return out
 
 
-def faces_to_open(mdg, model, critical_sifs, **kw):
-    """Host faces to split per fracture, from the current solution of a
-    mortar-based mechanics ``model`` (provides ``equation_system``,
-    ``interface_displacement_variable``, ``solid``, ``nd``).
+def faces_to_open(
+    mdg,
+    u: Optional[np.ndarray],
+    critical_sifs: np.ndarray,
+    mu: float = 1.0,
+    kappa: float = 2.0,
+    **kw,
+):
+    """Which host-grid faces should open, per fracture (reference
+    ``displacement_correlation.py:20``): estimate tip SIFs, apply the
+    onset criterion, and pick for each propagating tip the host face
+    continuing the fracture path.
 
-    Returns ``(faces_per_fracture, sifs_per_fracture)`` like the reference
-    entry point (``displacement_correlation.py:20``).
+    Returns ``(faces, sifs)``: ``faces`` is ``{sd_l: array of host face
+    indices}``, ``sifs`` the per-fracture ``(sifs, tip_faces)`` map.
     """
     from porepy_tpu.numerics.fracture_deformation.conforming_propagation import (
         ConformingFracturePropagation,
     )
 
-    helper = ConformingFracturePropagation.__new__(ConformingFracturePropagation)
-    helper.__dict__.update(
-        {"mdg": mdg, "params": {"critical_sifs": critical_sifs, **kw}}
-    )
-    for attr in (
-        "equation_system",
-        "interface_displacement_variable",
-        "solid",
-        "nd",
-    ):
-        setattr(helper, attr, getattr(model, attr))
+    sifs = tip_sifs(mdg, u, mu, kappa)
+    nd = mdg.dim_max()
+    sd_h = mdg.subdomains(dim=nd)[0]
 
-    faces_out, sifs_out = [], []
-    for intf in mdg.interfaces():
-        sd_h, sd_l = mdg.interface_to_subdomain_pair(intf)
-        if sd_h.dim != helper.nd or sd_l.dim != helper.nd - 1:
+    # Borrow the host-face selection geometry from the propagation mixin
+    # through a minimal shim (it only touches mdg/nd/params there).
+    shim = ConformingFracturePropagation.__new__(ConformingFracturePropagation)
+    shim.mdg = mdg
+    shim.nd = nd
+    shim.params = dict(kw)
+
+    faces = {}
+    for sd_l, (s, tip_faces) in sifs.items():
+        if tip_faces.size == 0:
+            faces[sd_l] = np.empty(0, dtype=int)
             continue
-        sifs, tip_faces, bases = helper._displacement_correlation(sd_l, intf)
-        onset = determine_onset(sifs, critical_sifs)
+        onset = determine_onset(s, np.asarray(critical_sifs))
         grow = tip_faces[onset]
-        host = helper._select_host_faces(
-            sd_h, sd_l, grow, bases[:, :, onset], np.zeros(int(onset.sum()))
+        if grow.size == 0:
+            faces[sd_l] = np.empty(0, dtype=int)
+            continue
+        signs, tip_cells = sd_l.signs_and_cells_of_boundary_faces(tip_faces)
+        bases = shim._tip_bases(sd_l, tip_faces, signs, tip_cells)
+        angles = np.zeros(int(onset.sum()))  # straight growth (mode I)
+        faces[sd_l] = np.unique(
+            shim._select_host_faces(
+                sd_h, sd_l, grow, bases[:, :, onset], angles
+            )
         )
-        faces_out.append(np.unique(host))
-        sifs_out.append(sifs)
-    return faces_out, sifs_out
+    return faces, sifs

@@ -53,10 +53,16 @@ def test_geo_structure(tmp_path):
     assert len(re.findall(r'DOMAIN_BOUNDARY_SURFACE_\d', geo)) == 6
 
 
-def test_mesh_raises_with_instructions(tmp_path):
+def test_mesh_falls_back_to_native_mesher(tmp_path, monkeypatch):
+    """Without gmsh, ``mesh()`` no longer raises: it writes the .geo file
+    (for optional offline gmsh runs) AND meshes natively with the cut-tet
+    mesher, returning a valid mdg."""
+    monkeypatch.chdir(tmp_path)
     net = _network()
-    with pytest.raises(ImportError, match="gmsh -3"):
-        net.mesh({"mesh_size_frac": 0.2}, file_name=str(tmp_path / "n"))
+    mdg = net.mesh({"mesh_size_frac": 0.2}, file_name=str(tmp_path / "n"))
+    assert (tmp_path / "n.geo").exists()  # offline-gmsh escape hatch stays
+    assert mdg.dim_max() == 3
+    assert len(mdg.subdomains(dim=2)) == len(net.fractures)
 
 
 def test_boundary_touching_fracture_rejected(tmp_path):
