@@ -50,7 +50,9 @@ class ShardedNewton:
     ``after_nonlinear_iteration`` so state bookkeeping matches the host loop.
     """
 
-    def __init__(self, model, mesh: Mesh, method: str = "gmres") -> None:
+    def __init__(
+        self, model, mesh: Mesh, method: str = "gmres", dof_permutation=None
+    ) -> None:
         self.model = model
         self.mesh = mesh
         eq = model.equation_system
@@ -59,7 +61,22 @@ class ShardedNewton:
             model._device_solvers = {}
         if not model.linear_solver.startswith("device"):
             model.linear_solver = f"device_{method}"
-        self.solver = model._device_solver_for(self.cs)
+        # Optional spatial dof permutation (parallel/placement.py): the
+        # solver is built over permuted index tables so each device's
+        # contiguous dof shard is a spatially coherent region; vectors are
+        # permuted in and the increment permuted back out.
+        self.perm = None
+        if dof_permutation is not None:
+            from porepy_tpu.numerics.linalg.device_solver import (
+                DeviceLinearSolver,
+            )
+            from porepy_tpu.parallel.placement import PermutedSystem
+
+            self.perm = np.asarray(dof_permutation)
+            self._psys = PermutedSystem(self.cs, self.perm)
+            self.solver = DeviceLinearSolver(self._psys, method=method)
+        else:
+            self.solver = model._device_solver_for(self.cs)
         self.dof_sharding = NamedSharding(mesh, P("dofs"))
         self.replicated = NamedSharding(mesh, P())
         self.n_devices = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -93,17 +110,22 @@ class ShardedNewton:
         envs = jax.device_put(self.cs._envs(eq), self.replicated)
         return self.cs._data_and_rhs(x, envs)
 
+    def _solve(self, data, b):
+        if self.perm is not None:
+            b = jnp.take(jnp.asarray(b), jnp.asarray(self.perm))
+        dx, res = self.solver.solve_device(data, self._shard(np.asarray(b)))
+        dx_host = np.asarray(dx)
+        if self.perm is not None:
+            dx_host = dx_host[self._psys.inv]
+        return dx_host, float(res)
+
     def step(self) -> tuple[np.ndarray, float]:
         data, b = self.assemble()
-        b = self._shard(b)
-        dx, res = self.solver.solve_device(data, b)
-        dx_host = np.asarray(dx)
+        dx_host, res = self._solve(data, b)
         self.model.after_nonlinear_iteration(dx_host)
-        return dx_host, float(res)
+        return dx_host, res
 
     def solve_once(self) -> tuple[np.ndarray, float]:
         """Assemble + solve without mutating model state (for parity tests)."""
         data, b = self.assemble()
-        b = self._shard(b)
-        dx, res = self.solver.solve_device(data, b)
-        return np.asarray(dx), float(res)
+        return self._solve(data, b)
