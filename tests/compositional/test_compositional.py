@@ -6,7 +6,6 @@ import pytest
 
 import porepy_tpu as pt
 from porepy_tpu.compositional import utils as cutils
-from tests.conftest import requires_reference
 
 
 def test_single_phase_fluid_wired_through_models():
@@ -104,35 +103,32 @@ def test_two_phase_variables_created():
     assert np.allclose(s_liq, 0.7)
 
 
-@requires_reference
-def test_conversion_kernels_parity(ref_pp):
-    import porepy.compositional.utils as rcu
-
+def test_conversion_kernels_parity(golden):
     rng = np.random.default_rng(11)
     x = rng.random((4, 6)) + 0.1
-    assert np.allclose(
-        cutils.normalize_rows(x), rcu.normalize_rows(x)
-    )
-    # Saturations from fractions (two-phase, vectorized).
     y1 = rng.uniform(0.05, 0.95, 10)
     y = np.vstack((1 - y1, y1))
     rho = rng.uniform(0.5, 2.0, (2, 10))
-    assert np.allclose(
-        cutils.compute_saturations(y, rho),
-        rcu.compute_saturations(y, rho),
-    )
-    # Three-phase.
     y3 = rng.uniform(0.1, 0.5, (3, 5))
     y3 = y3 / y3.sum(axis=0)
     rho3 = rng.uniform(0.5, 2.0, (3, 5))
-    assert np.allclose(
-        cutils.compute_saturations(y3, rho3),
-        rcu.compute_saturations(y3, rho3),
-    )
-    # Chain rule of normalized fractions.
     df = rng.random((5, 7))
     xf = rng.random((3, 7)) + 0.1
+
+    def compute(ref_pp):
+        import porepy.compositional.utils as rcu
+
+        return {
+            "normalize_rows": rcu.normalize_rows(x),
+            "sat2": rcu.compute_saturations(y, rho),
+            "sat3": rcu.compute_saturations(y3, rho3),
+            "chainrule": rcu.chainrule_fractional_derivatives(df, xf),
+        }
+
+    ref = golden(compute)
+    assert np.allclose(cutils.normalize_rows(x), ref["normalize_rows"])
+    assert np.allclose(cutils.compute_saturations(y, rho), ref["sat2"])
+    assert np.allclose(cutils.compute_saturations(y3, rho3), ref["sat3"])
     assert np.allclose(
-        cutils.chainrule_fractional_derivatives(df, xf),
-        rcu.chainrule_fractional_derivatives(df, xf),
+        cutils.chainrule_fractional_derivatives(df, xf), ref["chainrule"]
     )

@@ -9,7 +9,7 @@ from porepy_tpu.examples.terzaghi_biot import (
     TerzaghiModel,
     terzaghi_solid_params,
 )
-from tests.conftest import requires_reference
+
 
 
 def _terzaghi_params(mod):
@@ -42,37 +42,45 @@ def test_terzaghi_matches_analytical():
     )
 
 
-@requires_reference
-def test_terzaghi_matches_reference(ref_pp):
+def test_terzaghi_matches_reference(golden):
     """The collected verification errors equal the reference Terzaghi model's
     to solver precision."""
-    import types
-
-    from porepy.examples.terzaghi_biot import TerzaghiModel as RefTerzaghi
-
     params = _terzaghi_params(pt)
     m = TerzaghiModel(params)
     pt.run_time_dependent_model(m, params)
 
-    params_r = _terzaghi_params(ref_pp)
-    params_r.pop("suppress_export")
-    r = RefTerzaghi(params_r)
-    r.initialize_data_saving = lambda: None
+    def compute(ref_pp):
+        import types
 
-    def no_save(self):
-        self.results.append(self.collect_data())
+        from porepy.examples.terzaghi_biot import TerzaghiModel as RefTerzaghi
 
-    r.save_data_time_step = types.MethodType(no_save, r)
-    r.results = []
-    ref_pp.run_time_dependent_model(r, params_r)
+        params_r = _terzaghi_params(ref_pp)
+        params_r.pop("suppress_export")
+        r = RefTerzaghi(params_r)
+        r.initialize_data_saving = lambda: None
 
-    for mine, ref in zip(m.results, r.results):
-        assert np.isclose(mine.error_pressure, ref.error_pressure, atol=1e-10)
-        assert np.isclose(
-            mine.error_consolidation_degree,
-            ref.error_consolidation_degree,
-            atol=1e-10,
-        )
+        def no_save(self):
+            self.results.append(self.collect_data())
+
+        r.save_data_time_step = types.MethodType(no_save, r)
+        r.results = []
+        ref_pp.run_time_dependent_model(r, params_r)
+        return {
+            "error_pressure": np.array(
+                [x.error_pressure for x in r.results]
+            ),
+            "error_consolidation_degree": np.array(
+                [x.error_consolidation_degree for x in r.results]
+            ),
+        }
+
+    ref_vals = golden(compute)
+    e_p = np.asarray(ref_vals["error_pressure"])
+    e_c = np.asarray(ref_vals["error_consolidation_degree"])
+    assert len(m.results) == e_p.size
+    for i, mine in enumerate(m.results):
+        assert np.isclose(mine.error_pressure, e_p[i], atol=1e-10)
+        assert np.isclose(mine.error_consolidation_degree, e_c[i], atol=1e-10)
 
 
 def test_mandel_matches_analytical():

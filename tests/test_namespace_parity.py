@@ -3,10 +3,10 @@
 ``src/porepy/__init__.py:46-249``), so user code switching frameworks
 resolves its imports."""
 
+import numpy as np
 import pytest
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
 
 # Import-side-effect artifacts of the reference's __init__, not API.
 _NON_API = {
@@ -15,8 +15,13 @@ _NON_API = {
 }
 
 
-@requires_reference
-def test_reference_namespace_covered(ref_pp):
-    theirs = {n for n in dir(ref_pp) if not n.startswith("_")} - _NON_API
+def test_reference_namespace_covered(golden):
+    def compute(ref_pp):
+        names = sorted(
+            {n for n in dir(ref_pp) if not n.startswith("_")} - _NON_API
+        )
+        return {"names": np.array(names)}
+
+    theirs = [str(n) for n in golden(compute)["names"]]
     missing = sorted(n for n in theirs if not hasattr(pt, n))
     assert not missing, f"missing top-level names: {missing}"
