@@ -630,8 +630,8 @@ _CASES = (
     ("structured", "tpfa_structured_3d_32cubed", "run_structured", "tpfa_flow_3d_32cubed", 120),
     ("3d", "tpfa_flow_3d_32cubed_framework", "run_3d_framework", "tpfa_flow_3d_32cubed", 200),
     ("md", "mdflow_mpfa_2d_128", "run_md_flow", "mdflow_mpfa_2d_128", 180),
-    ("thm", "thm_contact_3d_16", "run_thm_contact_3d", "thm_contact_3d_16", 300),
-    ("berre3d", "berre3d_case2_flow_16", "run_berre3d", "berre3d_case2_flow_16", 300),
+    ("thm", "thm_contact_3d_16", "run_thm_contact_3d", "thm_contact_3d_16", 620),
+    ("berre3d", "berre3d_case2_flow_16", "run_berre3d", "berre3d_case2_flow_16", 620),
     ("biot", "biot_poromech_2d_64", "run_biot", "biot_poromech_2d_64", 180),
     ("md256", "mdflow_mpfa_2d_256", "run_md_flow_256", "mdflow_mpfa_2d_256", 200),
     ("tracer", "tracer_2d_64", "run_tracer", "tracer_2d_64", 150),
@@ -766,7 +766,7 @@ def main() -> None:
         "BENCH_CASES",
         "structured,3d,md,thm,berre3d,biot,md256,tracer,sharded",
     ).split(",")
-    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "660"))
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "1500"))
     t_start = time.perf_counter()
     cases: dict = {}
     fallbacks = 0

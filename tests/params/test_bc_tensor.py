@@ -5,43 +5,49 @@ import numpy as np
 import pytest
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
 
 
-@requires_reference
 @pytest.mark.parametrize("nx", [[4, 3], [3, 2, 2]])
-def test_boundary_condition_parity(ref_pp, nx):
-    g_ref = ref_pp.CartGrid(nx)
-    g_ref.compute_geometry()
+def test_boundary_condition_parity(golden, nx):
     g = pt.CartGrid(nx)
     g.compute_geometry()
-
     bf = g.get_boundary_faces()
     cond = ["dir" if i % 3 == 0 else ("rob" if i % 3 == 1 else "neu") for i in range(bf.size)]
-
     bc = pt.BoundaryCondition(g, bf, cond)
-    bc_ref = ref_pp.BoundaryCondition(g_ref, bf, cond)
 
-    np.testing.assert_array_equal(bc.is_dir, bc_ref.is_dir)
-    np.testing.assert_array_equal(bc.is_neu, bc_ref.is_neu)
-    np.testing.assert_array_equal(bc.is_rob, bc_ref.is_rob)
-    np.testing.assert_array_equal(np.sort(bc.bf), np.sort(bc_ref.bf))
+    def compute(ref_pp):
+        g_ref = ref_pp.CartGrid(nx)
+        g_ref.compute_geometry()
+        bc_ref = ref_pp.BoundaryCondition(g_ref, bf, cond)
+        return {
+            "is_dir": bc_ref.is_dir, "is_neu": bc_ref.is_neu,
+            "is_rob": bc_ref.is_rob, "bf": np.sort(bc_ref.bf),
+        }
+
+    ref = golden(compute)
+    np.testing.assert_array_equal(bc.is_dir, ref["is_dir"])
+    np.testing.assert_array_equal(bc.is_neu, ref["is_neu"])
+    np.testing.assert_array_equal(bc.is_rob, ref["is_rob"])
+    np.testing.assert_array_equal(np.sort(bc.bf), ref["bf"])
 
 
-@requires_reference
-def test_boundary_condition_vectorial_parity(ref_pp):
+def test_boundary_condition_vectorial_parity(golden):
     nx = [3, 3]
-    g_ref = ref_pp.CartGrid(nx)
-    g_ref.compute_geometry()
     g = pt.CartGrid(nx)
     g.compute_geometry()
-
     bf = g.get_boundary_faces()
     cond = ["dir" if i % 2 == 0 else "neu" for i in range(bf.size)]
     bc = pt.BoundaryConditionVectorial(g, bf, cond)
-    bc_ref = ref_pp.BoundaryConditionVectorial(g_ref, bf, cond)
-    np.testing.assert_array_equal(bc.is_dir, bc_ref.is_dir)
-    np.testing.assert_array_equal(bc.is_neu, bc_ref.is_neu)
+
+    def compute(ref_pp):
+        g_ref = ref_pp.CartGrid(nx)
+        g_ref.compute_geometry()
+        bc_ref = ref_pp.BoundaryConditionVectorial(g_ref, bf, cond)
+        return {"is_dir": bc_ref.is_dir, "is_neu": bc_ref.is_neu}
+
+    ref = golden(compute)
+    np.testing.assert_array_equal(bc.is_dir, ref["is_dir"])
+    np.testing.assert_array_equal(bc.is_neu, ref["is_neu"])
 
 
 def test_bc_default_neumann():
@@ -56,27 +62,29 @@ def test_bc_default_neumann():
         pt.BoundaryCondition(g, interior, "dir")
 
 
-@requires_reference
-def test_second_order_tensor_parity(ref_pp):
+def test_second_order_tensor_parity(golden):
     rng = np.random.default_rng(0)
     nc = 7
     kxx = rng.uniform(1, 2, nc)
     kyy = rng.uniform(1, 2, nc)
     kxy = rng.uniform(-0.3, 0.3, nc)
     t = pt.SecondOrderTensor(kxx, kyy=kyy, kxy=kxy)
-    t_ref = ref_pp.SecondOrderTensor(kxx, kyy=kyy, kxy=kxy)
-    np.testing.assert_allclose(t.values, t_ref.values)
+    ref = golden(lambda ref_pp: {
+        "values": ref_pp.SecondOrderTensor(kxx, kyy=kyy, kxy=kxy).values
+    })
+    np.testing.assert_allclose(t.values, ref["values"])
 
 
-@requires_reference
-def test_fourth_order_tensor_parity(ref_pp):
+def test_fourth_order_tensor_parity(golden):
     rng = np.random.default_rng(1)
     nc = 5
     mu = rng.uniform(1, 2, nc)
     lm = rng.uniform(1, 2, nc)
     t = pt.FourthOrderTensor(mu, lm)
-    t_ref = ref_pp.FourthOrderTensor(mu, lm)
-    np.testing.assert_allclose(t.values, t_ref.values)
+    ref = golden(lambda ref_pp: {
+        "values": ref_pp.FourthOrderTensor(mu, lm).values
+    })
+    np.testing.assert_allclose(t.values, ref["values"])
 
 
 def test_second_order_tensor_not_spd():

@@ -9,41 +9,52 @@ from porepy_tpu.utils.interpolation_tables import (
     AdaptiveInterpolationTable,
     InterpolationTable,
 )
-from tests.conftest import requires_reference
 
 
 def _f(x, y):
     return np.sin(x) * np.cos(y) + x**2
 
 
-@requires_reference
-def test_interpolation_table_parity(ref_pp):
-    import porepy.utils.interpolation_tables as rit
-
+def test_interpolation_table_parity(golden):
     low, high, npt = np.array([0.0, 0.0]), np.array([2.0, 3.0]), np.array([11, 13])
     tm = InterpolationTable(low, high, npt, _f)
-    tr = rit.InterpolationTable(low, high, npt, _f)
     rng = np.random.default_rng(3)
     x = rng.random((2, 40)) * np.array([[2.0], [3.0]])
-    assert np.allclose(tm.interpolate(x), tr.interpolate(x))
-    assert np.allclose(tm.gradient(x, 0), tr.gradient(x, 0))
-    assert np.allclose(tm.gradient(x, 1), tr.gradient(x, 1))
+
+    def compute(ref_pp):
+        import porepy.utils.interpolation_tables as rit
+
+        tr = rit.InterpolationTable(low, high, npt, _f)
+        return {
+            "interp": tr.interpolate(x),
+            "g0": tr.gradient(x, 0),
+            "g1": tr.gradient(x, 1),
+        }
+
+    ref = golden(compute)
+    assert np.allclose(tm.interpolate(x), ref["interp"])
+    assert np.allclose(tm.gradient(x, 0), ref["g0"])
+    assert np.allclose(tm.gradient(x, 1), ref["g1"])
 
 
-@requires_reference
-def test_adaptive_interpolation_table_parity(ref_pp):
-    import porepy.utils.interpolation_tables as rit
-
+def test_adaptive_interpolation_table_parity(golden):
     rng = np.random.default_rng(4)
     x = rng.random((2, 25)) * np.array([[2.0], [3.0]])
     am = AdaptiveInterpolationTable(
         np.array([0.2, 0.25]), base_point=np.zeros(2), function=_f
     )
-    ar = rit.AdaptiveInterpolationTable(
-        np.array([0.2, 0.25]), base_point=np.zeros(2), function=_f
-    )
-    assert np.allclose(am.interpolate(x), ar.interpolate(x))
-    assert np.allclose(am.gradient(x, 1), ar.gradient(x, 1))
+
+    def compute(ref_pp):
+        import porepy.utils.interpolation_tables as rit
+
+        ar = rit.AdaptiveInterpolationTable(
+            np.array([0.2, 0.25]), base_point=np.zeros(2), function=_f
+        )
+        return {"interp": ar.interpolate(x), "g1": ar.gradient(x, 1)}
+
+    ref = golden(compute)
+    assert np.allclose(am.interpolate(x), ref["interp"])
+    assert np.allclose(am.gradient(x, 1), ref["g1"])
 
 
 def test_adaptive_table_assign_values():
@@ -56,25 +67,36 @@ def test_adaptive_table_assign_values():
     assert np.allclose(vals[0], [0.125, 0.625])
 
 
-@requires_reference
-def test_adtree_parity(ref_pp):
-    import porepy.utils.adtree as radt
-
+def test_adtree_parity(golden):
     g = pt.CartGrid([6, 5], physdims=[1, 1])
     g.compute_geometry()
-    gr = ref_pp.CartGrid(np.array([6, 5]), np.array([1.0, 1.0]))
-    gr.compute_geometry()
     tm = ADTree(4, 2)
     tm.from_grid(g)
-    tr = radt.ADTree(4, 2)
-    tr.from_grid(gr)
     rng = np.random.default_rng(6)
+    boxes = []
     for _ in range(20):
         lo = rng.random(2) * 0.8
         hi = lo + rng.random(2) * 0.2
-        a = tm.search(ADTNode(99, np.hstack((lo, hi))))
-        b = tr.search(radt.ADTNode(99, np.hstack((lo, hi))))
-        assert np.array_equal(a, b)
+        boxes.append(np.hstack((lo, hi)))
+
+    def compute(ref_pp):
+        import porepy.utils.adtree as radt
+
+        gr = ref_pp.CartGrid(np.array([6, 5]), np.array([1.0, 1.0]))
+        gr.compute_geometry()
+        tr = radt.ADTree(4, 2)
+        tr.from_grid(gr)
+        out = {}
+        for i, box in enumerate(boxes):
+            out[f"hits_{i}"] = np.asarray(
+                tr.search(radt.ADTNode(99, box)), dtype=int
+            )
+        return out
+
+    ref = golden(compute)
+    for i, box in enumerate(boxes):
+        a = np.asarray(tm.search(ADTNode(99, box)), dtype=int)
+        assert np.array_equal(a, ref[f"hits_{i}"]), i
 
 
 def test_interpolated_function_in_compiled_residual():
