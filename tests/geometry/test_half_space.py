@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
 
 
 def _unit_box_halfspaces():
@@ -67,14 +66,17 @@ def test_vertexes_of_convex_domain_unit_square():
     assert got == {(0, 0), (0, 1), (1, 0), (1, 1)}
 
 
-@requires_reference
-def test_interior_point_matches_reference_validity(ref_pp):
-    import porepy.geometry.half_space as ref_hs
-
+def test_interior_point_matches_reference_validity(golden):
     n, x0 = _unit_box_halfspaces()
     box = np.array([[0, 1], [0, 1], [0, 1.0]])
     ours = pt.half_space.half_space_interior_point(n, x0, box)
-    theirs = ref_hs.half_space_interior_point(n, x0, box)
+
+    def compute(ref_pp):
+        import porepy.geometry.half_space as ref_hs
+
+        return {"p": np.asarray(ref_hs.half_space_interior_point(n, x0, box))}
+
+    theirs = golden(compute)["p"]
     for p in (ours, theirs):
         assert pt.half_space.point_inside_half_space_intersection(
             n, x0, np.reshape(p, (3, 1))

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 import porepy_tpu as pp
-from tests.conftest import assert_sparse_equal, requires_reference
+from tests.conftest import assert_sparse_equal
 
 
 CART_CASES = [
@@ -71,62 +71,100 @@ class TestGeometryInvariants:
         assert np.all(dots > 0)
 
 
-@requires_reference
+def _pack_ref_grid(theirs):
+    """Reference grid -> golden-storable dict."""
+    theirs.compute_geometry()
+    return {
+        "dims": np.array(
+            [theirs.dim, theirs.num_cells, theirs.num_faces, theirs.num_nodes]
+        ),
+        "nodes": theirs.nodes,
+        "cell_faces": theirs.cell_faces.tocsr(),
+        "face_nodes": theirs.face_nodes.astype(int).tocsr(),
+        "face_nodes_indices": theirs.face_nodes.indices,
+        "cell_centers": theirs.cell_centers,
+        "cell_volumes": theirs.cell_volumes,
+        "face_centers": theirs.face_centers,
+        "face_normals": theirs.face_normals,
+        "face_areas": theirs.face_areas,
+        "domain_boundary_faces": theirs.tags["domain_boundary_faces"],
+        "domain_boundary_nodes": theirs.tags["domain_boundary_nodes"],
+    }
+
+
+def _compare_packed(ours, ref):
+    ours.compute_geometry()
+    dims = np.asarray(ref["dims"])
+    assert ours.dim == dims[0]
+    assert ours.num_cells == dims[1]
+    assert ours.num_faces == dims[2]
+    assert ours.num_nodes == dims[3]
+    assert np.allclose(ours.nodes, ref["nodes"])
+    assert_sparse_equal(ours.cell_faces, ref["cell_faces"])
+    assert_sparse_equal(ours.face_nodes.astype(int), ref["face_nodes"])
+    # Node ordering within faces is semantically meaningful.
+    assert np.array_equal(
+        ours.face_nodes.indices, np.asarray(ref["face_nodes_indices"])
+    )
+    assert np.allclose(ours.cell_centers, ref["cell_centers"])
+    assert np.allclose(ours.cell_volumes, ref["cell_volumes"])
+    assert np.allclose(ours.face_centers, ref["face_centers"])
+    assert np.allclose(ours.face_normals, ref["face_normals"])
+    assert np.allclose(ours.face_areas, ref["face_areas"])
+    for key in ("domain_boundary_faces", "domain_boundary_nodes"):
+        assert np.array_equal(ours.tags[key], np.asarray(ref[key]))
+
+
 class TestReferenceParity:
     @pytest.mark.parametrize("nx,phys", CART_CASES)
-    def test_cart_grid_topology_and_geometry(self, ref_pp, nx, phys):
+    def test_cart_grid_topology_and_geometry(self, golden, nx, phys):
         ours = pp.CartGrid(nx, phys)
-        theirs = ref_pp.CartGrid(np.asarray(nx), phys)
-        ours.compute_geometry()
-        theirs.compute_geometry()
-        self._compare(ours, theirs)
+        ref = golden(
+            lambda ref_pp: _pack_ref_grid(ref_pp.CartGrid(np.asarray(nx), phys))
+        )
+        _compare_packed(ours, ref)
 
     @pytest.mark.parametrize("x,y,z", TENSOR_CASES)
-    def test_tensor_grid(self, ref_pp, x, y, z):
+    def test_tensor_grid(self, golden, x, y, z):
         ours = pp.TensorGrid(x, y, z)
-        theirs = ref_pp.TensorGrid(x, y, z)
-        ours.compute_geometry()
-        theirs.compute_geometry()
-        self._compare(ours, theirs)
+        ref = golden(lambda ref_pp: _pack_ref_grid(ref_pp.TensorGrid(x, y, z)))
+        _compare_packed(ours, ref)
 
-    @staticmethod
-    def _compare(ours, theirs):
-        assert ours.dim == theirs.dim
-        assert ours.num_cells == theirs.num_cells
-        assert ours.num_faces == theirs.num_faces
-        assert ours.num_nodes == theirs.num_nodes
-        assert np.allclose(ours.nodes, theirs.nodes)
-        assert_sparse_equal(ours.cell_faces, theirs.cell_faces)
-        assert_sparse_equal(
-            ours.face_nodes.astype(int), theirs.face_nodes.astype(int)
-        )
-        # Node ordering within faces is semantically meaningful.
-        assert np.array_equal(ours.face_nodes.indices, theirs.face_nodes.indices)
-        assert np.allclose(ours.cell_centers, theirs.cell_centers)
-        assert np.allclose(ours.cell_volumes, theirs.cell_volumes)
-        assert np.allclose(ours.face_centers, theirs.face_centers)
-        assert np.allclose(ours.face_normals, theirs.face_normals)
-        assert np.allclose(ours.face_areas, theirs.face_areas)
-        for key in ("domain_boundary_faces", "domain_boundary_nodes"):
-            assert np.array_equal(ours.tags[key], theirs.tags[key])
-
-    def test_cell_faces_as_dense(self, ref_pp):
+    def test_cell_faces_as_dense(self, golden):
         ours = pp.CartGrid([3, 2])
-        theirs = ref_pp.CartGrid(np.array([3, 2]))
-        assert np.array_equal(ours.cell_faces_as_dense(), theirs.cell_faces_as_dense())
-
-    def test_divergence_and_trace(self, ref_pp):
-        ours = pp.CartGrid([3, 2, 2])
-        theirs = ref_pp.CartGrid(np.array([3, 2, 2]))
-        ours.compute_geometry()
-        theirs.compute_geometry()
-        for dim in (1, 3):
-            assert_sparse_equal(ours.divergence(dim), theirs.divergence(dim))
-            assert_sparse_equal(ours.trace(dim), theirs.trace(dim))
-
-    def test_cell_nodes(self, ref_pp):
-        ours = pp.CartGrid([3, 2, 2])
-        theirs = ref_pp.CartGrid(np.array([3, 2, 2]))
-        assert_sparse_equal(
-            ours.cell_nodes().astype(int), theirs.cell_nodes().astype(int)
+        ref = golden(
+            lambda ref_pp: {
+                "dense": ref_pp.CartGrid(np.array([3, 2])).cell_faces_as_dense()
+            }
         )
+        assert np.array_equal(ours.cell_faces_as_dense(), ref["dense"])
+
+    def test_divergence_and_trace(self, golden):
+        ours = pp.CartGrid([3, 2, 2])
+        ours.compute_geometry()
+
+        def compute(ref_pp):
+            theirs = ref_pp.CartGrid(np.array([3, 2, 2]))
+            theirs.compute_geometry()
+            out = {}
+            for dim in (1, 3):
+                out[f"div_{dim}"] = theirs.divergence(dim).tocsr()
+                out[f"trace_{dim}"] = theirs.trace(dim).tocsr()
+            return out
+
+        ref = golden(compute)
+        for dim in (1, 3):
+            assert_sparse_equal(ours.divergence(dim), ref[f"div_{dim}"])
+            assert_sparse_equal(ours.trace(dim), ref[f"trace_{dim}"])
+
+    def test_cell_nodes(self, golden):
+        ours = pp.CartGrid([3, 2, 2])
+        ref = golden(
+            lambda ref_pp: {
+                "cn": ref_pp.CartGrid(np.array([3, 2, 2]))
+                .cell_nodes()
+                .astype(int)
+                .tocsr()
+            }
+        )
+        assert_sparse_equal(ours.cell_nodes().astype(int), ref["cn"])
