@@ -676,7 +676,10 @@ def _run_case_child(flag: str) -> None:
     """Child-process entry: run ONE case and print its result dict as the
     single stdout line (rc=0 even on case failure — the failure is data)."""
     note = None
-    if os.environ.get("BENCH_SKIP_PULL_PROBE") != "1":
+    cpu_requested = "cpu" in [
+        p.strip() for p in os.environ.get("JAX_PLATFORMS", "").split(",")
+    ]
+    if not cpu_requested and os.environ.get("BENCH_SKIP_PULL_PROBE") != "1":
         # The parent probes once and passes the verdict down; a direct
         # ``--case`` invocation probes for itself.
         wedged = os.environ.get("BENCH_PULL_WEDGED")
@@ -805,7 +808,10 @@ def main() -> None:
 
     # One pull-path probe for the whole run (see _accel_pull_ok); children
     # inherit the verdict instead of re-probing.
-    pull_ok = _accel_pull_ok()
+    cpu_requested = "cpu" in [
+        p.strip() for p in os.environ.get("JAX_PLATFORMS", "").split(",")
+    ]
+    pull_ok = True if cpu_requested else _accel_pull_ok()
     os.environ["BENCH_PULL_WEDGED"] = "1" if pull_ok is False else "0"
     if pull_ok is False:
         print(

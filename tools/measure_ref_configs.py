@@ -391,6 +391,7 @@ def measure_berre3d(n: int) -> dict:
 
 CONFIGS = {
     "mdflow_mpfa_2d_128": lambda: measure_md_flow(1.0 / 128),
+    "mdflow_mpfa_2d_256": lambda: measure_md_flow(1.0 / 256),
     "biot_poromech_2d_64": lambda: measure_biot(1.0 / 64),
     "tracer_2d_64": lambda: measure_tracer(1.0 / 64),
     "thm_contact_3d_16": lambda: measure_thm_contact_3d(1.0 / 16),
