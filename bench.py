@@ -27,11 +27,11 @@ deadline kills that left zero data):
     PROGRESS as it goes (one JSON line per completed phase to a progress
     file); a timeout now yields a partial record (setup_s/steps seen) in
     the final artifact instead of nothing.
-  - the persistent XLA compilation cache lives in-repo (``.jax_cache/``)
-    and is pre-warmed: jax 0.9 silently ignores JAX_COMPILATION_CACHE_DIR
-    (config flag only — porepy_tpu/__init__.py applies it), which is why
-    rounds 1-4 paid full single-core recompiles (minutes per case) on
-    every run.
+  - the persistent XLA compilation cache lives in-repo (``.jax_cache/``,
+    untracked) and is pre-warmed by any prior run on this machine: jax
+    0.9 silently ignores the JAX_COMPILATION_CACHE_DIR env var (config
+    flag only — porepy_tpu/__init__.py applies it), which is why rounds
+    1-4 paid full single-core recompiles (minutes per case) every run.
   - time stepping uses the fused multi-step device block
     (``fused_time_steps``): steps 1-2 run per-step (compile + eligibility
     observation), the rest run as ONE dispatch; per-iteration wall is the

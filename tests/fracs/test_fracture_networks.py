@@ -4,35 +4,43 @@ import numpy as np
 import pytest
 
 import porepy_tpu as pt
-from tests.conftest import requires_reference
 
 
-@requires_reference
-def test_fracture_primitives_parity(ref_pp):
-    f_m = pt.LineFracture(np.array([[0.0, 1.0], [0.5, 0.5]]))
-    f_r = ref_pp.LineFracture(np.array([[0.0, 1.0], [0.5, 0.5]]))
-    assert np.allclose(f_m.pts, f_r.pts)
-    assert np.allclose(f_m.normal.ravel(), f_r.normal.ravel())
-    assert f_m.length() == f_r.length()
-
+def test_fracture_primitives_parity(golden):
     pts = np.array([[0, 1, 1, 0], [0, 0, 1, 1], [0, 0, 1, 1.0]])[:, [2, 0, 3, 1]]
-    pf_m = pt.PlaneFracture(pts.copy())
-    pf_r = ref_pp.PlaneFracture(pts.copy())
-    assert np.allclose(pf_m.pts, pf_r.pts)  # sorting convention agrees
-    assert np.allclose(pf_m.center.ravel(), np.asarray(pf_r.center).ravel())
 
+    def compute(ref_pp):
+        f_r = ref_pp.LineFracture(np.array([[0.0, 1.0], [0.5, 0.5]]))
+        pf_r = ref_pp.PlaneFracture(pts.copy())
+        e_r = ref_pp.create_elliptic_fracture(
+            np.array([0.0, 1, 0]), 2, 1, np.pi / 4, np.pi / 6, np.pi / 3,
+            num_points=8,
+        )
+        return {
+            "line_pts": f_r.pts,
+            "line_normal": np.asarray(f_r.normal).ravel(),
+            "line_length": np.array([f_r.length()]),
+            "plane_pts": pf_r.pts,
+            "plane_center": np.asarray(pf_r.center).ravel(),
+            "ellipse_pts": e_r.pts,
+        }
+
+    ref = golden(compute)
+    f_m = pt.LineFracture(np.array([[0.0, 1.0], [0.5, 0.5]]))
+    assert np.allclose(f_m.pts, ref["line_pts"])
+    assert np.allclose(f_m.normal.ravel(), ref["line_normal"])
+    assert f_m.length() == ref["line_length"][0]
+    pf_m = pt.PlaneFracture(pts.copy())
+    assert np.allclose(pf_m.pts, ref["plane_pts"])  # sorting convention agrees
+    assert np.allclose(pf_m.center.ravel(), ref["plane_center"])
     e_m = pt.create_elliptic_fracture(
         np.array([0.0, 1, 0]), 2, 1, np.pi / 4, np.pi / 6, np.pi / 3, num_points=8
     )
-    e_r = ref_pp.create_elliptic_fracture(
-        np.array([0.0, 1, 0]), 2, 1, np.pi / 4, np.pi / 6, np.pi / 3, num_points=8
-    )
-    assert np.allclose(e_m.pts, e_r.pts)
+    assert np.allclose(e_m.pts, ref["ellipse_pts"])
 
 
-@requires_reference
 @pytest.mark.parametrize("explicit_domain", [True, False])
-def test_fracture_network_2d_pipeline(ref_pp, explicit_domain):
+def test_fracture_network_2d_pipeline(golden, explicit_domain):
     """Boundary imposition + intersection splitting must reproduce the
     reference decomposition bit-exactly (points, edges, tags,
     intersection points)."""
@@ -45,26 +53,38 @@ def test_fracture_network_2d_pipeline(ref_pp, explicit_domain):
         [pt.LineFracture(f) for f in fr],
         pt.Domain({"xmin": 0, "xmax": 1, "ymin": 0, "ymax": 1}),
     )
-    net_r = ref_pp.create_fracture_network(
-        [ref_pp.LineFracture(f) for f in fr],
-        ref_pp.Domain({"xmin": 0, "xmax": 1, "ymin": 0, "ymax": 1}),
-    )
+    def compute(ref_pp):
+        net_r = ref_pp.create_fracture_network(
+            [ref_pp.LineFracture(f) for f in fr],
+            ref_pp.Domain({"xmin": 0, "xmax": 1, "ymin": 0, "ymax": 1}),
+        )
+        kr, dr = net_r.impose_external_boundary(
+            net_r.domain if explicit_domain else None
+        )
+        net_r._find_and_split_intersections(np.zeros(0, dtype=int))
+        b = net_r._decomposition
+        return {
+            "keep": np.asarray(kr),
+            "dom": np.asarray(dr),
+            "points": b["points"],
+            "edges": b["edges"],
+            "intersections": b["intersections"],
+            "domain_boundary_points": b["domain_boundary_points"],
+        }
+
+    ref = golden(compute)
     km, dm = net_m.impose_external_boundary(
         net_m.domain if explicit_domain else None
     )
-    kr, dr = net_r.impose_external_boundary(
-        net_r.domain if explicit_domain else None
-    )
-    assert np.array_equal(km, kr)
-    assert np.array_equal(dm, dr)
+    assert np.array_equal(km, ref["keep"])
+    assert np.array_equal(dm, ref["dom"])
     net_m._find_and_split_intersections(np.zeros(0, dtype=int))
-    net_r._find_and_split_intersections(np.zeros(0, dtype=int))
-    a, b = net_m._decomposition, net_r._decomposition
-    assert np.allclose(a["points"], b["points"])
-    assert np.array_equal(a["edges"], b["edges"])
-    assert np.array_equal(a["intersections"], b["intersections"])
+    a = net_m._decomposition
+    assert np.allclose(a["points"], ref["points"])
+    assert np.array_equal(a["edges"], ref["edges"])
+    assert np.array_equal(a["intersections"], ref["intersections"])
     assert np.array_equal(
-        a["domain_boundary_points"], b["domain_boundary_points"]
+        a["domain_boundary_points"], ref["domain_boundary_points"]
     )
 
 
@@ -84,8 +104,7 @@ def _match_pointsets(pm, pr):
     return True
 
 
-@requires_reference
-def test_fracture_network_3d_split(ref_pp):
+def test_fracture_network_3d_split(golden):
     """3d network decomposition (triple orthogonal crossing): points, edge
     counts and per-fracture boundary cycles agree with the reference."""
 
@@ -104,38 +123,48 @@ def test_fracture_network_3d_split(ref_pp):
         )
         return mod.create_fracture_network([f1, f2, f3])
 
-    nm, nr = make(pt), make(ref_pp)
+    def compute(ref_pp):
+        nr = make(ref_pp)
+        nr.find_intersections()
+        se_r = np.sort(
+            np.hstack(
+                [nr.intersections["start"], nr.intersections["end"]]
+            ).ravel()
+        )
+        nr.split_intersections()
+        b = nr.decomposition
+        out = {
+            "n_isect": np.array([nr.intersections["start"].shape[1]]),
+            "se": se_r,
+            "points": b["points"],
+            "edges_shape": np.asarray(b["edges"].shape),
+        }
+        for fi in range(3):
+            out[f"poly_shape_{fi}"] = np.asarray(b["polygons"][fi].shape)
+            out[f"lif_{fi}"] = np.array([len(b["line_in_frac"][fi])])
+        return out
+
+    ref = golden(compute)
+    nm = make(pt)
     nm.find_intersections()
-    nr.find_intersections()
-    assert (
-        nm.intersections["start"].shape[1]
-        == nr.intersections["start"].shape[1]
-        == 3
-    )
+    assert nm.intersections["start"].shape[1] == ref["n_isect"][0] == 3
     se_m = np.sort(
         np.hstack(
             [nm.intersections["start"], nm.intersections["end"]]
         ).ravel()
     )
-    se_r = np.sort(
-        np.hstack(
-            [nr.intersections["start"], nr.intersections["end"]]
-        ).ravel()
-    )
-    assert np.allclose(se_m, se_r)
+    assert np.allclose(se_m, ref["se"])
 
     nm.split_intersections()
-    nr.split_intersections()
-    a, b = nm.decomposition, nr.decomposition
-    assert _match_pointsets(a["points"], b["points"])
-    assert a["edges"].shape == b["edges"].shape
+    a = nm.decomposition
+    assert _match_pointsets(a["points"], np.asarray(ref["points"]))
+    assert a["edges"].shape == tuple(ref["edges_shape"])
     for fi in range(3):
-        assert a["polygons"][fi].shape == b["polygons"][fi].shape
-        assert len(a["line_in_frac"][fi]) == len(b["line_in_frac"][fi])
+        assert a["polygons"][fi].shape == tuple(ref[f"poly_shape_{fi}"])
+        assert len(a["line_in_frac"][fi]) == ref[f"lif_{fi}"][0]
 
 
-@requires_reference
-def test_fracture_network_3d_t_intersection(ref_pp):
+def test_fracture_network_3d_t_intersection(golden):
     def make(mod):
         f1 = mod.PlaneFracture(
             np.array([[-1, 1, 1, -1], [0, 0, 0, 0], [-1, -1, 1, 1.0]]),
@@ -147,18 +176,27 @@ def test_fracture_network_3d_t_intersection(ref_pp):
         )
         return mod.create_fracture_network([f1, f2])
 
-    nm, nr = make(pt), make(ref_pp)
+    def compute(ref_pp):
+        nr = make(ref_pp)
+        nr.find_intersections()
+        return {
+            "n_isect": np.array([nr.intersections["start"].shape[1]]),
+            "bound_first": np.asarray(
+                nr.intersections["bound_first"], dtype=bool
+            ),
+            "bound_second": np.asarray(
+                nr.intersections["bound_second"], dtype=bool
+            ),
+        }
+
+    ref = golden(compute)
+    nm = make(pt)
     nm.find_intersections()
-    nr.find_intersections()
-    assert nm.intersections["start"].shape[1] == nr.intersections[
-        "start"
-    ].shape[1]
+    assert nm.intersections["start"].shape[1] == ref["n_isect"][0]
     # The intersection is on the boundary of f2, not of f1.
-    assert list(nm.intersections["bound_first"]) == list(
-        nr.intersections["bound_first"]
-    )
+    assert list(nm.intersections["bound_first"]) == list(ref["bound_first"])
     assert list(nm.intersections["bound_second"]) == list(
-        nr.intersections["bound_second"]
+        ref["bound_second"]
     )
 
 
