@@ -45,7 +45,7 @@ def main() -> None:
     import numpy as np
 
     import porepy_tpu as pt
-    import bench
+    from porepy_tpu.applications.benchmarking import cases as bench_cases
 
     base = {"md": pt.SinglePhaseFlow, "biot": pt.Poromechanics}[
         args.case if args.case != "3d" else "md"
@@ -56,7 +56,7 @@ def main() -> None:
         class Model(pt.SinglePhaseFlow):
             def set_fractures(self):
                 self._fractures = [
-                    pt.LineFracture(f) for f in bench.FRACTURES_2D
+                    pt.LineFracture(f) for f in bench_cases.FRACTURES_2D
                 ]
 
             def bc_values_pressure(self, bg):
