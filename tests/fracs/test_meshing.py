@@ -1,11 +1,12 @@
 """Fractured structured meshing parity vs the reference: grid topology,
-cell connectivity, node coordinates, and mortar projections."""
+cell connectivity, node coordinates, and mortar projections
+(golden-backed record/replay)."""
 
 import numpy as np
 import pytest
 
 from porepy_tpu.fracs import meshing
-from tests.conftest import requires_reference
+from tests.conftest import assert_sparse_equal
 
 CASES_EXACT = [
     ("2d single", [[[1.0, 3.0], [2.0, 2.0]]], [4, 4]),
@@ -28,53 +29,67 @@ CASES_EXACT = [
     ),
 ]
 
+_PROJS = (
+    "mortar_to_primary_int",
+    "mortar_to_primary_avg",
+    "mortar_to_secondary_int",
+    "mortar_to_secondary_avg",
+    "primary_to_mortar_int",
+    "primary_to_mortar_avg",
+    "secondary_to_mortar_int",
+    "secondary_to_mortar_avg",
+)
 
-@requires_reference
+
 @pytest.mark.parametrize("name,fracs,nx", CASES_EXACT, ids=[c[0] for c in CASES_EXACT])
-def test_cart_grid_parity_exact(ref_pp, name, fracs, nx):
+def test_cart_grid_parity_exact(golden, name, fracs, nx):
     fracs = [np.asarray(f, dtype=float) for f in fracs]
     mdg = meshing.cart_grid(fracs, np.array(nx))
-    mdg_ref = ref_pp.meshing.cart_grid(fracs, np.array(nx))
 
-    ours, refs = mdg.subdomains(), mdg_ref.subdomains()
-    assert len(ours) == len(refs)
-    for sd, sdr in zip(ours, refs):
-        assert (sd.dim, sd.num_cells, sd.num_faces, sd.num_nodes) == (
-            sdr.dim,
-            sdr.num_cells,
-            sdr.num_faces,
-            sdr.num_nodes,
+    def compute(ref_pp):
+        mdg_ref = ref_pp.meshing.cart_grid(fracs, np.array(nx))
+        out = {"n_sd": np.array([len(mdg_ref.subdomains())])}
+        for i, sdr in enumerate(mdg_ref.subdomains()):
+            out[f"sd{i}.meta"] = np.array(
+                [sdr.dim, sdr.num_cells, sdr.num_faces, sdr.num_nodes]
+            )
+            out[f"sd{i}.cell_faces"] = sdr.cell_faces
+            out[f"sd{i}.face_nodes"] = sdr.face_nodes.astype(int)
+            out[f"sd{i}.nodes"] = np.asarray(sdr.nodes)
+            out[f"sd{i}.frac"] = np.asarray(sdr.tags["fracture_faces"])
+            out[f"sd{i}.tip"] = np.asarray(sdr.tags["tip_faces"])
+        out["n_intf"] = np.array([len(mdg_ref.interfaces())])
+        for i, intfr in enumerate(mdg_ref.interfaces()):
+            out[f"i{i}.cells"] = np.array([intfr.num_cells])
+            for proj in _PROJS:
+                out[f"i{i}.{proj}"] = getattr(intfr, proj)()
+        return out
+
+    rec = golden(compute)
+    ours = mdg.subdomains()
+    assert len(ours) == int(rec["n_sd"][0])
+    for i, sd in enumerate(ours):
+        assert np.array_equal(
+            np.array([sd.dim, sd.num_cells, sd.num_faces, sd.num_nodes]),
+            rec[f"sd{i}.meta"],
         )
-        d = abs(sd.cell_faces - sdr.cell_faces)
-        assert d.nnz == 0 or d.max() == 0
-        diff_fn = (sd.face_nodes != sdr.face_nodes)
-        assert diff_fn.nnz == 0
-        np.testing.assert_allclose(sd.nodes, sdr.nodes)
+        assert_sparse_equal(sd.cell_faces, rec[f"sd{i}.cell_faces"])
+        assert_sparse_equal(sd.face_nodes.astype(int), rec[f"sd{i}.face_nodes"])
+        np.testing.assert_allclose(sd.nodes, rec[f"sd{i}.nodes"])
         np.testing.assert_array_equal(
-            sd.tags["fracture_faces"], sdr.tags["fracture_faces"]
+            sd.tags["fracture_faces"], rec[f"sd{i}.frac"]
         )
-        np.testing.assert_array_equal(sd.tags["tip_faces"], sdr.tags["tip_faces"])
+        np.testing.assert_array_equal(sd.tags["tip_faces"], rec[f"sd{i}.tip"])
 
-    oi, ri = mdg.interfaces(), mdg_ref.interfaces()
-    assert len(oi) == len(ri)
-    for intf, intfr in zip(oi, ri):
-        assert intf.num_cells == intfr.num_cells
-        for proj in (
-            "mortar_to_primary_int",
-            "mortar_to_primary_avg",
-            "mortar_to_secondary_int",
-            "mortar_to_secondary_avg",
-            "primary_to_mortar_int",
-            "primary_to_mortar_avg",
-            "secondary_to_mortar_int",
-            "secondary_to_mortar_avg",
-        ):
-            d = abs(getattr(intf, proj)() - getattr(intfr, proj)())
-            assert d.nnz == 0 or d.max() == 0, proj
+    oi = mdg.interfaces()
+    assert len(oi) == int(rec["n_intf"][0])
+    for i, intf in enumerate(oi):
+        assert intf.num_cells == int(rec[f"i{i}.cells"][0])
+        for proj in _PROJS:
+            assert_sparse_equal(getattr(intf, proj)(), rec[f"i{i}.{proj}"])
 
 
-@requires_reference
-def test_cart_grid_3d_triple_crossing_topology(ref_pp):
+def test_cart_grid_3d_triple_crossing_topology(golden):
     """Triple-crossing 3d fractures: grid/interface counts match the
     reference; grid ordering of split intersection segments may differ (the
     reference's order comes from its network machinery) so only counts and
@@ -85,15 +100,40 @@ def test_cart_grid_3d_triple_crossing_topology(ref_pp):
         np.array([[1.0, 3.0, 3.0, 1.0], [2.0, 2.0, 2.0, 2.0], [1.0, 1.0, 3.0, 3.0]]),
     ]
     mdg = meshing.cart_grid(fracs, np.array([4, 4, 4]))
-    mdg_ref = ref_pp.meshing.cart_grid(fracs, np.array([4, 4, 4]))
-    assert mdg.num_subdomains() == mdg_ref.num_subdomains()
-    assert mdg.num_interfaces() == mdg_ref.num_interfaces()
+
+    def compute(ref_pp):
+        mdg_ref = ref_pp.meshing.cart_grid(fracs, np.array([4, 4, 4]))
+        out = {
+            "counts": np.array(
+                [mdg_ref.num_subdomains(), mdg_ref.num_interfaces()]
+            )
+        }
+        for dim in range(4):
+            refs = mdg_ref.subdomains(dim=dim)
+            out[f"dim{dim}"] = np.array(
+                [
+                    len(refs),
+                    sum(g.num_cells for g in refs),
+                    sum(g.num_faces for g in refs),
+                ]
+            )
+        return out
+
+    rec = golden(compute)
+    assert mdg.num_subdomains() == int(rec["counts"][0])
+    assert mdg.num_interfaces() == int(rec["counts"][1])
     for dim in range(4):
         ours = mdg.subdomains(dim=dim)
-        refs = mdg_ref.subdomains(dim=dim)
-        assert len(ours) == len(refs)
-        assert sum(g.num_cells for g in ours) == sum(g.num_cells for g in refs)
-        assert sum(g.num_faces for g in ours) == sum(g.num_faces for g in refs)
+        assert np.array_equal(
+            np.array(
+                [
+                    len(ours),
+                    sum(g.num_cells for g in ours),
+                    sum(g.num_faces for g in ours),
+                ]
+            ),
+            rec[f"dim{dim}"],
+        )
 
 
 def test_tensor_grid_with_fracture():

@@ -9,7 +9,6 @@ import pytest
 
 import porepy_tpu as pt
 from porepy_tpu.fracs import simplex
-from tests.conftest import requires_reference
 
 DOM = {"xmin": 0.0, "xmax": 1.0, "ymin": 0.0, "ymax": 1.0}
 FRAC_PTS = np.array([[0.2, 0.8, 0.5, 0.5], [0.5, 0.5, 0.2, 0.8]])
@@ -140,22 +139,9 @@ def _mirror_reference_mdg(ref_pp, subs):
     return ref_meshing.subdomains_to_mdg([[rg2], rg1, rg0])
 
 
-@requires_reference
-def test_simplex_md_flow_parity(ref_pp):
+def test_simplex_md_flow_parity(golden):
     subs = simplex.triangle_grid_fractured_2d(DOM, FRAC_PTS, FRAC_EDGES, 0.15)
     from porepy_tpu.fracs import meshing as our_meshing
-
-    # Mirror BEFORE building our mdg: subdomains_to_mdg splits faces/nodes of
-    # the grids in place, so the reference copy must be taken from the
-    # pristine triangulation.
-    ref_mdg = _mirror_reference_mdg(ref_pp, subs)
-    our_mdg = our_meshing.subdomains_to_mdg(
-        [
-            [subs[0][0]],
-            list(subs[1]),
-            list(subs[2]),
-        ]
-    )
 
     solid = dict(
         permeability=1.0,
@@ -198,14 +184,30 @@ def test_simplex_md_flow_parity(ref_pp):
         mod.run_time_dependent_model(m, params)
         return m
 
-    ours = run(pt, our_mdg, pt.SinglePhaseFlow)
-    theirs = run(ref_pp, ref_mdg, ref_pp.SinglePhaseFlow)
+    def compute(ref_pp):
+        # Mirror BEFORE building our mdg: subdomains_to_mdg splits
+        # faces/nodes of the grids in place, so the reference copy must be
+        # taken from the pristine triangulation.
+        ref_mdg = _mirror_reference_mdg(ref_pp, subs)
+        theirs = run(ref_pp, ref_mdg, ref_pp.SinglePhaseFlow)
+        return {
+            "pressure": theirs.equation_system.get_variable_values(
+                ["pressure"], time_step_index=0
+            )
+        }
 
+    rec = golden(compute)
+    our_mdg = our_meshing.subdomains_to_mdg(
+        [
+            [subs[0][0]],
+            list(subs[1]),
+            list(subs[2]),
+        ]
+    )
+    ours = run(pt, our_mdg, pt.SinglePhaseFlow)
     p_ours = ours.equation_system.get_variable_values(
         ["pressure"], time_step_index=0
     )
-    p_ref = theirs.equation_system.get_variable_values(
-        ["pressure"], time_step_index=0
-    )
+    p_ref = np.asarray(rec["pressure"])
     assert p_ours.shape == p_ref.shape
     assert np.abs(p_ours - p_ref).max() < 1e-8

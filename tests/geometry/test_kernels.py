@@ -1,23 +1,16 @@
-"""Geometry kernels: distances, predicates and point sorting vs reference."""
+"""Geometry kernels: distances, predicates and point sorting vs reference.
+
+Reference values are golden-backed (record/replay via the ``golden``
+fixture; recorded from ``porepy.geometry.{distances,
+geometry_property_checks, sort_points}``)."""
 
 import numpy as np
-import pytest
 
 from porepy_tpu.geometry import (
     distances as my_d,
     geometry_property_checks as my_c,
     sort_points as my_s,
 )
-from tests.conftest import requires_reference
-
-
-@pytest.fixture
-def ref_geom(ref_pp):
-    import porepy.geometry.distances as rd
-    import porepy.geometry.geometry_property_checks as rc
-    import porepy.geometry.sort_points as rs
-
-    return rd, rc, rs
 
 
 def _rot_poly(rng):
@@ -30,63 +23,63 @@ def _rot_poly(rng):
     return R @ poly + np.array([[0.3], [0.2], [0.1]])
 
 
-@requires_reference
-def test_distance_kernels(ref_geom):
-    rd, _, _ = ref_geom
+def test_distance_kernels(golden):
     rng = np.random.default_rng(7)
     p = rng.random((3, 8))
     q = rng.random((3, 5))
-    assert np.allclose(
-        my_d.point_pointset(p[:, 0], q), rd.point_pointset(p[:, 0], q)
-    )
-    assert np.allclose(my_d.pointset(p, True), rd.pointset(p, True))
-
     s1, e1 = rng.random(3), rng.random(3)
     ss, ee = rng.random((3, 6)), rng.random((3, 6))
-    for mine, ref in zip(
-        my_d.segment_segment_set(s1, e1, ss, ee),
-        rd.segment_segment_set(s1, e1, ss, ee),
-    ):
-        assert np.allclose(mine, ref, atol=1e-9)
-    for mine, ref in zip(
-        my_d.points_segments(p, ss, ee), rd.points_segments(p, ss, ee)
-    ):
-        assert np.allclose(mine, ref, atol=1e-9)
+
+    def compute(ref_pp):
+        import porepy.geometry.distances as rd
+
+        out = {
+            "pp": rd.point_pointset(p[:, 0], q),
+            "ps": rd.pointset(p, True),
+        }
+        for i, r in enumerate(rd.segment_segment_set(s1, e1, ss, ee)):
+            out[f"sss{i}"] = np.asarray(r)
+        for i, r in enumerate(rd.points_segments(p, ss, ee)):
+            out[f"pseg{i}"] = np.asarray(r)
+        return out
+
+    rec = golden(compute)
+    assert np.allclose(my_d.point_pointset(p[:, 0], q), rec["pp"])
+    assert np.allclose(my_d.pointset(p, True), rec["ps"])
+    for i, mine in enumerate(my_d.segment_segment_set(s1, e1, ss, ee)):
+        assert np.allclose(mine, rec[f"sss{i}"], atol=1e-9)
+    for i, mine in enumerate(my_d.points_segments(p, ss, ee)):
+        assert np.allclose(mine, rec[f"pseg{i}"], atol=1e-9)
 
 
-@requires_reference
-def test_polygon_distances(ref_geom):
-    rd, _, _ = ref_geom
+def test_polygon_distances(golden):
     rng = np.random.default_rng(8)
     poly = _rot_poly(rng)
     pts = rng.random((3, 7)) * 2 - 0.5
-    for mine, ref in zip(
-        my_d.points_polygon(pts, poly), rd.points_polygon(pts, poly)
-    ):
-        assert np.allclose(mine, ref, atol=1e-9)
     ss, ee = rng.random((3, 6)), rng.random((3, 6))
-    for mine, ref in zip(
-        my_d.segments_polygon(ss, ee, poly), rd.segments_polygon(ss, ee, poly)
-    ):
-        assert np.allclose(mine, ref, atol=1e-9)
+
+    def compute(ref_pp):
+        import porepy.geometry.distances as rd
+
+        out = {}
+        for i, r in enumerate(rd.points_polygon(pts, poly)):
+            out[f"pp{i}"] = np.asarray(r)
+        for i, r in enumerate(rd.segments_polygon(ss, ee, poly)):
+            out[f"sp{i}"] = np.asarray(r)
+        return out
+
+    rec = golden(compute)
+    for i, mine in enumerate(my_d.points_polygon(pts, poly)):
+        assert np.allclose(mine, rec[f"pp{i}"], atol=1e-9)
+    for i, mine in enumerate(my_d.segments_polygon(ss, ee, poly)):
+        assert np.allclose(mine, rec[f"sp{i}"], atol=1e-9)
 
 
-@requires_reference
-def test_predicates(ref_geom):
-    _, rc, _ = ref_geom
+def test_predicates(golden):
     rng = np.random.default_rng(9)
     theta = np.linspace(0, 2 * np.pi, 6, endpoint=False)
     poly2 = np.vstack([np.cos(theta), np.sin(theta)])
     pts = rng.random((2, 30)) * 3 - 1.5
-    assert np.array_equal(
-        my_c.point_in_polygon(poly2, pts), rc.point_in_polygon(poly2, pts)
-    )
-    assert my_c.is_ccw_polygon(poly2) == rc.is_ccw_polygon(poly2)
-    assert np.array_equal(
-        my_c.is_ccw_polyline(poly2[:, 0], poly2[:, 1], pts),
-        rc.is_ccw_polyline(poly2[:, 0], poly2[:, 1], pts),
-    )
-
     cube = [
         np.array([[0, 1, 1, 0], [0, 0, 1, 1], [0, 0, 0, 0.0]]),
         np.array([[0, 1, 1, 0], [0, 0, 1, 1], [1, 1, 1, 1.0]]),
@@ -96,31 +89,51 @@ def test_predicates(ref_geom):
         np.array([[1, 1, 1, 1], [0, 1, 1, 0], [0, 0, 1, 1.0]]),
     ]
     tp = rng.random((3, 20)) * 1.4 - 0.2
+
+    def compute(ref_pp):
+        import porepy.geometry.geometry_property_checks as rc
+
+        return {
+            "pip": np.asarray(rc.point_in_polygon(poly2, pts)),
+            "ccw": np.asarray([rc.is_ccw_polygon(poly2)]),
+            "ccwl": np.asarray(
+                rc.is_ccw_polyline(poly2[:, 0], poly2[:, 1], pts)
+            ),
+            "piph": np.asarray(rc.point_in_polyhedron(cube, tp)),
+        }
+
+    rec = golden(compute)
+    assert np.array_equal(my_c.point_in_polygon(poly2, pts), rec["pip"])
+    assert my_c.is_ccw_polygon(poly2) == bool(rec["ccw"][0])
     assert np.array_equal(
-        my_c.point_in_polyhedron(cube, tp), rc.point_in_polyhedron(cube, tp)
+        my_c.is_ccw_polyline(poly2[:, 0], poly2[:, 1], pts), rec["ccwl"]
+    )
+    assert np.array_equal(
+        my_c.point_in_polyhedron(cube, tp), rec["piph"]
     )
 
 
-@requires_reference
-def test_sorting(ref_geom):
-    _, _, rs = ref_geom
+def test_sorting(golden):
     rng = np.random.default_rng(10)
     lines = np.array([[0, 1, 2, 3], [1, 2, 3, 0]])
     perm = rng.permutation(4)
-    sl_m, _ = my_s.sort_point_pairs(lines[:, perm])
-    sl_r, _ = rs.sort_point_pairs(lines[:, perm])
-    assert np.array_equal(sl_m, sl_r)
-
     pts_line = np.outer(np.array([1.0, 2.0, 3.0]), np.array([0.3, 0.1, 0.7, 0.5]))
-    assert np.array_equal(
-        my_s.sort_points_on_line(pts_line), rs.sort_points_on_line(pts_line)
-    )
-
     poly = _rot_poly(rng)[:, rng.permutation(6)]
     c = np.mean(poly, axis=1)
-    assert np.array_equal(
-        my_s.sort_point_plane(poly, c), rs.sort_point_plane(poly, c)
-    )
+
+    def compute(ref_pp):
+        import porepy.geometry.sort_points as rs
+
+        return {
+            "pairs": np.asarray(rs.sort_point_pairs(lines[:, perm])[0]),
+            "on_line": np.asarray(rs.sort_points_on_line(pts_line)),
+            "plane": np.asarray(rs.sort_point_plane(poly, c)),
+        }
+
+    rec = golden(compute)
+    assert np.array_equal(my_s.sort_point_pairs(lines[:, perm])[0], rec["pairs"])
+    assert np.array_equal(my_s.sort_points_on_line(pts_line), rec["on_line"])
+    assert np.array_equal(my_s.sort_point_plane(poly, c), rec["plane"])
 
 
 def test_sort_triangle_edges_consistent_orientation():

@@ -1,4 +1,5 @@
-"""Parity tests for match_grids against the reference implementation."""
+"""Parity tests for match_grids against the reference implementation
+(golden-backed record/replay)."""
 
 import numpy as np
 import pytest
@@ -8,12 +9,6 @@ from porepy_tpu.grids.simplex import TriangleGrid
 from porepy_tpu.grids.structured import TensorGrid
 
 
-def _ref_pp():
-    from tools.refshim import pp
-
-    return pp
-
-
 def _make_1d(nodes):
     g = TensorGrid(np.asarray(nodes, dtype=float))
     g.compute_geometry()
@@ -21,27 +16,31 @@ def _make_1d(nodes):
 
 
 @pytest.mark.parametrize("scaling", [None, "averaged", "integrated"])
-def test_match_1d_parity(scaling):
-    pp = _ref_pp()
+def test_match_1d_parity(golden, scaling):
     old = _make_1d(np.linspace(0, 1, 5))
     new = _make_1d(np.array([0.0, 0.3, 0.55, 0.8, 1.0]))
     mine = match_grids.match_1d(new, old, tol=1e-8, scaling=scaling)
 
-    old_r = pp.TensorGrid(np.linspace(0, 1, 5))
-    new_r = pp.TensorGrid(np.array([0.0, 0.3, 0.55, 0.8, 1.0]))
-    old_r.compute_geometry()
-    new_r.compute_geometry()
-    theirs = pp.match_grids.match_1d(new_r, old_r, tol=1e-8, scaling=scaling)
+    def compute(ref_pp):
+        old_r = ref_pp.TensorGrid(np.linspace(0, 1, 5))
+        new_r = ref_pp.TensorGrid(np.array([0.0, 0.3, 0.55, 0.8, 1.0]))
+        old_r.compute_geometry()
+        new_r.compute_geometry()
+        return {
+            "m": ref_pp.match_grids.match_1d(
+                new_r, old_r, tol=1e-8, scaling=scaling
+            ).tocsr()
+        }
 
-    assert mine.shape == theirs.shape
-    assert np.allclose(mine.toarray(), theirs.toarray())
+    rec = golden(compute)
+    assert mine.shape == rec["m"].shape
+    assert np.allclose(mine.toarray(), rec["m"].toarray())
     if scaling == "averaged":
         assert np.allclose(np.asarray(mine.sum(axis=1)).ravel(), 1.0)
 
 
 @pytest.mark.parametrize("scaling", [None, "averaged", "integrated"])
-def test_match_2d_parity(scaling):
-    pp = _ref_pp()
+def test_match_2d_parity(golden, scaling):
     old = TriangleGrid(
         np.array([[0, 1, 0, 1.0], [0, 0, 1, 1.0]]),
     )
@@ -50,14 +49,20 @@ def test_match_2d_parity(scaling):
     new.compute_geometry()
     mine = match_grids.match_2d(new, old, tol=1e-8, scaling=scaling)
 
-    old_r = pp.TriangleGrid(np.array([[0, 1, 0, 1.0], [0, 0, 1, 1.0]]))
-    old_r.compute_geometry()
-    new_r = pp.refinement.refine_triangle_grid(old_r)[0]
-    new_r.compute_geometry()
-    theirs = pp.match_grids.match_2d(new_r, old_r, tol=1e-8, scaling=scaling)
+    def compute(ref_pp):
+        old_r = ref_pp.TriangleGrid(np.array([[0, 1, 0, 1.0], [0, 0, 1, 1.0]]))
+        old_r.compute_geometry()
+        new_r = ref_pp.refinement.refine_triangle_grid(old_r)[0]
+        new_r.compute_geometry()
+        return {
+            "m": ref_pp.match_grids.match_2d(
+                new_r, old_r, tol=1e-8, scaling=scaling
+            ).tocsr()
+        }
 
-    assert mine.shape == theirs.shape
-    assert np.allclose(mine.toarray(), theirs.toarray())
+    rec = golden(compute)
+    assert mine.shape == rec["m"].shape
+    assert np.allclose(mine.toarray(), rec["m"].toarray())
 
 
 def test_match_2d_self_identity():

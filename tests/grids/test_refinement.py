@@ -1,57 +1,74 @@
-"""Grid refinement utilities vs reference."""
+"""Grid refinement utilities vs reference (golden-backed record/replay)."""
 
 import numpy as np
-import pytest
 
 import porepy_tpu as pt
 from porepy_tpu.grids import refinement as my_r
-from tests.conftest import requires_reference
 
 
-@requires_reference
-def test_refine_grid_1d(ref_pp):
-    import porepy.grids.refinement as rr
-
+def test_refine_grid_1d(golden):
     g = pt.TensorGrid(np.array([0, 0.3, 0.7, 1.0]))
     g.compute_geometry()
-    gr = ref_pp.TensorGrid(np.array([0, 0.3, 0.7, 1.0]))
-    gr.compute_geometry()
     hm = my_r.refine_grid_1d(g, 3)
-    hr = rr.refine_grid_1d(gr, 3)
-    assert hm.num_cells == hr.num_cells
-    assert np.allclose(np.sort(hm.nodes[0]), np.sort(hr.nodes[0]))
-    assert np.allclose(hm.cell_centers, hr.cell_centers)
+
+    def compute(ref_pp):
+        import porepy.grids.refinement as rr
+
+        gr = ref_pp.TensorGrid(np.array([0, 0.3, 0.7, 1.0]))
+        gr.compute_geometry()
+        hr = rr.refine_grid_1d(gr, 3)
+        return {
+            "num_cells": np.array([hr.num_cells]),
+            "nodes_sorted": np.sort(hr.nodes[0]),
+            "cell_centers": np.asarray(hr.cell_centers),
+        }
+
+    rec = golden(compute)
+    assert hm.num_cells == int(rec["num_cells"][0])
+    assert np.allclose(np.sort(hm.nodes[0]), rec["nodes_sorted"])
+    assert np.allclose(hm.cell_centers, rec["cell_centers"])
 
 
-@requires_reference
-def test_refine_triangle_grid(ref_pp):
-    import porepy.grids.refinement as rr
-
+def test_refine_triangle_grid(golden):
     g = pt.StructuredTriangleGrid([2, 2], [1.0, 1.0])
     g.compute_geometry()
-    gr = ref_pp.StructuredTriangleGrid(np.array([2, 2]), np.array([1.0, 1.0]))
-    gr.compute_geometry()
     hm, pm = my_r.refine_triangle_grid(g)
-    hr, pr = rr.refine_triangle_grid(gr)
     hm.compute_geometry()
-    hr.compute_geometry()
-    assert hm.num_cells == hr.num_cells == 4 * g.num_cells
-    assert np.array_equal(pm, pr)
-    assert np.allclose(hm.nodes, hr.nodes)
-    assert np.allclose(np.sort(hm.cell_volumes), np.sort(hr.cell_volumes))
+
+    def compute(ref_pp):
+        import porepy.grids.refinement as rr
+
+        gr = ref_pp.StructuredTriangleGrid(np.array([2, 2]), np.array([1.0, 1.0]))
+        gr.compute_geometry()
+        hr, pr = rr.refine_triangle_grid(gr)
+        hr.compute_geometry()
+        return {
+            "num_cells": np.array([hr.num_cells]),
+            "parent": np.asarray(pr),
+            "nodes": np.asarray(hr.nodes),
+            "vols_sorted": np.sort(hr.cell_volumes),
+        }
+
+    rec = golden(compute)
+    assert hm.num_cells == int(rec["num_cells"][0]) == 4 * g.num_cells
+    assert np.array_equal(pm, rec["parent"])
+    assert np.allclose(hm.nodes, rec["nodes"])
+    assert np.allclose(np.sort(hm.cell_volumes), rec["vols_sorted"])
 
 
-@requires_reference
-def test_remesh_1d(ref_pp):
-    import porepy.grids.refinement as rr
-
+def test_remesh_1d(golden):
     g = pt.TensorGrid(np.array([0, 0.3, 0.7, 1.0]))
     g.compute_geometry()
-    gr = ref_pp.TensorGrid(np.array([0, 0.3, 0.7, 1.0]))
-    gr.compute_geometry()
-    assert np.allclose(
-        my_r.remesh_1d(g, 7).nodes, rr.remesh_1d(gr, 7).nodes
-    )
+
+    def compute(ref_pp):
+        import porepy.grids.refinement as rr
+
+        gr = ref_pp.TensorGrid(np.array([0, 0.3, 0.7, 1.0]))
+        gr.compute_geometry()
+        return {"nodes": np.asarray(rr.remesh_1d(gr, 7).nodes)}
+
+    rec = golden(compute)
+    assert np.allclose(my_r.remesh_1d(g, 7).nodes, rec["nodes"])
 
 
 def test_structured_refinement_mapping():
