@@ -220,9 +220,9 @@ def test_assemble_device_matches_host_assembly():
 
 def test_dense_block_inverse_validates_on_ten_order_scaling():
     """A WELL-POSED block whose rows/columns span ~10 orders of magnitude
-    (the md flow + mortar regime) must pass the equilibrated-space probe
-    validation and yield an accurate frozen inverse — the raw-space
-    residual would reject it on scaling alone."""
+    (the md flow + mortar regime) must pass the equilibrated-space
+    condition gate (host-side, pull-free) and yield an accurate frozen
+    inverse — a raw-space criterion would reject it on scaling alone."""
     import scipy.sparse as sps
     from porepy_tpu.numerics.linalg.device_solver import _BlockPrecondBuilder
 
@@ -255,9 +255,9 @@ def test_dense_block_inverse_validates_on_ten_order_scaling():
 
 
 def test_dense_block_inverse_demotes_deterministically_on_singular_block():
-    """A numerically singular block must fail the multi-probe validation
-    and demote the block to its sparse method — on every rebuild, not by
-    luck of a single random probe."""
+    """A numerically singular block must fail the host-side condition
+    gate (estimate = inf) and demote to its sparse method — on every
+    rebuild, deterministically."""
     import scipy.sparse as sps
     from porepy_tpu.numerics.linalg.device_solver import _BlockPrecondBuilder
 
