@@ -110,8 +110,14 @@ def _golden_equal(a, b) -> bool:
     import scipy.sparse as sps
 
     if sps.issparse(a) or sps.issparse(b):
-        d = abs(sps.csr_matrix(a) - sps.csr_matrix(b))
-        scale = max(abs(sps.csr_matrix(b)).max(), 1.0)
+        a, b = sps.csr_matrix(a), sps.csr_matrix(b)
+        if a.shape != b.shape:
+            return False
+        if min(b.shape) == 0 or b.nnz == 0:
+            d = abs(a - b)
+            return d.nnz == 0 or d.max() == 0.0
+        d = abs(a - b)
+        scale = max(abs(b).max(), 1.0)
         return (d.max() if d.nnz else 0.0) <= 1e-9 * scale
     return np.allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12)
 
