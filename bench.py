@@ -249,8 +249,16 @@ def _run_case_child(flag: str, backend: str, stats: bool) -> None:
             t0 = time.perf_counter()
             model, params = build_case(flag)
             _emit(phase="build", s=round(time.perf_counter() - t0, 3))
+            # Up to 5 (TPU) / 3 (CPU twin) warm blocks, stopping once 60 s
+            # of measurement has accumulated — heavy cases keep their
+            # deadline budget for prepare/compile.
             out = fused_block_timer(
-                model, params, repeats=5, pull_stats=stats, emit=_emit
+                model,
+                params,
+                repeats=3 if backend == "cpu" else 5,
+                measure_budget_s=60.0,
+                pull_stats=stats,
+                emit=_emit,
             )
     except Exception as exc:
         import traceback

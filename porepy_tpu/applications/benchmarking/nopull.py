@@ -60,12 +60,16 @@ def fused_block_timer(
     params: dict,
     *,
     repeats: int = 5,
+    measure_budget_s: Optional[float] = None,
     pull_stats: bool = False,
     emit: Optional[Callable[..., None]] = None,
 ) -> dict:
     """Prepare ``model``, force-enable the fused time block, and time warm
-    dispatches. ``pull_stats=True`` (safe on the CPU backend) additionally
-    fetches per-step Newton/Krylov counts and convergence flags."""
+    dispatches (up to ``repeats``; stop early once ``measure_budget_s`` of
+    measurement wall has accumulated — heavy cases keep their deadline
+    budget for the phases that need it). ``pull_stats=True`` (safe on the
+    CPU backend) additionally fetches per-step Newton/Krylov counts and
+    convergence flags."""
     import jax
     import jax.numpy as jnp
 
@@ -118,17 +122,21 @@ def fused_block_timer(
     emit(phase="compile", s=out["compile_s"])
 
     times = []
+    measured = 0.0
     for i in range(repeats):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(x0, envs, solver._m_state, na))
         dt = time.perf_counter() - t0
         times.append(dt)
+        measured += dt
         emit(phase="block", wall_s=round(dt, 3), steps=chunk)
+        if measure_budget_s is not None and measured >= measure_budget_s:
+            break
     wall = float(np.median(times))
     out.update(
         mode="fused_block(nopull)",
         steps_per_block=chunk,
-        blocks_measured=repeats,
+        blocks_measured=len(times),
         block_ms=round(wall * 1000.0, 3),
         per_step_ms=round(wall * 1000.0 / chunk, 3),
     )
