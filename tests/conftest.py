@@ -119,7 +119,12 @@ def _golden_equal(a, b) -> bool:
         d = abs(a - b)
         scale = max(abs(b).max(), 1.0)
         return (d.max() if d.nnz else 0.0) <= 1e-9 * scale
-    return np.allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12)
+    a, b = np.asarray(a), np.asarray(b)
+    if a.dtype.kind not in "fc" or b.dtype.kind not in "fc":
+        # strings, ints, bools: exact equality (allclose rejects or
+        # mis-promotes them)
+        return np.array_equal(a, b)
+    return np.allclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True)
 
 
 @pytest.fixture
