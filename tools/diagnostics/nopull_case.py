@@ -41,7 +41,7 @@ def _emit(**kw):
 def main():
     case = sys.argv[1]
     stats = "--stats" in sys.argv
-    repeats = 5
+    repeats = 3
     if "--repeats" in sys.argv:
         repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
 
@@ -52,7 +52,12 @@ def main():
     model, params = build_case(case)
     _emit(phase="build", s=round(time.perf_counter() - t0, 3))
     out = fused_block_timer(
-        model, params, repeats=repeats, pull_stats=stats, emit=_emit
+        model,
+        params,
+        repeats=repeats,
+        measure_budget_s=60.0,
+        pull_stats=stats,
+        emit=_emit,
     )
     print(json.dumps(out), flush=True)
 
