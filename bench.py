@@ -178,14 +178,18 @@ def run_sharded_anchor() -> dict:
 # Caps assume the in-repo compile cache is warm (it ships pre-warmed; see
 # module docstring) with ~3x margin on walls measured on this machine; a
 # cold-cache run dies at its cap but still leaves per-phase progress.
+# cpu-twin cap None = skip the twin (heavy cases whose CPU block wall
+# alone exceeds any sane deadline — thm: 1600 s per 4-step block; their
+# iteration counts come from tools/bench_iters_calibration.json, recorded
+# from a full CPU-twin run on this machine, provenance inside).
 _CASES = (
     ("structured", "tpfa_structured_3d_32cubed", "tpfa_flow_3d_32cubed", None, 120),
     ("3d", "tpfa_flow_3d_32cubed_framework", "tpfa_flow_3d_32cubed", 160, 240),
     ("md", "mdflow_mpfa_2d_128", "mdflow_mpfa_2d_128", 120, 240),
-    ("thm", "thm_contact_3d_16", "thm_contact_3d_16", 600, 600),
-    ("berre3d", "berre3d_case2_flow_16", "berre3d_case2_flow_16", 600, 600),
+    ("thm", "thm_contact_3d_16", "thm_contact_3d_16", None, 900),
+    ("berre3d", "berre3d_case2_flow_16", "berre3d_case2_flow_16", None, 700),
     ("biot", "biot_poromech_2d_64", "biot_poromech_2d_64", 160, 240),
-    ("md256", "mdflow_mpfa_2d_256", "mdflow_mpfa_2d_256", 240, 300),
+    ("md256", "mdflow_mpfa_2d_256", "mdflow_mpfa_2d_256", 300, 500),
     ("tracer", "tracer_2d_64", "tracer_2d_64", 160, 240),
     ("sharded", "mdflow_sharded_1dev_anchor", "mdflow_mpfa_2d_128", None, 140),
 )
@@ -258,6 +262,7 @@ def _run_case_child(flag: str, backend: str, stats: bool) -> None:
                 repeats=3 if backend == "cpu" else 5,
                 measure_budget_s=60.0,
                 pull_stats=stats,
+                export_key=flag,
                 emit=_emit,
             )
     except Exception as exc:
@@ -289,7 +294,7 @@ def _partial_from_progress(path: str) -> dict:
                     out[f"{ph}_s"] = rec.get("s")
                 elif ph == "block":
                     blocks.append(rec)
-                elif ph == "stats":
+                elif ph in ("stats", "steady_stats"):
                     out.update(rec)
     except OSError:
         return {}
@@ -344,6 +349,19 @@ def _spawn_child(flag: str, backend: str, stats: bool, deadline: float) -> dict:
         return out
     except Exception as exc:  # pragma: no cover - harness robustness
         return {"error": f"{type(exc).__name__}: {exc}"}
+
+
+def _load_calibration() -> dict:
+    try:
+        with open(
+            os.path.join(_HERE, "tools/bench_iters_calibration.json")
+        ) as f:
+            return json.load(f)["cases"]
+    except Exception:
+        return {}
+
+
+_CALIBRATION = _load_calibration()
 
 
 def main() -> None:
@@ -417,11 +435,20 @@ def main() -> None:
 
         if flag in _FRAMEWORK_FLAGS:
             # CPU twin: validation + iteration counts (always pull-capable).
-            twin = _spawn_child(
-                flag, "cpu", True, min(cpu_cap, max(_left() - 10.0, 30.0))
-            )
-            fallbacks += int(twin.pop("fallbacks", 0) or 0)
-            rec["cpu_twin"] = twin
+            # Heavy cases (cpu_cap None) skip the twin and fall back to the
+            # checked-in calibration recorded from a full twin run.
+            twin: dict = {}
+            if cpu_cap is not None:
+                twin = _spawn_child(
+                    flag, "cpu", True, min(cpu_cap, max(_left() - 10.0, 30.0))
+                )
+                fallbacks += int(twin.pop("fallbacks", 0) or 0)
+                rec["cpu_twin"] = twin
+            if not twin.get("newton_iters_per_block"):
+                cal = _CALIBRATION.get(flag)
+                if cal:
+                    twin = dict(twin, **cal)
+                    rec["iters_calibration"] = cal
             # TPU child: timing of the same jitted block, no pulls unless
             # the probe says the d2h path is healthy right now.
             if have_accel and _left() > 50.0:
@@ -435,11 +462,21 @@ def main() -> None:
                 dev.pop("cpu_twin", None)
                 rec.update(dev)
                 if not pull_ok and dev.get("block_ms") is not None:
-                    iters = twin.get("newton_iters_per_block")
+                    # Chained timed blocks run the steady trajectory; the
+                    # first-block (transient) count is the fallback.
+                    iters = twin.get(
+                        "steady_newton_iters_per_block"
+                    ) or twin.get("newton_iters_per_block")
                     if iters:
                         rec["total_ms"] = round(dev["block_ms"] / iters, 3)
                         rec["newton_iters_per_block"] = iters
-                        rec["iters_source"] = "cpu_twin"
+                        rec["iters_source"] = (
+                            "cpu_twin"
+                            if "cpu_twin" in rec and rec["cpu_twin"].get(
+                                "newton_iters_per_block"
+                            )
+                            else f"calibration({twin.get('recorded', '?')})"
+                        )
                     else:
                         # >=1 Newton iteration per step: a conservative
                         # upper bound on per-iteration wall.

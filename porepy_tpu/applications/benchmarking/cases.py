@@ -255,7 +255,9 @@ def build_thm_contact_3d():
         },
         "time_manager": pt.TimeManager([0, 10.0], 1.0, constant_dt=True),
         "linear_solver": "device_gmres",
-        "fused_time_steps": 4,
+        # chunk 2: one thm step is ~400 s on the single-core CPU twin, so
+        # a 4-step block cannot fit any sane measurement deadline.
+        "fused_time_steps": 2,
         "fused_commit_states": "tail",
     }
     return Model, params

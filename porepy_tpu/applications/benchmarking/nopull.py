@@ -55,6 +55,71 @@ def _or_none(v):
     return None if isinstance(v, float) and not math.isfinite(v) else v
 
 
+def _export_path(export_key: str) -> str:
+    import os
+
+    import jax
+
+    base = os.environ.get(
+        "PPT_BENCH_EXPORT_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            ))),
+            ".jax_cache",
+            "exports",
+        ),
+    )
+    return os.path.join(base, f"{export_key}_{jax.default_backend()}.jaxexp")
+
+
+def _aot_call(fn, args, export_key, emit):
+    """Return ``(call, src)``: a callable taking the args pytree.
+
+    With ``export_key``, tries a serialized ``jax.export`` artifact first —
+    deserializing skips the Python re-trace of the block (measured 1350 s
+    for the thermoporomechanics case; the XLA backend compile below it is
+    covered by the persistent compilation cache). A missing/stale artifact
+    falls back to the live jit and re-exports for next time. Artifacts are
+    machine-local (.jax_cache/exports/, untracked, like the compile cache);
+    results were verified bitwise-identical to the live jit path."""
+    import os
+
+    import jax
+
+    if not export_key:
+        return (lambda a: fn(*a)), "jit"
+    path = _export_path(export_key)
+    flat, treedef = jax.tree.flatten(args)
+    if os.path.exists(path):
+        try:
+            exp = jax.export.deserialize(open(path, "rb").read())
+
+            def call(a):
+                return exp.call(*jax.tree.flatten(a)[0])
+
+            return call, "export"
+        except Exception as exc:  # stale/incompatible artifact
+            emit(phase="export_fallback", error=f"{type(exc).__name__}: {exc}")
+
+    def flat_fn(*leaves):
+        return fn(*jax.tree.unflatten(treedef, leaves))
+
+    try:
+        exp = jax.export.export(jax.jit(flat_fn))(*flat)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+
+        def call(a):
+            return exp.call(*jax.tree.flatten(a)[0])
+
+        return call, "jit+export"
+    except Exception as exc:
+        emit(phase="export_skip", error=f"{type(exc).__name__}: {exc}")
+        return (lambda a: fn(*a)), "jit"
+
+
 def fused_block_timer(
     model,
     params: dict,
@@ -62,6 +127,7 @@ def fused_block_timer(
     repeats: int = 5,
     measure_budget_s: Optional[float] = None,
     pull_stats: bool = False,
+    export_key: Optional[str] = None,
     emit: Optional[Callable[..., None]] = None,
 ) -> dict:
     """Prepare ``model``, force-enable the fused time block, and time warm
@@ -116,16 +182,36 @@ def fused_block_timer(
     envs = cs._envs(eq)
     x0 = device_policy.put(eq._global_vector())
     na = jnp.asarray(chunk, jnp.int32)
-    res = fn(x0, envs, solver._m_state, na)
+    args = (x0, envs, solver._m_state, na)
+    call, src = _aot_call(fn, args, export_key, emit)
+    res = call(args)
     jax.block_until_ready(res)
     out["compile_s"] = round(time.perf_counter() - t0, 3)
-    emit(phase="compile", s=out["compile_s"])
+    out["compile_src"] = src
+    emit(phase="compile", s=out["compile_s"], src=src)
 
+    if pull_stats:
+        # Pull stats from the WARMUP dispatch immediately: on heavy cases a
+        # deadline/watchdog kill during the timing loop must not lose the
+        # iteration counts (they are the whole point of the CPU twin).
+        _stats_from(res, out, chunk, emit)
+
+    # Timed blocks CHAIN: each dispatch consumes the previous block's last
+    # committed state, exactly like production time stepping. Independent
+    # repeats of the same dispatch were measured to overlap on the device
+    # (20 "repeats" of a 57 ms block completed in 68 ms total), which
+    # silently understates per-block wall ~20x; the chain's data
+    # dependency serializes them and charges the real per-dispatch cost.
+    # Blocks 2+ run the STEADY trajectory (every step converges in the
+    # tail iteration count), which is what long runs are made of.
     times = []
     measured = 0.0
+    x_cur = x0
     for i in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(x0, envs, solver._m_state, na))
+        res_i = call((x_cur, envs, solver._m_state, na))
+        x_cur = res_i[0][chunk - 1]
+        jax.block_until_ready(x_cur)
         dt = time.perf_counter() - t0
         times.append(dt)
         measured += dt
@@ -134,7 +220,7 @@ def fused_block_timer(
             break
     wall = float(np.median(times))
     out.update(
-        mode="fused_block(nopull)",
+        mode="fused_block(nopull,chained)",
         steps_per_block=chunk,
         blocks_measured=len(times),
         block_ms=round(wall * 1000.0, 3),
@@ -142,35 +228,54 @@ def fused_block_timer(
     )
 
     if pull_stats:
-        _x_stack, k_arr, _inc, res_st, kry_st, ok_arr = res
-        k_np = np.asarray(k_arr)
-        ok_np = np.asarray(ok_arr)
-        kry_np = np.asarray(kry_st)
-        res_np = np.asarray(res_st)
-        n_ok = int(ok_np.sum())
-        iters = int(k_np[:n_ok].sum()) if n_ok else 0
-        out.update(
-            steps_converged=n_ok,
-            newton_iters_per_block=iters,
-            newton_iters_per_step=[int(k) for k in k_np[:n_ok]],
-            krylov_iters_per_block=int(
+        # Steady-state accounting for the chained blocks: every step in
+        # blocks 2+ converges in the tail iteration count of the first
+        # block (verified via steady_steps_converged below).
+        _stats_from(res_i, out, chunk, emit, prefix="steady_")
+        steady = out.get("steady_newton_iters_per_block")
+        if steady:
+            out["total_ms"] = round(wall * 1000.0 / steady, 3)
+        elif out.get("newton_iters_per_block"):
+            out["total_ms"] = round(
+                wall * 1000.0 / out["newton_iters_per_block"], 3
+            )
+    return out
+
+
+def _stats_from(res, out: dict, chunk: int, emit, prefix: str = "") -> None:
+    _x_stack, k_arr, _inc, res_st, kry_st, ok_arr = res
+    k_np = np.asarray(k_arr)
+    ok_np = np.asarray(ok_arr)
+    kry_np = np.asarray(kry_st)
+    res_np = np.asarray(res_st)
+    n_ok = int(ok_np.sum())
+    iters = int(k_np[:n_ok].sum()) if n_ok else 0
+    out.update(
+        {
+            "steps_per_block": chunk,
+            f"{prefix}steps_converged": n_ok,
+            f"{prefix}newton_iters_per_block": iters,
+            f"{prefix}newton_iters_per_step": [int(k) for k in k_np[:n_ok]],
+            f"{prefix}krylov_iters_per_block": int(
                 sum(
                     kry_np[j, : max(int(k_np[j]), 1)].sum()
                     for j in range(n_ok)
                 )
             ),
-            last_residual=_or_none(
+            f"{prefix}last_residual": _or_none(
                 float(res_np[n_ok - 1, max(int(k_np[n_ok - 1]) - 1, 0)])
                 if n_ok
                 else None
             ),
-        )
-        if iters:
-            out["total_ms"] = round(wall * 1000.0 / iters, 3)
-        emit(
-            phase="stats",
-            steps_converged=n_ok,
-            newton_iters=iters,
-            krylov_iters=out.get("krylov_iters_per_block"),
-        )
-    return out
+        }
+    )
+    emit(
+        **{
+            "phase": f"{prefix}stats",
+            "steps_converged": n_ok,
+            f"{prefix}newton_iters_per_block": iters,
+            f"{prefix}krylov_iters_per_block": out.get(
+                f"{prefix}krylov_iters_per_block"
+            ),
+        }
+    )

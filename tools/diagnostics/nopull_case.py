@@ -57,6 +57,7 @@ def main():
         repeats=repeats,
         measure_budget_s=60.0,
         pull_stats=stats,
+        export_key=case,
         emit=_emit,
     )
     print(json.dumps(out), flush=True)
