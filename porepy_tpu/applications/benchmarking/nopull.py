@@ -190,10 +190,14 @@ def fused_block_timer(
     out["compile_src"] = src
     emit(phase="compile", s=out["compile_s"], src=src)
 
-    if pull_stats:
+    early_stats = pull_stats and jax.default_backend() == "cpu"
+    if early_stats:
         # Pull stats from the WARMUP dispatch immediately: on heavy cases a
         # deadline/watchdog kill during the timing loop must not lose the
-        # iteration counts (they are the whole point of the CPU twin).
+        # iteration counts (they are the whole point of the CPU twin). On
+        # an accelerator the pull waits until AFTER the timing loop — a
+        # device->host transfer can degrade every later dispatch (see
+        # module docstring), which would poison the measurement itself.
         _stats_from(res, out, chunk, emit)
 
     # Timed blocks CHAIN: each dispatch consumes the previous block's last
@@ -228,6 +232,8 @@ def fused_block_timer(
     )
 
     if pull_stats:
+        if not early_stats:
+            _stats_from(res, out, chunk, emit)
         # Steady-state accounting for the chained blocks: every step in
         # blocks 2+ converges in the tail iteration count of the first
         # block (verified via steady_steps_converged below).
