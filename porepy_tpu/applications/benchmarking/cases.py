@@ -259,6 +259,14 @@ def build_thm_contact_3d():
         # a 4-step block cannot fit any sane measurement deadline.
         "fused_time_steps": 2,
         "fused_commit_states": "tail",
+        # Dense frozen block inverses (the TPU default) are REQUIRED here:
+        # the semismooth contact block lands in the trailing Chebyshev
+        # slot of the field split, where the smoother does not contract —
+        # measured 560 stagnant Krylov iterations (|r| 4.2 from |b| 5.5,
+        # host-spsolve fallback) without dense vs 56 iterations to 1.3e-8
+        # with. Forcing it on keeps the CPU twin's preconditioner (hence
+        # iteration counts) structurally identical to the TPU child's.
+        "dense_precond": True,
     }
     return Model, params
 
