@@ -94,6 +94,21 @@ def _aot_call(fn, args, export_key, emit):
     if os.path.exists(path):
         try:
             exp = jax.export.deserialize(open(path, "rb").read())
+            # Stale-artifact guard: the arg pytree (m_state structure,
+            # shapes, dtypes) must match what was exported — e.g. a
+            # preconditioner-policy change alters the leaf count.
+            if len(exp.in_avals) != len(flat):
+                raise ValueError(
+                    f"arg leaf count {len(flat)} != exported "
+                    f"{len(exp.in_avals)}"
+                )
+            for av, leaf in zip(exp.in_avals, flat):
+                la = jax.api_util.shaped_abstractify(leaf)
+                if av.shape != la.shape or av.dtype != la.dtype:
+                    raise ValueError(
+                        f"arg aval {la.str_short()} != exported "
+                        f"{av.str_short()}"
+                    )
 
             def call(a):
                 return exp.call(*jax.tree.flatten(a)[0])
